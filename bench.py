@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect-to-driver of the
+small result). A warmup pass on the flagship query absorbs JVM/codegen
+startup so numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: exercised paths = star join, scan+agg throughput, windows,
+# top-k, rollup, pivot (extended as more operator families land).
+HEADLINE = [
+    "flagship_star_revenue",
+    "pricing_summary",
+    "kpi_summary",
+    "daily_sales_trend",
+    "segment_sales",
+    "monthly_trend_growth",
+    "category_share",
+    "top_customers",
+    "quarterly_yoy",
+    "region_nation_rollup",
+    "order_priority_pivot",
+]
+
+
+def main() -> None:
+    from datafoundation_multi_source_retail_data_integration_hub_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="bench")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # warmup: JVM JIT + codegen + parquet footer caches
+    qs[names[0]](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

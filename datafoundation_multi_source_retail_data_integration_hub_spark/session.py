@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+Local testing runs a single JVM (``local[N]``); production target is a
+multi-executor cluster reading ~100 TB. Every knob below is chosen so the
+same code scales: AQE re-plans shuffles at runtime (partition coalescing,
+skew-join splitting), shuffle partitions default to the core count locally
+but should be sized to ~128 MB per partition at cluster scale, and the
+session timezone is pinned to UTC so timestamp semantics are stable across
+engines (the DuckDB oracle is UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "datafoundation_hub_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Scale notes (100 TB target):
+    - ``spark.sql.adaptive.enabled``: AQE coalesces small shuffle partitions
+      and splits skewed ones at runtime; mandatory at scale, harmless locally.
+    - ``spark.sql.shuffle.partitions`` is only the *initial* number under AQE;
+      on a 1000-executor cluster raise it so each partition is ~128 MB.
+    - ``spark.sql.files.maxPartitionBytes`` (default 128 MB) governs scan
+      parallelism; left at default — correct for both scales.
+    - Arrow execution accelerates any pandas interchange (``toPandas``,
+      pandas UDFs) by columnar batch transfer.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

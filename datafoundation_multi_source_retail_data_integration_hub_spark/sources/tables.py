@@ -1,0 +1,43 @@
+"""Parquet test-corpus loaders.
+
+The driver provisions a TPC-H-ish star corpus (see TESTDATA.md): one
+parquet file per table under ``/root/testdata/sf{0.001,0.01,0.1}/``.
+Parquet is the engine's native columnar format — scans get predicate
+pushdown, column pruning, and vectorized decoding from Catalyst for free,
+which is exactly the posture we want at 100 TB (the same loaders work on a
+partitioned cloud-storage layout by pointing ``sf_dir`` at the dataset
+root).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one corpus table. Lazy — nothing is read until an action."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Scan several corpus tables (all of them when ``names`` is empty)."""
+    return {n: load_table(spark, sf_dir, n) for n in (names or TPCH_TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register corpus tables as temp views so ``spark.sql`` can see them."""
+    for name, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,14 @@
+from __future__ import annotations
+
+import pytest
+
+from datafoundation_multi_source_retail_data_integration_hub_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECTNESS = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", shuffle_partitions=8)
+    yield s

@@ -1,0 +1,76 @@
+"""Local re-implementation of the driver's Spark-vs-DuckDB comparison.
+
+Mirrors the contract described in the driver docs: for each query name,
+run the Spark callable and the DuckDB oracle SQL on the same parquet
+tables, then compare row count, schema width, and an order-insensitive
+value comparison with columns sorted by name.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, list):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _norm_rows(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for r in rows:
+        vals = list(r)
+        out.append(tuple(_norm_cell(vals[i]) for i in order))
+    return sorted(out, key=repr)
+
+
+def compare(spark, sf_dir: str, spark_fn, sql: str, name: str = "?") -> None:
+    sdf = spark_fn(spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    con = duckdb_conn(sf_dir)
+    res = con.execute(sql)
+    oracle_cols = [d[0] for d in res.description]
+    oracle_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(oracle_cols), (
+        f"{name}: column mismatch spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}"
+    )
+    assert len(spark_rows) == len(oracle_rows), (
+        f"{name}: row count spark={len(spark_rows)} oracle={len(oracle_rows)}"
+    )
+    s = _norm_rows(spark_rows, spark_cols)
+    o = _norm_rows(oracle_rows, oracle_cols)
+    for i, (a, b) in enumerate(zip(s, o)):
+        assert a == b, f"{name}: first row diff at {i}:\n  spark={a}\n oracle={b}"
