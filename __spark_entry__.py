@@ -22,7 +22,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _modules():
-    return [q.relational]
+    return [q.relational, q.warehouse]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,78 @@
+"""Deterministic, scale-safe global row numbering (surrogate keys — W5).
+
+The reference assigns surrogate keys by sequential numbering over source
+row order (``etl/load_to_query.py:111,126,143``). The naive Spark
+translation — ``row_number()`` over an unpartitioned window — funnels the
+whole table through ONE task: fine for a 1e4-row dim, a wall at 1e8+.
+
+``with_global_row_number`` keeps identical semantics (1..n in global
+``order_cols`` order, offset by a prior max) with a two-phase plan that
+stays fully parallel:
+
+1. range-partition + local sort on the order columns (one shuffle — the
+   same shuffle a global sort would need anyway),
+2. ``row_number`` per partition (parallel, no data movement),
+3. per-partition counts -> cumulative offsets (a tiny driver-side list,
+   one row per partition), broadcast-joined back.
+
+Determinism: range partitioning preserves global order across partition
+ids, so offset + local rank == global rank whenever ``order_cols`` form a
+unique ordering (callers must pass a unique column set — natural keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Below this many rows a single-partition window is cheaper than the extra
+# count job; dims at test scale stay on the fast path.
+SMALL_DIM_THRESHOLD = 1_000_000
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    col_name: str,
+    offset: int = 0,
+    num_partitions: int | None = None,
+    force_distributed: bool = False,
+) -> DataFrame:
+    """Add ``col_name`` = offset + rank of the row in global ``order_cols``
+    order (1-based). ``order_cols`` must uniquely order the rows."""
+    if not force_distributed:
+        # Single-partition window: correct and cheapest at dim scale (< ~1M
+        # rows); callers numbering huge inputs pass force_distributed.
+        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        return df.withColumn(
+            col_name, (F.row_number().over(w) + F.lit(offset)).cast("bigint")
+        )
+
+    parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    ranged = df.repartitionByRange(int(parts), *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
+    # Persist before fanning out to two consumers: the range partitioner
+    # samples its boundaries per materialization, so without pinning one
+    # materialization the counts job and the final join would see
+    # different partition sizes -> wrong offsets.
+    ranked = ranged.withColumn("__rn", F.row_number().over(local_w)).persist()
+    counts = (
+        ranked.groupBy("__pid").count().orderBy("__pid").collect()
+    )  # one row per partition — tiny
+    cum = 0
+    offsets = []
+    for r in counts:
+        offsets.append((r["__pid"], cum))
+        cum += r["count"]
+    off_df = df.sparkSession.createDataFrame(offsets, "p_pid int, p_off long")
+    return (
+        ranked.join(
+            F.broadcast(off_df), F.col("__pid") == F.col("p_pid"), "inner"
+        )
+        .withColumn(
+            col_name, (F.col("__rn") + F.col("p_off") + F.lit(offset)).cast("bigint")
+        )
+        .drop("__pid", "__rn", "p_pid", "p_off")
+    )

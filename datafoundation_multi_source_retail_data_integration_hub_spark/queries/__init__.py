@@ -10,6 +10,6 @@ Spark's partial/final aggregation visits rows in a different order than the
 oracle. Raw passthrough columns are never rounded.
 """
 
-from . import relational
+from . import relational, warehouse
 
-__all__ = ["relational"]
+__all__ = ["relational", "warehouse"]

@@ -1,0 +1,249 @@
+"""Warehouse-build queries: calendar dim, SCD2 dims, fact FK resolution.
+
+These exercise the dimensional-modeling library (``plans.star_schema``,
+``operators.scd2``, ``functions.dates``) end-to-end against the corpus and
+give the driver oracle-checkable results for the reference's core ETL
+semantics (``etl/load_to_query.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dates import build_calendar, date_key
+from ..operators.scd2 import SCD2Config, current_key_map, scd2_initial_load, scd2_merge
+from ..sources.tables import load_tables
+
+ROUND = 4
+
+# Deterministic load dates (the reference uses datetime.today(); tests pin
+# a fixed date for reproducibility — SURVEY §2.8 F7).
+D0 = "2026-01-01"
+D1 = "2026-02-01"
+
+CUSTOMER_CFG = SCD2Config(
+    natural_key="c_custkey",
+    compare_cols=("c_name", "c_mktsegment", "c_acctbal"),
+    surrogate_key="customer_key",
+)
+PART_CFG = SCD2Config(
+    natural_key="p_partkey",
+    compare_cols=("p_name", "p_brand", "p_type"),
+    surrogate_key="part_key",
+)
+
+
+# ---------------------------------------------------------------------------
+# dim_date: continuous calendar spanning orders (F5/F6/F8)
+# ---------------------------------------------------------------------------
+
+
+def dim_date_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    return build_calendar(orders, "o_orderdate")
+
+
+DIM_DATE_ORACLE = """
+WITH b AS (
+  SELECT CAST(min(o_orderdate) AS DATE) AS lo, CAST(max(o_orderdate) AS DATE) AS hi
+  FROM orders
+),
+d AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS date FROM b
+)
+SELECT date,
+       CAST(strftime(date, '%Y%m%d') AS INTEGER) AS date_key,
+       CAST(year(date) AS INTEGER) AS year,
+       CAST(quarter(date) AS INTEGER) AS quarter,
+       CAST(month(date) AS INTEGER) AS month,
+       CAST(day(date) AS INTEGER) AS day,
+       CAST(isodow(date) - 1 AS INTEGER) AS weekday,
+       CAST(CASE WHEN isodow(date) >= 6 THEN 1 ELSE 0 END AS INTEGER) AS is_weekend,
+       CAST(year(date) + CASE WHEN month(date) >= 7 THEN 1 ELSE 0 END AS INTEGER)
+         AS fiscal_year
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD2 initial load on dim_customer (§4.3 initial path)
+# ---------------------------------------------------------------------------
+
+
+def dim_customer_scd2_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    return scd2_initial_load(cust, CUSTOMER_CFG, D0)
+
+
+DIM_CUSTOMER_INIT_ORACLE = f"""
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+       row_number() OVER (ORDER BY c_custkey, c_name, c_mktsegment, c_acctbal)
+         AS customer_key,
+       DATE '{D0}' AS effective_date,
+       CAST(NULL AS DATE) AS expiry_date,
+       1 AS is_current
+FROM (SELECT DISTINCT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer)
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD2 two-batch merge (§4.3 full path: new member / changed / unchanged)
+# ---------------------------------------------------------------------------
+
+
+def _customer_batch2(cust: DataFrame) -> DataFrame:
+    """Deterministic second batch derived from the corpus:
+    - every 10th customer changes balance (changed path),
+    - every 17th key reappears as a brand-new member (new path),
+    - everyone else is untouched (no-op path)."""
+    changed_or_same = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 1000)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    new_members = cust.filter(F.col("c_custkey") % 17 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.col("c_name"), F.lit("_new")).alias("c_name"),
+        "c_mktsegment",
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    return changed_or_same.unionByName(new_members)
+
+
+def scd2_customer_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    dim = scd2_initial_load(cust, CUSTOMER_CFG, D0)
+    return scd2_merge(dim, _customer_batch2(cust), CUSTOMER_CFG, D1)
+
+
+SCD2_TWO_BATCH_ORACLE = f"""
+WITH init AS (
+  SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+         row_number() OVER (ORDER BY c_custkey, c_name, c_mktsegment, c_acctbal)
+           AS customer_key
+  FROM (SELECT DISTINCT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer)
+),
+batch2 AS (
+  SELECT c_custkey, c_name, c_mktsegment,
+         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END
+           AS c_acctbal
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name || '_new', c_mktsegment, 0.0
+  FROM customer WHERE c_custkey % 17 = 0
+),
+changed AS (
+  SELECT b.* FROM batch2 b JOIN init i USING (c_custkey)
+  WHERE b.c_name IS DISTINCT FROM i.c_name
+     OR b.c_mktsegment IS DISTINCT FROM i.c_mktsegment
+     OR b.c_acctbal IS DISTINCT FROM i.c_acctbal
+),
+new_members AS (
+  SELECT b.* FROM batch2 b LEFT JOIN init i USING (c_custkey)
+  WHERE i.c_custkey IS NULL
+),
+inserts AS (SELECT * FROM changed UNION ALL SELECT * FROM new_members),
+new_rows AS (
+  SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+         (SELECT max(customer_key) FROM init)
+           + row_number() OVER (ORDER BY c_custkey, c_name, c_mktsegment, c_acctbal)
+           AS customer_key
+  FROM inserts
+)
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal, customer_key,
+       DATE '{D0}' AS effective_date,
+       CASE WHEN c_custkey IN (SELECT c_custkey FROM changed)
+            THEN DATE '{D1}' ELSE CAST(NULL AS DATE) END AS expiry_date,
+       CASE WHEN c_custkey IN (SELECT c_custkey FROM changed) THEN 0 ELSE 1 END
+         AS is_current
+FROM init
+UNION ALL
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal, customer_key,
+       DATE '{D1}', CAST(NULL AS DATE), 1
+FROM new_rows
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fact build: FK resolution against current dim rows (J1) + int date key
+# ---------------------------------------------------------------------------
+
+
+def fact_sales_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer", "part")
+    dim_customer = scd2_initial_load(t["customer"], CUSTOMER_CFG, D0)
+    dim_part = scd2_initial_load(t["part"], PART_CFG, D0)
+
+    fact = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("l_partkey").alias("p_partkey"),
+            "o_orderdate",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    cmap = current_key_map(dim_customer, CUSTOMER_CFG)
+    pmap = current_key_map(dim_part, PART_CFG)
+    return (
+        fact.join(F.broadcast(cmap), "c_custkey", "left")
+        .join(F.broadcast(pmap), "p_partkey", "left")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "customer_key",
+            "part_key",
+            # reference naming quirk: the int date_key lives under the
+            # fact's original date column name (SURVEY §2.3)
+            date_key(F.col("o_orderdate")).alias("order_date"),
+            F.round("rev", ROUND).alias("revenue"),
+        )
+    )
+
+
+FACT_RESOLUTION_ORACLE = """
+WITH dimc AS (
+  SELECT c_custkey,
+         row_number() OVER (ORDER BY c_custkey, c_name, c_mktsegment, c_acctbal)
+           AS customer_key
+  FROM (SELECT DISTINCT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer)
+),
+dimp AS (
+  SELECT p_partkey,
+         row_number() OVER (ORDER BY p_partkey, p_name, p_brand, p_type)
+           AS part_key
+  FROM (SELECT DISTINCT p_partkey, p_name, p_brand, p_type FROM part)
+)
+SELECT l_orderkey, l_linenumber, dimc.customer_key, dimp.part_key,
+       CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS INTEGER) AS order_date,
+       round(l_extendedprice * (1 - l_discount), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+LEFT JOIN dimc ON o_custkey = dimc.c_custkey
+LEFT JOIN dimp ON l_partkey = dimp.p_partkey
+"""
+
+
+QUERIES = {
+    "dim_date_calendar": dim_date_calendar,
+    "dim_customer_scd2_init": dim_customer_scd2_init,
+    "scd2_customer_two_batch": scd2_customer_two_batch,
+    "fact_sales_resolution": fact_sales_resolution,
+}
+
+ORACLES = {
+    "dim_date_calendar": DIM_DATE_ORACLE,
+    "dim_customer_scd2_init": DIM_CUSTOMER_INIT_ORACLE,
+    "scd2_customer_two_batch": SCD2_TWO_BATCH_ORACLE,
+    "fact_sales_resolution": FACT_RESOLUTION_ORACLE,
+}
