@@ -14,6 +14,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from datafoundation_multi_source_retail_data_integration_hub_spark import queries as q
+from datafoundation_multi_source_retail_data_integration_hub_spark.streaming import (
+    pipelines as streaming_pipelines,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -22,7 +25,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _modules():
-    return [q.relational, q.warehouse]
+    return [
+        q.relational,
+        q.warehouse,
+        q.textops,
+        q.vectors,
+        q.eventops,
+        q.multimodalops,
+        streaming_pipelines,
+    ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -19,8 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: exercised paths = star join, scan+agg throughput, windows,
-# top-k, rollup, pivot (extended as more operator families land).
+# Headline set: one representative per operator family — star join,
+# scan+agg throughput, windows/top-k/rollup, SCD2 warehouse build, text
+# dedup (exact + MinHash-LSH + Jaccard), similarity search, event windows
+# + sessionization, streaming.
 HEADLINE = [
     "flagship_star_revenue",
     "pricing_summary",
@@ -33,6 +35,19 @@ HEADLINE = [
     "quarterly_yoy",
     "region_nation_rollup",
     "order_priority_pivot",
+    "dim_date_calendar",
+    "scd2_customer_two_batch",
+    "fact_sales_resolution",
+    "doc_text_stats",
+    "doc_exact_dedup",
+    "doc_ngram_jaccard_pairs",
+    "doc_minhash_lsh_pairs",
+    "doc_simhash",
+    "embedding_topk_bruteforce",
+    "embedding_ann_lsh",
+    "events_tumbling_10m",
+    "events_sessionization",
+    "stream_tumbling_counts",
 ]
 
 

@@ -1,0 +1,153 @@
+"""Text-analysis column functions for the documents table.
+
+Large-scale training-data pipeline operators: tokenization, token
+counting (whitespace + BPE-ish regex), quality scoring, language-ID
+heuristic, document fingerprinting. Everything is built-in Spark SQL
+expressions (JVM-side, codegen'd) — no Python UDFs — and every function
+has an exact DuckDB-SQL equivalent so the driver oracle can verify it.
+
+Cross-engine hash primitive: ``md5_long`` maps any string to a 60-bit
+integer identically in Spark (``conv(substr(md5(x),1,15),16,10)``) and
+DuckDB (``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``) — the foundation
+for deterministic MinHash / SimHash in ``operators.dedup``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish tokenization: word runs or single non-space punctuation — a cheap
+# stand-in for subword token counting with identical regex semantics in
+# Spark (Java regex) and DuckDB (RE2): \w and \s agree on ASCII input.
+BPE_REGEX = r"\w+|[^\w\s]"
+
+PUNCT_CLASS = r"[^.,!?;:]"  # regexp_replace keep-list used for punct counting
+
+STOPWORDS = ("the", "a", "is", "of", "and", "to", "in")
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "is", "of", "and"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "les", "une", "et", "est"),
+    "es": ("el", "los", "una", "y", "que"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),  # pinyin-ish markers
+}
+LANG_PRIORITY = ("en", "de", "fr", "es", "zh")
+
+
+def ws_tokens(c: Column) -> Column:
+    """Whitespace tokenization (== DuckDB ``string_split_regex(trim(x),'\\s+')``)."""
+    return F.split(F.trim(c), r"\s+")
+
+
+def ws_token_count(c: Column) -> Column:
+    return F.size(ws_tokens(c))
+
+
+def bpe_token_count(c: Column) -> Column:
+    """Count of BPE-ish regex tokens (== DuckDB ``len(regexp_extract_all(...))``)."""
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_REGEX), 0))
+
+
+def punct_ratio(c: Column) -> Column:
+    """Punctuation chars / total chars."""
+    return F.length(F.regexp_replace(c, PUNCT_CLASS, "")) / F.length(c)
+
+
+def stopword_ratio(c: Column) -> Column:
+    """Stopword tokens / all tokens (with multiplicity)."""
+    toks = ws_tokens(c)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return hits / F.size(toks)
+
+
+def quality_score(c: Column) -> Column:
+    """Composite quality heuristic in [0, 1]:
+    0.4 x capped length signal + 0.3 x stopword signal + 0.3 x low-punct
+    signal. An arbitrary-but-documented formula; what matters is that it is
+    deterministic and cheap (one codegen'd projection at any scale)."""
+    length_signal = F.least(ws_token_count(c) / F.lit(100.0), F.lit(1.0))
+    stop_signal = F.least(stopword_ratio(c) * 5, F.lit(1.0))
+    return 0.4 * length_signal + 0.3 * stop_signal + 0.3 * (1 - punct_ratio(c))
+
+
+def lang_hit_count(c: Column, lang: str) -> Column:
+    toks = ws_tokens(c)
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+
+def lang_id(c: Column) -> Column:
+    """Marker-word language ID: argmax of per-language marker hit counts,
+    ties broken by fixed priority order, 'und' when nothing matches."""
+    counts = {lg: lang_hit_count(c, lg) for lg in LANG_PRIORITY}
+    best = F.greatest(*counts.values())
+    expr = F.when(best == 0, "und")
+    for lg in LANG_PRIORITY:
+        expr = expr.when(counts[lg] == best, lg)
+    return expr
+
+
+def normalized_text(c: Column) -> Column:
+    """lower + collapse whitespace + trim — canonical form for hashing."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(c: Column) -> Column:
+    """md5 fingerprint of the normalized text (exact-dup key)."""
+    return F.md5(normalized_text(c))
+
+
+def md5_long(c: Column) -> Column:
+    """60-bit integer hash, identical in Spark and DuckDB (see module doc)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles(c: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of the normalized text.
+
+    1-based ``slice`` over the token array; DuckDB equivalent:
+    ``list_distinct(list_transform(generate_series(1, len(t)-n+1),
+    i -> array_to_string(t[i:i+n-1], ' ')))``.
+    """
+    toks = ws_tokens(normalized_text(c))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(grams)
+
+
+# --- DuckDB SQL fragments (kept adjacent to their Spark twins) -------------
+
+
+def sql_ws_tokens(col: str) -> str:
+    return f"string_split_regex(trim({col}), '\\s+')"
+
+
+def sql_md5_long(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def sql_list_literal(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def sql_stop_hits(col: str, words: tuple[str, ...]) -> str:
+    return (
+        f"len(list_filter({sql_ws_tokens(col)}, "
+        f"t -> list_contains({sql_list_literal(words)}, t)))"
+    )
+
+
+def sql_normalized(col: str) -> str:
+    return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+
+
+def sql_word_shingles(col: str, n: int) -> str:
+    toks = f"string_split_regex({sql_normalized(col)}, '\\s+')"
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({toks}) - {n - 1}, 0)), "
+        f"i -> array_to_string(({toks})[i:i+{n - 1}], ' ')))"
+    )

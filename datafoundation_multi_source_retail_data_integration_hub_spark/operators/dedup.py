@@ -1,0 +1,285 @@
+"""Deduplication operator family for document corpora.
+
+Four strategies, all deterministic and fully JVM-side (no Python UDFs):
+
+- **exact**: md5 fingerprint of normalized text -> group -> keep lowest id.
+- **n-gram Jaccard**: word-shingle inverted index self-join -> exact
+  Jaccard on candidate pairs. The join is on the *shingle*, never a cross
+  join; a document-frequency cap drops stop-shingles so the hottest keys
+  can't quadratically blow up the pair generation at scale.
+- **MinHash + LSH**: k md5-derived hash functions -> per-doc signature ->
+  banded bucketing -> candidates = docs sharing a band -> verified with
+  exact Jaccard. Identical hash arithmetic exists in DuckDB, so even the
+  LSH path is oracle-checkable.
+- **SimHash**: 60-bit signature from token hashes; near-dup candidates via
+  banded chunks (pigeonhole on Hamming distance), verified with
+  ``bit_count(xor)``.
+
+Scale posture (100 TB): every step is explode -> hash-partitioned
+aggregation or equi-join on a derived key — the classic shuffle-bounded
+dedup pipeline. Signatures are ~constant bytes per doc, so the LSH
+candidate join operates on data orders of magnitude smaller than the
+corpus; only verified candidates touch the full shingle sets again.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, md5_long, word_shingles
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct normalized text: representative (min id) + count."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("representative_id"),
+            F.count("*").alias("n_duplicates"),
+        )
+    )
+
+
+def exact_dedup_keep_first(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deduplicated corpus: keep the lowest-id row per fingerprint.
+
+    Deterministic replacement for ``dropDuplicates`` (which keeps an
+    arbitrary row). One shuffle on the fingerprint.
+    """
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Pairs (id1 < id2) with word-``n``-gram Jaccard >= ``threshold``.
+
+    Inverted-index plan: explode shingles, drop shingles appearing in more
+    than ``max_doc_freq`` docs (stop-shingles contribute candidates
+    quadratically but little Jaccard mass), self-join on the shingle,
+    count co-occurrences, then compute exact Jaccard from the distinct
+    set sizes.
+    """
+    docs = _shingled(df, text_col, id_col, n)
+    sizes = docs.select("doc_id", F.size("sh").alias("sz"))
+    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    rare = ex.groupBy("s").agg(F.count("*").alias("df_")).filter(
+        F.col("df_") <= max_doc_freq
+    )
+    ex = ex.join(F.broadcast(rare.select("s")), "s")
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+        .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz1") + F.col("sz2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 16
+) -> DataFrame:
+    """Per-doc MinHash signature: columns m0..m{k-1}.
+
+    hash_i(shingle) = md5_long(i || ':' || shingle) — deterministic and
+    reproducible in any engine with md5.
+    """
+    docs = _shingled(df, text_col, id_col, n)
+    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    hashed = ex.select(
+        "doc_id",
+        *[
+            md5_long(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"h{i}")
+            for i in range(k)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(k)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Verified near-dup pairs via banded MinHash-LSH.
+
+    rows-per-band r = k/bands; docs sharing any band signature become
+    candidates; candidates are verified with exact Jaccard over the
+    shingle sets (so precision is exact; LSH only affects recall).
+    """
+    assert k % bands == 0
+    r = k // bands
+    sig = minhash_signatures(df, text_col, id_col, n, k)
+    band_rows = [
+        sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(",", *[F.col(f"m{b * r + j}") for j in range(r)])
+            ).alias("bsig"),
+        )
+        for b in range(bands)
+    ]
+    banded = reduce(lambda a, b: a.unionByName(b), band_rows)
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bsig"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id1"), F.col("y.doc_id").alias("id2")
+        )
+        .distinct()
+    )
+    docs = _shingled(df, text_col, id_col, n)
+    return (
+        cand.join(docs.withColumnRenamed("doc_id", "id1").withColumnRenamed("sh", "sh1"), "id1")
+        .join(docs.withColumnRenamed("doc_id", "id2").withColumnRenamed("sh", "sh2"), "id2")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh1", "sh2")).cast("double")
+            / F.size(F.array_union("sh1", "sh2")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # md5_long yields 60 usable bits
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """60-bit SimHash per document over whitespace tokens (with
+    multiplicity): bit j of the signature is 1 iff the sum over tokens of
+    (2*bit_j(hash(token)) - 1) is positive."""
+    from ..functions.text import ws_tokens, normalized_text
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ws_tokens(normalized_text(F.col(text_col)))).alias("t"),
+    ).withColumn("h", md5_long(F.col("t")))
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sig = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+        range(SIMHASH_BITS),
+        F.lit(0).cast("long"),
+    )
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= ``max_hamming``.
+
+    Pigeonhole banding: split the signature into ``chunks`` equal chunks;
+    any pair within distance ``chunks - 1`` shares at least one exact
+    chunk, so the candidate join is an equi-join on (chunk_idx, chunk
+    value), verified by ``bit_count(xor)``.
+    """
+    width = SIMHASH_BITS // chunks
+    mask = (1 << width) - 1
+    sig = simhash(df, text_col, id_col)
+    chunked = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            sig.select(
+                "doc_id",
+                "simhash",
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("cval"),
+            )
+            for c in range(chunks)
+        ],
+    )
+    cand = (
+        chunked.alias("x")
+        .join(chunked.alias("y"), ["chunk", "cval"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id1"),
+            F.col("y.doc_id").alias("id2"),
+            F.col("x.simhash").alias("h1"),
+            F.col("y.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

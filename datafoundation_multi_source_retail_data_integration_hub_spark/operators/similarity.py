@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+- **Brute-force cosine top-k** — the exact baseline. Queries are a small
+  set broadcast against the corpus; the dot product is a codegen'd
+  ``zip_with`` + ``aggregate`` fold (JVM-side, no Python); top-k per query
+  via a ranked window. At 100 TB the corpus side stays partition-parallel:
+  the only shuffle is the (n_queries x corpus) scored rows into the
+  per-query top-k — bounded by pre-filtering each partition to its local
+  top-k first when k << partition rows (AQE handles the final skew).
+
+- **LSH-bucketed ANN** — sign-random-projection buckets: h deterministic
+  hyperplanes (md5-derived pseudo-random components, reproducible in any
+  engine) -> h sign bits -> bucket id. Queries only score against corpus
+  vectors in the same bucket: the cross product becomes an equi-join on
+  the bucket key. Recall < 1 by construction; the driver oracle checks
+  exact algorithm parity, and tests measure recall against brute force.
+
+All arithmetic is done in float64 after casting the float32 inputs, with
+a left-fold accumulation order that DuckDB's ``list_sum`` reproduces.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# vector math (built-in expressions only)
+# ---------------------------------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a[i]*b[i] as a left-fold in index order (float64)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# ---------------------------------------------------------------------------
+# brute-force top-k
+# ---------------------------------------------------------------------------
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` for every row of ``queries``.
+
+    Output: (query_id, neighbor_id, cosine, rank), rank 1..k per query,
+    ties broken by neighbor id; self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (sign random projection) ANN
+# ---------------------------------------------------------------------------
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane components in [-1, 1]:
+    plane[p][d] = (md5(p:d) mod 2001 - 1000) / 1000 — engine-independent."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def bucket_id(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket: bit p = 1 iff dot(vec, plane_p) > 0."""
+    out = F.lit(0)
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        out = out + F.when(dot(vec, plane_col) > 0, F.lit(1 << p)).otherwise(0)
+    return out
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_planes: int = 6,
+    dim: int = 64,
+    probe_radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: score only corpus vectors whose bucket is
+    within Hamming distance ``probe_radius`` (0 or 1) of the query bucket.
+
+    The cross join of brute force becomes an equi-join on the bucket id —
+    with b buckets the scored pairs shrink ~b/(1+n_planes)-fold.
+    Multi-probe flips one sign bit at a time on the *query* side (the tiny
+    side), so the corpus is still hashed exactly once.
+    """
+    planes = hyperplanes(n_planes, dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        bucket_id(F.col(vec_col), planes).alias("bucket"),
+    )
+    if probe_radius >= 1:
+        # offsets: 0 = exact bucket, p+1 = flip plane p's bit
+        probes = F.explode(
+            F.array(F.lit(0), *[F.lit(1 << p) for p in range(n_planes)])
+        ).alias("flip")
+        q = q.select("query_id", "qvec", "bucket", probes).select(
+            "query_id",
+            "qvec",
+            F.col("bucket").bitwiseXOR(F.col("flip")).alias("bucket"),
+        )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        bucket_id(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

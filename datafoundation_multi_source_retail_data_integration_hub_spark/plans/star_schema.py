@@ -103,12 +103,19 @@ def resolve_fact(
     fact_spec: FactSpec,
     dims: dict[str, DataFrame],
     dim_specs: dict[str, DimensionSpec],
+    dedup_key_map: bool = False,
 ) -> DataFrame:
     """Build the fact table: project measures + resolve FK surrogate keys.
 
     Each dim key map is explicitly ``broadcast()``: one row per current
     member — dimension-sized however big the fact is, so the fact never
     shuffles for FK resolution.
+
+    Reference parity note: the reference's key map keeps ALL current rows
+    (``load_to_query.py:173-176``), so a natural key with several current
+    members (e.g. one product_id mapping to two names in the Superstore
+    data) fans the left join out — faithful default. Pass
+    ``dedup_key_map=True`` for the sane variant (min surrogate per key).
     """
     keep = [c for c in fact_spec.measure_columns if c in src.columns]
     key_cols = [c for c in fact_spec.dim_keys.values() if c in src.columns]
@@ -123,6 +130,10 @@ def resolve_fact(
         present = tuple(c for c in spec.columns if c in dims[dim_name].columns)
         cfg = spec.scd2_config(present)
         kmap = current_key_map(dims[dim_name], cfg)
+        if dedup_key_map:
+            kmap = kmap.groupBy(cfg.natural_key).agg(
+                F.min(cfg.surrogate_key).alias(cfg.surrogate_key)
+            )
         if cfg.natural_key != fact_nk:
             kmap = kmap.withColumnRenamed(cfg.natural_key, fact_nk)
         fact = fact.join(F.broadcast(kmap), fact_nk, "left").drop(fact_nk)

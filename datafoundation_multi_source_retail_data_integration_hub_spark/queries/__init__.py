@@ -10,6 +10,13 @@ Spark's partial/final aggregation visits rows in a different order than the
 oracle. Raw passthrough columns are never rounded.
 """
 
-from . import relational, warehouse
+from . import eventops, multimodalops, relational, textops, vectors, warehouse
 
-__all__ = ["relational", "warehouse"]
+__all__ = [
+    "eventops",
+    "multimodalops",
+    "relational",
+    "textops",
+    "vectors",
+    "warehouse",
+]

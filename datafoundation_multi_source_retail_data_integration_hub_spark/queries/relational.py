@@ -14,6 +14,10 @@ selection. Small dimensions (region, nation, customer, part at these
 scales) are explicitly ``broadcast()``-hinted where the build side is
 guaranteed dimension-sized even at 100 TB fact scale — the fact table
 never shuffles for the star join.
+
+Float parity: every order-dependent double aggregate goes through the
+``functions.parity`` decimal-accumulation helpers (see that module's doc
+for why plain ``round(sum(double), 4)`` is not cross-engine stable).
 """
 
 from __future__ import annotations
@@ -21,16 +25,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.parity import (
+    DEC,
+    stable_avg,
+    stable_sum,
+    sql_stable_avg,
+    sql_stable_sum,
+)
 from ..sources.tables import load_tables
-
-# Round float aggregates to 4 decimals in both engines: double addition is
-# order-dependent, and partial aggregation order differs between Spark and
-# the DuckDB oracle.
-ROUND = 4
-
-
-def _money(c: F.Column) -> F.Column:
-    return F.round(c, ROUND)
 
 
 def revenue_expr() -> F.Column:
@@ -38,6 +40,9 @@ def revenue_expr() -> F.Column:
     (reference ``README.md:104``; verified in dummy_retail_sales.csv) mapped
     onto lineitem as extendedprice x (1 - discount)."""
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+_SQL_REVENUE = "l_extendedprice * (1 - l_discount)"
 
 
 # ---------------------------------------------------------------------------
@@ -70,17 +75,17 @@ def flagship_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         F.col("r_name").alias("region_name"), F.col("p_type").alias("part_type")
     ).agg(
-        _money(F.sum(revenue_expr())).alias("revenue"),
+        stable_sum(revenue_expr()).alias("revenue"),
         F.countDistinct("l_orderkey").alias("n_orders"),
-        _money(F.avg("l_discount")).alias("avg_discount"),
+        stable_avg(F.col("l_discount")).alias("avg_discount"),
     )
 
 
-FLAGSHIP_ORACLE = """
+FLAGSHIP_ORACLE = f"""
 SELECT r_name AS region_name, p_type AS part_type,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       {sql_stable_sum(_SQL_REVENUE)} AS revenue,
        count(DISTINCT l_orderkey) AS n_orders,
-       round(avg(l_discount), 4) AS avg_discount
+       {sql_stable_avg("l_discount")} AS avg_discount
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -104,26 +109,26 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = revenue_expr()
     charge = disc_price * (1 + F.col("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        _money(F.sum("l_quantity")).alias("sum_qty"),
-        _money(F.sum("l_extendedprice")).alias("sum_base_price"),
-        _money(F.sum(disc_price)).alias("sum_disc_price"),
-        _money(F.sum(charge)).alias("sum_charge"),
-        _money(F.avg("l_quantity")).alias("avg_qty"),
-        _money(F.avg("l_extendedprice")).alias("avg_price"),
-        _money(F.avg("l_discount")).alias("avg_disc"),
+        stable_sum(F.col("l_quantity")).alias("sum_qty"),
+        stable_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        stable_sum(disc_price).alias("sum_disc_price"),
+        stable_sum(charge).alias("sum_charge"),
+        stable_avg(F.col("l_quantity")).alias("avg_qty"),
+        stable_avg(F.col("l_extendedprice")).alias("avg_price"),
+        stable_avg(F.col("l_discount")).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
 
-PRICING_ORACLE = """
+PRICING_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4) AS sum_qty,
-       round(sum(l_extendedprice), 4) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       {sql_stable_sum("l_quantity")} AS sum_qty,
+       {sql_stable_sum("l_extendedprice")} AS sum_base_price,
+       {sql_stable_sum(_SQL_REVENUE)} AS sum_disc_price,
+       {sql_stable_sum(_SQL_REVENUE + " * (1 + l_tax)")} AS sum_charge,
+       {sql_stable_avg("l_quantity")} AS avg_qty,
+       {sql_stable_avg("l_extendedprice")} AS avg_price,
+       {sql_stable_avg("l_discount")} AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -139,20 +144,20 @@ GROUP BY l_returnflag, l_linestatus
 def kpi_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
     return li.agg(
-        _money(F.sum(revenue_expr())).alias("total_revenue"),
-        _money(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+        stable_sum(revenue_expr()).alias("total_revenue"),
+        stable_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
             "total_discount_amt"
         ),
         F.count("*").alias("n_lineitems"),
-        _money(F.avg("l_extendedprice")).alias("avg_price"),
+        stable_avg(F.col("l_extendedprice")).alias("avg_price"),
     )
 
 
-KPI_ORACLE = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue,
-       round(sum(l_extendedprice * l_discount), 4) AS total_discount_amt,
+KPI_ORACLE = f"""
+SELECT {sql_stable_sum(_SQL_REVENUE)} AS total_revenue,
+       {sql_stable_sum("l_extendedprice * l_discount")} AS total_discount_amt,
        count(*) AS n_lineitems,
-       round(avg(l_extendedprice), 4) AS avg_price
+       {sql_stable_avg("l_extendedprice")} AS avg_price
 FROM lineitem
 """
 
@@ -165,14 +170,14 @@ FROM lineitem
 def daily_sales_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, "orders")["orders"]
     return orders.groupBy(F.col("o_orderdate").alias("order_date")).agg(
-        _money(F.sum("o_totalprice")).alias("sales"),
+        stable_sum(F.col("o_totalprice")).alias("sales"),
         F.count("*").alias("n_orders"),
     )
 
 
-DAILY_ORACLE = """
+DAILY_ORACLE = f"""
 SELECT o_orderdate AS order_date,
-       round(sum(o_totalprice), 4) AS sales,
+       {sql_stable_sum("o_totalprice")} AS sales,
        count(*) AS n_orders
 FROM orders GROUP BY 1
 """
@@ -185,16 +190,16 @@ def segment_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
-            _money(F.sum("o_totalprice")).alias("sales"),
+            stable_sum(F.col("o_totalprice")).alias("sales"),
             F.count("*").alias("n_orders"),
             F.countDistinct("o_custkey").alias("n_customers"),
         )
     )
 
 
-SEGMENT_ORACLE = """
+SEGMENT_ORACLE = f"""
 SELECT c_mktsegment AS segment,
-       round(sum(o_totalprice), 4) AS sales,
+       {sql_stable_sum("o_totalprice")} AS sales,
        count(*) AS n_orders,
        count(DISTINCT o_custkey) AS n_customers
 FROM orders JOIN customer ON o_custkey = c_custkey
@@ -211,16 +216,17 @@ def monthly_trend_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, "orders")["orders"]
     monthly = orders.groupBy(
         F.date_trunc("month", F.col("o_orderdate")).alias("month")
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"))
     # The window is unpartitioned, but it runs over ~1 row per month — the
     # heavy lifting (the aggregation) already reduced the data.
     w = Window.orderBy("month")
-    prev = F.lag("rev").over(w)
+    rev = F.col("rev_dec").cast("double")
+    prev = F.lag("rev_dec").over(w).cast("double")
     return monthly.select(
         "month",
-        _money(F.col("rev")).alias("revenue"),
-        _money(F.col("rev") - prev).alias("growth_abs"),
-        _money((F.col("rev") - prev) * 100 / prev).alias("growth_pct"),
+        F.round(rev, 4).alias("revenue"),
+        F.round(rev - prev, 4).alias("growth_abs"),
+        F.round((rev - prev) * 100 / prev, 4).alias("growth_pct"),
     )
 
 
@@ -228,13 +234,16 @@ MONTHLY_ORACLE = """
 WITH m AS (
   -- DuckDB's date_trunc returns DATE; cast to TIMESTAMP to match Spark
   SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-         sum(o_totalprice) AS rev
+         sum(CAST(o_totalprice AS DECIMAL(27,6))) AS rev_dec
   FROM orders GROUP BY 1
 )
-SELECT month, round(rev, 4) AS revenue,
-       round(rev - lag(rev) OVER (ORDER BY month), 4) AS growth_abs,
-       round((rev - lag(rev) OVER (ORDER BY month)) * 100
-             / lag(rev) OVER (ORDER BY month), 4) AS growth_pct
+SELECT month,
+       round(CAST(rev_dec AS DOUBLE), 4) AS revenue,
+       round(CAST(rev_dec AS DOUBLE) - CAST(lag(rev_dec) OVER (ORDER BY month) AS DOUBLE), 4)
+         AS growth_abs,
+       round((CAST(rev_dec AS DOUBLE) - CAST(lag(rev_dec) OVER (ORDER BY month) AS DOUBLE))
+             * 100 / CAST(lag(rev_dec) OVER (ORDER BY month) AS DOUBLE), 4)
+         AS growth_pct
 FROM m
 """
 
@@ -250,25 +259,28 @@ def category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_type").alias("category"))
-        .agg(F.sum(revenue_expr()).alias("rev"))
+        .agg(F.sum(revenue_expr().cast(DEC)).alias("rev_dec"))
     )
-    total = Window.partitionBy()  # share-of-total over the tiny aggregate
+    # share-of-total over the tiny aggregate; decimal window sum stays exact
+    total = F.sum("rev_dec").over(Window.partitionBy())
+    rev = F.col("rev_dec").cast("double")
     return cat.select(
         "category",
-        _money(F.col("rev")).alias("revenue"),
-        _money(F.col("rev") * 100 / F.sum("rev").over(total)).alias(
-            "revenue_share_pct"
-        ),
+        F.round(rev, 4).alias("revenue"),
+        F.round(rev * 100 / total.cast("double"), 4).alias("revenue_share_pct"),
     )
 
 
-CATEGORY_SHARE_ORACLE = """
+CATEGORY_SHARE_ORACLE = f"""
 WITH c AS (
-  SELECT p_type AS category, sum(l_extendedprice * (1 - l_discount)) AS rev
+  SELECT p_type AS category,
+         sum(CAST({_SQL_REVENUE} AS DECIMAL(27,6))) AS rev_dec
   FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1
 )
-SELECT category, round(rev, 4) AS revenue,
-       round(rev * 100 / sum(rev) OVER (), 4) AS revenue_share_pct
+SELECT category,
+       round(CAST(rev_dec AS DOUBLE), 4) AS revenue,
+       round(CAST(rev_dec AS DOUBLE) * 100
+             / CAST(sum(rev_dec) OVER () AS DOUBLE), 4) AS revenue_share_pct
 FROM c
 """
 
@@ -284,25 +296,29 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"]
         .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
-        .agg(F.sum("o_totalprice").alias("rev"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"))
     )
-    # Deterministic top-k: tie-break on the key. orderBy+limit compiles to
-    # TakeOrderedAndProject — per-partition top-k then a k-row merge on the
-    # driver; no global sort even at 100 TB.
+    # Deterministic top-k: exact decimal revenue ordering + key tie-break.
+    # orderBy+limit compiles to TakeOrderedAndProject — per-partition top-k
+    # then a k-row merge on the driver; no global sort even at 100 TB.
     return (
-        per_cust.orderBy(F.col("rev").desc(), F.col("c_custkey"))
+        per_cust.orderBy(F.col("rev_dec").desc(), F.col("c_custkey"))
         .limit(10)
-        .select("c_custkey", "c_name", _money(F.col("rev")).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("rev_dec").cast("double"), 4).alias("revenue"),
+        )
     )
 
 
 TOP_CUSTOMERS_ORACLE = """
 WITH c AS (
-  SELECT c_custkey, c_name, sum(o_totalprice) AS rev
+  SELECT c_custkey, c_name, sum(CAST(o_totalprice AS DECIMAL(27,6))) AS rev_dec
   FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2
 )
-SELECT c_custkey, c_name, round(rev, 4) AS revenue
-FROM c ORDER BY rev DESC, c_custkey LIMIT 10
+SELECT c_custkey, c_name, round(CAST(rev_dec AS DOUBLE), 4) AS revenue
+FROM c ORDER BY rev_dec DESC, c_custkey LIMIT 10
 """
 
 
@@ -315,15 +331,16 @@ def quarterly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, "orders")["orders"]
     q = orders.groupBy(
         F.year("o_orderdate").alias("yr"), F.quarter("o_orderdate").alias("qtr")
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"))
     w = Window.partitionBy("qtr").orderBy("yr")
-    prev = F.lag("rev").over(w)
+    rev = F.col("rev_dec").cast("double")
+    prev = F.lag("rev_dec").over(w).cast("double")
     return q.select(
         "yr",
         "qtr",
-        _money(F.col("rev")).alias("revenue"),
-        _money(prev).alias("prev_year_revenue"),
-        _money((F.col("rev") - prev) * 100 / prev).alias("yoy_pct"),
+        F.round(rev, 4).alias("revenue"),
+        F.round(prev, 4).alias("prev_year_revenue"),
+        F.round((rev - prev) * 100 / prev, 4).alias("yoy_pct"),
     )
 
 
@@ -331,13 +348,17 @@ QUARTERLY_YOY_ORACLE = """
 WITH q AS (
   SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
          CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
-         sum(o_totalprice) AS rev
+         sum(CAST(o_totalprice AS DECIMAL(27,6))) AS rev_dec
   FROM orders GROUP BY 1, 2
 )
-SELECT yr, qtr, round(rev, 4) AS revenue,
-       round(lag(rev) OVER (PARTITION BY qtr ORDER BY yr), 4) AS prev_year_revenue,
-       round((rev - lag(rev) OVER (PARTITION BY qtr ORDER BY yr)) * 100
-             / lag(rev) OVER (PARTITION BY qtr ORDER BY yr), 4) AS yoy_pct
+SELECT yr, qtr,
+       round(CAST(rev_dec AS DOUBLE), 4) AS revenue,
+       round(CAST(lag(rev_dec) OVER (PARTITION BY qtr ORDER BY yr) AS DOUBLE), 4)
+         AS prev_year_revenue,
+       round((CAST(rev_dec AS DOUBLE)
+              - CAST(lag(rev_dec) OVER (PARTITION BY qtr ORDER BY yr) AS DOUBLE))
+             * 100 / CAST(lag(rev_dec) OVER (PARTITION BY qtr ORDER BY yr) AS DOUBLE), 4)
+         AS yoy_pct
 FROM q
 """
 
@@ -360,14 +381,14 @@ def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.rollup("region_name", "nation_name").agg(
-        _money(F.sum("c_acctbal")).alias("total_acctbal"),
+        stable_sum(F.col("c_acctbal")).alias("total_acctbal"),
         F.count("*").alias("n_customers"),
     )
 
 
-ROLLUP_ORACLE = """
+ROLLUP_ORACLE = f"""
 SELECT r_name AS region_name, n_name AS nation_name,
-       round(sum(c_acctbal), 4) AS total_acctbal,
+       {sql_stable_sum("c_acctbal")} AS total_acctbal,
        count(*) AS n_customers
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
@@ -442,9 +463,7 @@ def customer_balance_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("c_acctbal") < 5000, "standard")
         .otherwise("premium")
     )
-    return (
-        cust.select("c_custkey", "c_acctbal", tier.alias("balance_tier"))
-    )
+    return cust.select("c_custkey", "c_acctbal", tier.alias("balance_tier"))
 
 
 BALANCE_TIERS_ORACLE = """

@@ -1,0 +1,132 @@
+"""Extended relational coverage: supplier-side star join, semi/anti joins,
+correlated-style top-1-per-group.
+
+Rounds out the join-type inventory beyond the reference's inner/left
+equi-joins (SURVEY §2.3 notes the set-based SCD2 rewrite implies anti
+joins; these make semi/anti first-class, oracle-checked operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.parity import stable_sum, sql_stable_sum
+from ..sources.tables import load_tables
+
+_SQL_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+def supplier_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: revenue by supplier nation where supplier and
+    customer share the nation — exercises the supplier leg of the star."""
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy(F.col("n_name").alias("nation_name")).agg(
+        stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+SUPPLIER_NATION_ORACLE = f"""
+SELECT n_name AS nation_name,
+       {sql_stable_sum(_SQL_REVENUE)} AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY 1
+"""
+
+
+def customers_without_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers having no order with status 'O'."""
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    open_orders = t["orders"].filter(F.col("o_orderstatus") == "O")
+    return (
+        t["customer"]
+        .join(open_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+CUSTOMERS_WITHOUT_OPEN_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+)
+"""
+
+
+def parts_with_bulk_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: parts that appear in at least one bulk (qty >= 45) line."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    bulk = t["lineitem"].filter(F.col("l_quantity") >= 45)
+    return (
+        t["part"]
+        .join(bulk, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_name", "p_type")
+    )
+
+
+PARTS_WITH_BULK_ORACLE = """
+SELECT p_partkey, p_name, p_type
+FROM part
+WHERE EXISTS (
+  SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity >= 45
+)
+"""
+
+
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-group (greatest-n-per-group): each customer's most recent
+    order — the window-dedup pattern the dashboard's 'latest state' slices
+    need; deterministic tie-break on the order key."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+LATEST_ORDER_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+QUERIES = {
+    "supplier_nation_volume": supplier_nation_volume,
+    "customers_without_open_orders": customers_without_open_orders,
+    "parts_with_bulk_lineitems": parts_with_bulk_lineitems,
+    "latest_order_per_customer": latest_order_per_customer,
+}
+
+ORACLES = {
+    "supplier_nation_volume": SUPPLIER_NATION_ORACLE,
+    "customers_without_open_orders": CUSTOMERS_WITHOUT_OPEN_ORACLE,
+    "parts_with_bulk_lineitems": PARTS_WITH_BULK_ORACLE,
+    "latest_order_per_customer": LATEST_ORDER_ORACLE,
+}

@@ -1,0 +1,330 @@
+"""Text-analysis / dedup queries over the documents table, with
+programmatically generated DuckDB oracles.
+
+Per-row derived floats (ratios, scores) are NOT rounded: both engines
+evaluate the identical IEEE arithmetic on identical operands, and we keep
+the expression order identical on both sides. Only order-dependent
+aggregates would need rounding (none here beyond counts/mins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators import dedup as DD
+from ..sources.tables import load_tables
+
+N_SHINGLE = 3
+JACCARD_TAU = 0.2
+MINHASH_K = 16
+MINHASH_BANDS = 4
+MAX_DOC_FREQ = 100
+SIMHASH_MAX_HAMMING = 15
+SIMHASH_CHUNKS = 4
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, "documents")["documents"]
+
+
+# ---------------------------------------------------------------------------
+# Token counts + quality scoring
+# ---------------------------------------------------------------------------
+
+
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.ws_token_count(t).alias("n_ws_tokens"),
+        TX.bpe_token_count(t).alias("n_bpe_tokens"),
+        TX.punct_ratio(t).alias("punct_ratio"),
+        TX.stopword_ratio(t).alias("stopword_ratio"),
+        TX.quality_score(t).alias("quality_score"),
+    )
+
+
+_SQL_TOKS = TX.sql_ws_tokens("text")
+_SQL_NTOK = f"len({_SQL_TOKS})"
+_SQL_STOP_HITS = TX.sql_stop_hits("text", TX.STOPWORDS)
+_SQL_PUNCT = "CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text)"
+_SQL_STOPR = f"CAST({_SQL_STOP_HITS} AS DOUBLE) / {_SQL_NTOK}"
+_SQL_LEN_SIG = f"least({_SQL_NTOK} / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))"
+_SQL_STOP_SIG = f"least(({_SQL_STOPR}) * 5, CAST(1.0 AS DOUBLE))"
+
+DOC_TEXT_STATS_ORACLE = f"""
+SELECT doc_id,
+       {_SQL_NTOK} AS n_ws_tokens,
+       len(regexp_extract_all(text, '{TX.BPE_REGEX}')) AS n_bpe_tokens,
+       {_SQL_PUNCT} AS punct_ratio,
+       {_SQL_STOPR} AS stopword_ratio,
+       CAST(0.4 AS DOUBLE) * ({_SQL_LEN_SIG})
+         + CAST(0.3 AS DOUBLE) * ({_SQL_STOP_SIG})
+         + CAST(0.3 AS DOUBLE) * (1 - ({_SQL_PUNCT})) AS quality_score
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language ID
+# ---------------------------------------------------------------------------
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        TX.lang_id(t).alias("predicted_lang"),
+        (TX.lang_id(t) == F.col("lang")).cast("int").alias("is_match"),
+    )
+
+
+def _sql_lang_id() -> str:
+    hits = {
+        lg: TX.sql_stop_hits("text", TX.LANG_MARKERS[lg]) for lg in TX.LANG_PRIORITY
+    }
+    greatest = "greatest(" + ", ".join(hits.values()) + ")"
+    whens = "\n         ".join(
+        f"WHEN {hits[lg]} = {greatest} THEN '{lg}'" for lg in TX.LANG_PRIORITY
+    )
+    return f"CASE WHEN {greatest} = 0 THEN 'und'\n         {whens} END"
+
+
+DOC_LANG_ID_ORACLE = f"""
+SELECT doc_id,
+       lang AS labeled_lang,
+       {_sql_lang_id()} AS predicted_lang,
+       CAST(({_sql_lang_id()}) = lang AS INTEGER) AS is_match
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fingerprint + exact dedup
+# ---------------------------------------------------------------------------
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+DOC_FINGERPRINT_ORACLE = f"""
+SELECT doc_id, md5({TX.sql_normalized('text')}) AS fingerprint FROM documents
+"""
+
+
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup_groups(_docs(spark, sf_dir), "text", "doc_id")
+
+
+DOC_EXACT_DEDUP_ORACLE = f"""
+SELECT md5({TX.sql_normalized('text')}) AS fingerprint,
+       min(doc_id) AS representative_id,
+       count(*) AS n_duplicates
+FROM documents GROUP BY 1
+"""
+
+
+def doc_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup_keep_first(_docs(spark, sf_dir), "text", "doc_id")
+
+
+DOC_DEDUP_KEEP_FIRST_ORACLE = f"""
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY md5({TX.sql_normalized('text')}) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard pairs
+# ---------------------------------------------------------------------------
+
+
+def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.jaccard_pairs(
+        _docs(spark, sf_dir),
+        "text",
+        "doc_id",
+        n=N_SHINGLE,
+        threshold=JACCARD_TAU,
+        max_doc_freq=MAX_DOC_FREQ,
+    )
+
+
+_SQL_SH = TX.sql_word_shingles("text", N_SHINGLE)
+
+DOC_NGRAM_JACCARD_ORACLE = f"""
+WITH d0 AS (SELECT doc_id, {_SQL_SH} AS sh FROM documents),
+dd AS (SELECT * FROM d0 WHERE len(sh) > 0),
+sizes AS (SELECT doc_id, len(sh) AS sz FROM dd),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM dd),
+rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= {MAX_DOC_FREQ}),
+exr AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+  FROM exr a JOIN exr b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id1, id2,
+       CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
+FROM inter
+JOIN sizes s1 ON id1 = s1.doc_id
+JOIN sizes s2 ON id2 = s2.doc_id
+WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= {JACCARD_TAU}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH pairs
+# ---------------------------------------------------------------------------
+
+
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        "text",
+        "doc_id",
+        n=N_SHINGLE,
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+        threshold=JACCARD_TAU,
+    )
+
+
+def _sql_minhash_oracle() -> str:
+    k, bands = MINHASH_K, MINHASH_BANDS
+    r = k // bands
+    hash_exprs = [TX.sql_md5_long(f"'{i}:' || s") for i in range(k)]
+    hash_cols = ",\n       ".join(
+        f"{e} AS h{i}" for i, e in enumerate(hash_exprs)
+    )
+    min_cols = ", ".join(f"min(h{i}) AS m{i}" for i in range(k))
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws(',', "
+        + ", ".join(f"m{b * r + j}" for j in range(r))
+        + ")) AS bsig FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH d0 AS (SELECT doc_id, {_SQL_SH} AS sh FROM documents),
+dd AS (SELECT * FROM d0 WHERE len(sh) > 0),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM dd),
+hx AS (SELECT doc_id,
+       {hash_cols}
+       FROM ex),
+sig AS (SELECT doc_id, {min_cols} FROM hx GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+  FROM bands x JOIN bands y USING (band, bsig) WHERE x.doc_id < y.doc_id
+)
+SELECT id1, id2,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM cand
+JOIN dd a ON id1 = a.doc_id
+JOIN dd b ON id2 = b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_TAU}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _sql_simhash_core() -> str:
+    toks = f"string_split_regex({TX.sql_normalized('text')}, '\\s+')"
+    h = TX.sql_md5_long("t")
+    sum_cols = ",\n       ".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(DD.SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(DD.SIMHASH_BITS)
+    )
+    return f"""
+tok AS (SELECT doc_id, unnest({toks}) AS t FROM documents),
+hh AS (SELECT doc_id, {h} AS h FROM tok),
+sums AS (SELECT doc_id,
+       {sum_cols}
+       FROM hh GROUP BY doc_id),
+sims AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums)
+"""
+
+
+DOC_SIMHASH_ORACLE = f"WITH {_sql_simhash_core()} SELECT doc_id, simhash FROM sims"
+
+
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic subset: banding over a small-vocab corpus collides
+    # heavily, so bound the candidate space for the correctness query
+    subset = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    return DD.simhash_pairs(
+        subset,
+        "text",
+        "doc_id",
+        max_hamming=SIMHASH_MAX_HAMMING,
+        chunks=SIMHASH_CHUNKS,
+    )
+
+
+def _sql_simhash_pairs() -> str:
+    width = DD.SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << width) - 1
+    core = _sql_simhash_core().replace(
+        "FROM documents", "FROM documents WHERE doc_id % 10 = 0"
+    )
+    chunk_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {c} AS chunk, (simhash >> {c * width}) & {mask} AS cval FROM sims"
+        for c in range(SIMHASH_CHUNKS)
+    )
+    return f"""
+WITH {core},
+chunked AS ({chunk_selects}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+         x.simhash AS h1, y.simhash AS h2
+  FROM chunked x JOIN chunked y USING (chunk, cval) WHERE x.doc_id < y.doc_id
+)
+SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(h1, h2)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+QUERIES = {
+    "doc_text_stats": doc_text_stats,
+    "doc_lang_id": doc_lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "doc_exact_dedup": doc_exact_dedup,
+    "doc_dedup_keep_first": doc_dedup_keep_first,
+    "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
+    "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
+    "doc_simhash": doc_simhash,
+    "doc_simhash_pairs": doc_simhash_pairs,
+}
+
+ORACLES = {
+    "doc_text_stats": DOC_TEXT_STATS_ORACLE,
+    "doc_lang_id": DOC_LANG_ID_ORACLE,
+    "doc_fingerprint": DOC_FINGERPRINT_ORACLE,
+    "doc_exact_dedup": DOC_EXACT_DEDUP_ORACLE,
+    "doc_dedup_keep_first": DOC_DEDUP_KEEP_FIRST_ORACLE,
+    "doc_ngram_jaccard_pairs": DOC_NGRAM_JACCARD_ORACLE,
+    "doc_minhash_lsh_pairs": _sql_minhash_oracle(),
+    "doc_simhash": DOC_SIMHASH_ORACLE,
+    "doc_simhash_pairs": _sql_simhash_pairs(),
+}

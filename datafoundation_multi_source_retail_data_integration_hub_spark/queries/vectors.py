@@ -1,0 +1,128 @@
+"""Similarity-search queries over the embeddings table.
+
+Float parity: the cosine is computed as an identical left-fold in float64
+in both engines (verified bit-exact; note DuckDB's builtin
+``list_cosine_similarity`` accumulates in float32 and does NOT match).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import brute_force_topk, hyperplanes, lsh_ann_topk
+from ..sources.tables import load_tables
+
+N_QUERIES = 10
+TOP_K = 5
+N_PLANES = 6
+DIM = 64
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, "embeddings")["embeddings"]
+
+
+def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return brute_force_topk(emb, queries, TOP_K)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _sql_norm(v: str) -> str:
+    return f"sqrt({_sql_dot(v, v)})"
+
+
+EMBEDDING_TOPK_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id < {N_QUERIES}
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_sql_dot("qvec", "cvec")}
+           / ({_sql_norm("qvec")} * {_sql_norm("cvec")}) AS cosine
+  FROM c, q WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER)
+    AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return lsh_ann_topk(emb, queries, TOP_K, n_planes=N_PLANES, dim=DIM)
+
+
+def _sql_plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in plane) + "]"
+
+
+def _sql_bucket(vec: str) -> str:
+    planes = hyperplanes(N_PLANES, DIM)
+    terms = []
+    for p, plane in enumerate(planes):
+        lit = _sql_plane_literal(plane)
+        d = (
+            f"list_sum(list_transform(generate_series(1, len({vec})), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({lit})[i]))"
+        )
+        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _sql_ann_oracle() -> str:
+    return f"""
+WITH q0 AS (
+  SELECT vec_id AS query_id, embedding AS qvec,
+         {_sql_bucket("embedding")} AS bucket
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+q AS (
+  SELECT query_id, qvec, xor(bucket, flip) AS bucket
+  FROM q0, (SELECT unnest({[0] + [1 << p for p in range(N_PLANES)]}) AS flip)
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cvec,
+         {_sql_bucket("embedding")} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_sql_dot("qvec", "cvec")}
+           / ({_sql_norm("qvec")} * {_sql_norm("cvec")}) AS cosine
+  FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER)
+    AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+QUERIES = {
+    "embedding_topk_bruteforce": embedding_topk_bruteforce,
+    "embedding_ann_lsh": embedding_ann_lsh,
+}
+
+ORACLES = {
+    "embedding_topk_bruteforce": EMBEDDING_TOPK_ORACLE,
+    "embedding_ann_lsh": _sql_ann_oracle(),
+}

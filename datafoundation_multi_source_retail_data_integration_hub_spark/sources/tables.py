@@ -12,6 +12,8 @@ root).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TPCH_TABLES = (
     "region",
@@ -27,9 +29,25 @@ TPCH_TABLES = (
 )
 
 
+# Columns stored as TIMESTAMP(NANOS) in parquet — Spark's reader has no
+# nanosecond timestamp type, so these are read as long (via the legacy
+# nanosAsLong conf) and truncated to microseconds, matching what
+# nanos-unaware engines (DuckDB included) do with the same file.
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one corpus table. Lazy — nothing is read until an action."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _NANOS_TS_COLS:
+        # runtime-settable; done here (not only in the session factory)
+        # because the driver harness builds its own SparkSession
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if isinstance(df.schema[col].dataType, T.LongType):
+            # integer division: double division loses precision > 2^53
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

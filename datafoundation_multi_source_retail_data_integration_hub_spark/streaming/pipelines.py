@@ -1,0 +1,161 @@
+"""Structured Streaming surface over the events table.
+
+The reference is pure batch with full-replace loads
+(``etl/load_to_query.py:163-169,196-202``); this module supplies the
+incremental counterpart the README's architecture implies: file-source
+``readStream`` -> watermarked event-time windows / stateful dedup ->
+sinks. Locally a parquet directory drives the stream to completion with
+``processAllAvailable`` over a memory sink; in production the same
+pipeline definitions bind to Kafka/cloud-storage sources and Delta/
+parquet sinks via ``writeStream`` — the transformations are identical
+(Spark's unified model).
+
+State & scale: every stateful op carries a watermark so state is bounded
+(late rows beyond the delay are dropped, window state is evicted);
+shuffle partitioning on the grouping keys is the same as the batch twins
+in ``queries.eventops``.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.parity import stable_sum, sql_stable_sum
+
+_SINK_COUNTER = itertools.count()
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (schema pinned from the
+    batch footer — streaming sources require an explicit schema). The
+    nanos-timestamp column arrives as long and is truncated to micros,
+    mirroring ``sources.tables.load_table``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the streaming file source requires a directory; glob-filter to the
+    # events file within the corpus dir
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream
+
+
+def run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drive a (finite) stream to completion into a memory sink and return
+    the result table. Test/driver harness helper — production binds the
+    same ``agg`` to a real sink."""
+    name = f"stream_sink_{next(_SINK_COUNTER)}"
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return agg.sparkSession.table(name)
+
+
+def tumbling_counts(stream: DataFrame) -> DataFrame:
+    """Watermarked 10-minute tumbling counts per event type — the
+    streaming twin of ``queries.eventops.events_tumbling_10m``."""
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            stable_sum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native streaming session windows (``session_window``) per user."""
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            stable_sum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_within_watermark(stream: DataFrame) -> DataFrame:
+    """Stateful streaming dedup on event_id with bounded state."""
+    return stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-facing queries (batch-equivalent semantics -> oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the watermarked tumbling aggregation as an actual streaming query
+    (memory sink, complete mode) — result equals the batch twin, so the
+    batch oracle applies."""
+    return run_to_memory(tumbling_counts(events_stream(spark, sf_dir)))
+
+
+def stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup then count by type (append mode)."""
+    dd = dedup_within_watermark(events_stream(spark, sf_dir))
+    out = run_to_memory(dd, mode="append")
+    return out.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
+STREAM_TUMBLING_ORACLE = f"""
+SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000)
+         AS window_start,
+       make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000)
+         + INTERVAL 10 MINUTE AS window_end,
+       event_type,
+       count(*) AS n_events,
+       {sql_stable_sum("value")} AS total_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+STREAM_DEDUP_ORACLE = """
+SELECT event_type, count(*) AS n_events
+FROM (SELECT DISTINCT ON (event_id) event_type FROM events)
+GROUP BY 1
+"""
+
+QUERIES = {
+    "stream_tumbling_counts": stream_tumbling_counts,
+    "stream_dedup_count": stream_dedup_count,
+}
+
+ORACLES = {
+    "stream_tumbling_counts": STREAM_TUMBLING_ORACLE,
+    "stream_dedup_count": STREAM_DEDUP_ORACLE,
+}
