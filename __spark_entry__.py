@@ -27,11 +27,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def _modules():
     return [
         q.relational,
+        q.relational_ext,
         q.warehouse,
         q.textops,
         q.vectors,
         q.eventops,
         q.multimodalops,
+        q.quality,
         streaming_pipelines,
     ]
 

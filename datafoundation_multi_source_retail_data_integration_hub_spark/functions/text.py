@@ -118,6 +118,13 @@ def word_shingles(c: Column, n: int) -> Column:
     return F.array_distinct(grams)
 
 
+def hashed_word_shingles(c: Column, n: int) -> Column:
+    """Shingles hashed to 60-bit ints: 8-byte join/shuffle keys instead of
+    ~25-char strings — the scale-relevant representation for the dedup
+    inverted-index joins (collisions: ~n²/2^60, irrelevant)."""
+    return F.transform(word_shingles(c, n), md5_long)
+
+
 # --- DuckDB SQL fragments (kept adjacent to their Spark twins) -------------
 
 
@@ -151,3 +158,7 @@ def sql_word_shingles(col: str, n: int) -> str:
         f"generate_series(1, greatest(len({toks}) - {n - 1}, 0)), "
         f"i -> array_to_string(({toks})[i:i+{n - 1}], ' ')))"
     )
+
+
+def sql_hashed_word_shingles(col: str, n: int) -> str:
+    return f"list_transform({sql_word_shingles(col, n)}, s -> {sql_md5_long('s')})"

@@ -29,7 +29,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, md5_long, word_shingles
+from ..functions.text import fingerprint, hashed_word_shingles, md5_long
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -68,8 +68,10 @@ def exact_dedup_keep_first(df: DataFrame, text_col: str, id_col: str) -> DataFra
 
 
 def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    # shingles ride as 60-bit int hashes: 8-byte shuffle/join keys
     return df.select(
-        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("sh")
+        F.col(id_col).alias("doc_id"),
+        hashed_word_shingles(F.col(text_col), n).alias("sh"),
     ).filter(F.size("sh") > 0)
 
 
@@ -91,7 +93,10 @@ def jaccard_pairs(
     """
     docs = _shingled(df, text_col, id_col, n)
     sizes = docs.select("doc_id", F.size("sh").alias("sz"))
-    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    # materialize the postings once: they feed the df-count, BOTH sides of
+    # the self-join, and the size lookup — recomputing the regex+explode
+    # shingle pipeline 4x dominates runtime otherwise
+    ex = docs.select("doc_id", F.explode("sh").alias("s")).persist()
     rare = ex.groupBy("s").agg(F.count("*").alias("df_")).filter(
         F.col("df_") <= max_doc_freq
     )
@@ -123,22 +128,32 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 16
 ) -> DataFrame:
     """Per-doc MinHash signature: columns m0..m{k-1}.
 
-    hash_i(shingle) = md5_long(i || ':' || shingle) — deterministic and
-    reproducible in any engine with md5.
+    Hash family from TWO md5 evaluations per shingle instead of k:
+    hash_i(s) = (a(s) + i * b(s)) mod p with a = md5_long(s),
+    b = md5_long('x:' || s), p = 2^31 - 1 — the classic affine family,
+    deterministic and reproducible in any engine with md5, and 8x fewer
+    md5 invocations on the exploded postings (the hot loop).
     """
+    p = MINHASH_PRIME
     docs = _shingled(df, text_col, id_col, n)
-    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    ex = docs.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id",
+        (md5_long(F.col("s").cast("string")) % p).alias("a"),
+        (md5_long(F.concat(F.lit("x:"), F.col("s").cast("string"))) % p).alias(
+            "b"
+        ),
+    )
     hashed = ex.select(
         "doc_id",
-        *[
-            md5_long(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"h{i}")
-            for i in range(k)
-        ],
+        *[((F.col("a") + F.lit(i) * F.col("b")) % p).alias(f"h{i}") for i in range(k)],
     )
     return hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(k)]
@@ -162,7 +177,7 @@ def minhash_lsh_pairs(
     """
     assert k % bands == 0
     r = k // bands
-    sig = minhash_signatures(df, text_col, id_col, n, k)
+    sig = minhash_signatures(df, text_col, id_col, n, k).persist()
     band_rows = [
         sig.select(
             "doc_id",
@@ -183,7 +198,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    docs = _shingled(df, text_col, id_col, n)
+    docs = _shingled(df, text_col, id_col, n).persist()
     return (
         cand.join(docs.withColumnRenamed("doc_id", "id1").withColumnRenamed("sh", "sh1"), "id1")
         .join(docs.withColumnRenamed("doc_id", "id2").withColumnRenamed("sh", "sh2"), "id2")

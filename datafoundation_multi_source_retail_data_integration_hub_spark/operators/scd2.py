@@ -85,18 +85,6 @@ def scd2_initial_load(
     )
 
 
-def _changed_condition(cfg: SCD2Config, inc: str, cur: str) -> F.Column:
-    """Any compare column differs, null-safe (NULL vs value counts as a
-    change; NULL vs NULL does not)."""
-    conds = [
-        ~F.col(f"{inc}.{c}").eqNullSafe(F.col(f"{cur}.{c}")) for c in cfg.compare_cols
-    ]
-    out = F.lit(False)
-    for c in conds:
-        out = out | c
-    return out
-
-
 def scd2_merge(
     existing: DataFrame, incoming: DataFrame, cfg: SCD2Config, effective_date: str
 ) -> DataFrame:
@@ -106,26 +94,43 @@ def scd2_merge(
     versions + surviving current rows + newly inserted versions.
     """
     nk = cfg.natural_key
-    inc = _members(incoming, cfg).alias("i")
-    current = existing.filter(F.col(cfg.current_col) == 1).alias("c")
+    inc = _members(incoming, cfg)
+    current = existing.filter(F.col(cfg.current_col) == 1)
+    cur_members = current.select(*cfg.member_cols)
+    cur_keys = current.select(nk).distinct()
 
-    matched = inc.join(current, F.col(f"i.{nk}") == F.col(f"c.{nk}"), "inner")
-    changed_members = matched.filter(_changed_condition(cfg, "i", "c")).select("i.*")
-    new_members = inc.join(
-        current, F.col(f"i.{nk}") == F.col(f"c.{nk}"), "left_anti"
-    ).select("i.*")
+    def tuple_eq(left: DataFrame, right: DataFrame) -> F.Column:
+        """Null-safe full-member equality join condition. Matching must be
+        on the whole tuple: an initial load can legally hold several member
+        variants per natural key (Superstore does), and key-only change
+        detection would re-insert already-present members on every re-merge
+        (breaking idempotence)."""
+        cond = F.lit(True)
+        for c in cfg.member_cols:
+            cond = cond & left[c].eqNullSafe(right[c])
+        return cond
 
-    changed_keys = changed_members.select(nk)
-    # expire: current version of every changed member
+    new_members = inc.join(cur_keys, nk, "left_anti")
+    matched = inc.join(cur_keys, nk, "left_semi")
+    # changed: natural key exists but no current variant equals the tuple
+    changed_members = matched.join(
+        cur_members, tuple_eq(matched, cur_members), "left_anti"
+    )
+
+    changed_keys = changed_members.select(nk).distinct()
+    # expire: current variants of changed keys NOT re-asserted by the
+    # incoming batch (a re-asserted identical variant stays current)
+    expired_base = current.join(F.broadcast(changed_keys), nk, "left_semi")
     expired = (
-        current.join(F.broadcast(changed_keys), nk, "left_semi")
+        expired_base.join(inc, tuple_eq(expired_base, inc), "left_anti")
         .withColumn(cfg.expiry_col, F.lit(effective_date).cast("date"))
         .withColumn(cfg.current_col, F.lit(0))
     )
-    # carry: all history rows + current rows that did not change
+    # carry: every existing row except the ones expired above
+    expired_sks = expired.select(F.col(cfg.surrogate_key).alias("__esk"))
     carried = existing.join(
-        F.broadcast(changed_keys.withColumnRenamed(nk, "__ck")),
-        (F.col(nk) == F.col("__ck")) & (F.col(cfg.current_col) == 1),
+        expired_sks,
+        existing[cfg.surrogate_key] == expired_sks["__esk"],
         "left_anti",
     )
 

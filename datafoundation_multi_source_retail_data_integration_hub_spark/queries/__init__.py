@@ -10,12 +10,23 @@ Spark's partial/final aggregation visits rows in a different order than the
 oracle. Raw passthrough columns are never rounded.
 """
 
-from . import eventops, multimodalops, relational, textops, vectors, warehouse
+from . import (
+    eventops,
+    multimodalops,
+    quality,
+    relational,
+    relational_ext,
+    textops,
+    vectors,
+    warehouse,
+)
 
 __all__ = [
     "eventops",
     "multimodalops",
+    "quality",
     "relational",
+    "relational_ext",
     "textops",
     "vectors",
     "warehouse",

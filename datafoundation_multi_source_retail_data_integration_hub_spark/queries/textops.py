@@ -160,7 +160,7 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_SH = TX.sql_word_shingles("text", N_SHINGLE)
+_SQL_SH = TX.sql_hashed_word_shingles("text", N_SHINGLE)
 
 DOC_NGRAM_JACCARD_ORACLE = f"""
 WITH d0 AS (SELECT doc_id, {_SQL_SH} AS sh FROM documents),
@@ -200,11 +200,12 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash_oracle() -> str:
+    from ..operators.dedup import MINHASH_PRIME as P
+
     k, bands = MINHASH_K, MINHASH_BANDS
     r = k // bands
-    hash_exprs = [TX.sql_md5_long(f"'{i}:' || s") for i in range(k)]
     hash_cols = ",\n       ".join(
-        f"{e} AS h{i}" for i, e in enumerate(hash_exprs)
+        f"(a + {i} * b) % {P} AS h{i}" for i in range(k)
     )
     min_cols = ", ".join(f"min(h{i}) AS m{i}" for i in range(k))
     band_selects = "\nUNION ALL\n".join(
@@ -216,7 +217,10 @@ def _sql_minhash_oracle() -> str:
     return f"""
 WITH d0 AS (SELECT doc_id, {_SQL_SH} AS sh FROM documents),
 dd AS (SELECT * FROM d0 WHERE len(sh) > 0),
-ex AS (SELECT doc_id, unnest(sh) AS s FROM dd),
+ex AS (SELECT doc_id,
+       {TX.sql_md5_long("CAST(s AS VARCHAR)")} % {P} AS a,
+       {TX.sql_md5_long("'x:' || CAST(s AS VARCHAR)")} % {P} AS b
+       FROM (SELECT doc_id, unnest(sh) AS s FROM dd)),
 hx AS (SELECT doc_id,
        {hash_cols}
        FROM ex),
