@@ -45,6 +45,7 @@ HEADLINE = [
     "doc_simhash",
     "embedding_topk_bruteforce",
     "embedding_ann_lsh",
+    "embedding_cosine_neardup",
     "events_tumbling_10m",
     "events_sessionization",
     "stream_tumbling_counts",

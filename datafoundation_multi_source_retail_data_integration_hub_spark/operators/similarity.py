@@ -86,6 +86,39 @@ def brute_force_topk(
 
 
 # ---------------------------------------------------------------------------
+# Arrow-vectorized alternative scoring path
+# ---------------------------------------------------------------------------
+
+
+def cosine_pandas_udf(dim: int):
+    """Pandas-UDF cosine against a fixed query vector — the Arrow-batched
+    alternative when per-row expression folds become the bottleneck (very
+    high dims). Kept API-compatible with the expression path; tests assert
+    both produce identical scores. Returns a udf factory: call with the
+    query vector (a Python list) to get the column function."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as SF
+    from pyspark.sql import types as ST
+
+    def for_query(qvec: list[float]):
+        q = np.asarray(qvec, dtype="float64")
+        qn = float(np.sqrt((q * q).sum()))
+
+        def _cos(batch):  # pd.Series[list[float]] -> pd.Series[float]
+            m = np.vstack(batch.map(lambda v: np.asarray(v, dtype="float64")))
+            dots = m @ q
+            norms = np.sqrt((m * m).sum(axis=1))
+            return pd.Series(dots / (norms * qn))
+
+        # no type hints: local-alias annotations are not resolvable by
+        # pyspark's hint inference; explicit SCALAR eval type instead
+        return SF.pandas_udf(_cos, ST.DoubleType())
+
+    return for_query
+
+
+# ---------------------------------------------------------------------------
 # LSH (sign random projection) ANN
 # ---------------------------------------------------------------------------
 
@@ -110,6 +143,45 @@ def bucket_id(vec: Column, planes: list[list[float]]) -> Column:
         plane_col = F.array(*[F.lit(x) for x in plane])
         out = out + F.when(dot(vec, plane_col) > 0, F.lit(1 << p)).otherwise(0)
     return out
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id1 < id2, cosine >= t).
+
+    The dedup-by-embedding modality: corpus self-join restricted to
+    same-LSH-bucket candidates (one hash pass over the corpus, equi-join
+    on the bucket id), then exact cosine verification. High-cosine pairs
+    collide in sign-projection buckets with probability
+    ((pi - theta)/pi)^planes, so recall rises with the threshold —
+    the regime dedup cares about.
+    """
+    planes = hyperplanes(n_planes, dim)
+    c = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        bucket_id(F.col(vec_col), planes).alias("bucket"),
+    )
+    lhs = c.select(
+        F.col("vid").alias("id1"), F.col("vec").alias("v1"), "bucket"
+    )
+    rhs = c.select(
+        F.col("vid").alias("id2"), F.col("vec").alias("v2"), "bucket"
+    )
+    return (
+        lhs.join(rhs, "bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cosine", cosine(F.col("v1"), F.col("v2")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+        .distinct()
+    )
 
 
 def lsh_ann_topk(

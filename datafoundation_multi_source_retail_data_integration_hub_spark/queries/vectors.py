@@ -10,13 +10,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import brute_force_topk, hyperplanes, lsh_ann_topk
+from ..operators.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    hyperplanes,
+    lsh_ann_topk,
+)
 from ..sources.tables import load_tables
 
 N_QUERIES = 10
 TOP_K = 5
 N_PLANES = 6
 DIM = 64
+NEARDUP_TAU = 0.3  # random-embedding corpus: top pair cosines sit ~0.3-0.4
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,12 +123,37 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_neardup_pairs(
+        _emb(spark, sf_dir), NEARDUP_TAU, n_planes=N_PLANES, dim=DIM
+    )
+
+
+def _sql_neardup_oracle() -> str:
+    return f"""
+WITH c AS (
+  SELECT vec_id AS vid, embedding AS vec,
+         {_sql_bucket("embedding")} AS bucket
+  FROM embeddings
+)
+SELECT a.vid AS id1, b.vid AS id2,
+       {_sql_dot("a.vec", "b.vec")}
+         / ({_sql_norm("a.vec")} * {_sql_norm("b.vec")}) AS cosine
+FROM c a JOIN c b USING (bucket)
+WHERE a.vid < b.vid
+  AND {_sql_dot("a.vec", "b.vec")}
+        / ({_sql_norm("a.vec")} * {_sql_norm("b.vec")}) >= {NEARDUP_TAU}
+"""
+
+
 QUERIES = {
     "embedding_topk_bruteforce": embedding_topk_bruteforce,
     "embedding_ann_lsh": embedding_ann_lsh,
+    "embedding_cosine_neardup": embedding_cosine_neardup,
 }
 
 ORACLES = {
     "embedding_topk_bruteforce": EMBEDDING_TOPK_ORACLE,
     "embedding_ann_lsh": _sql_ann_oracle(),
+    "embedding_cosine_neardup": _sql_neardup_oracle(),
 }
