@@ -132,7 +132,12 @@ MINHASH_PRIME = 2147483647  # 2^31 - 1
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 16
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 16,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: columns m0..m{k-1}.
 
@@ -141,9 +146,13 @@ def minhash_signatures(
     b = md5_long('x:' || s), p = 2^31 - 1 — the classic affine family,
     deterministic and reproducible in any engine with md5, and 8x fewer
     md5 invocations on the exploded postings (the hot loop).
+
+    ``shingled``: optionally pass a precomputed (ideally persisted)
+    ``_shingled`` frame so callers who also need the shingle sets (e.g.
+    the verification join) don't run the shingle pipeline twice.
     """
     p = MINHASH_PRIME
-    docs = _shingled(df, text_col, id_col, n)
+    docs = shingled if shingled is not None else _shingled(df, text_col, id_col, n)
     ex = docs.select("doc_id", F.explode("sh").alias("s")).select(
         "doc_id",
         (md5_long(F.col("s").cast("string")) % p).alias("a"),
@@ -177,7 +186,8 @@ def minhash_lsh_pairs(
     """
     assert k % bands == 0
     r = k // bands
-    sig = minhash_signatures(df, text_col, id_col, n, k).persist()
+    docs = _shingled(df, text_col, id_col, n).persist()
+    sig = minhash_signatures(df, text_col, id_col, n, k, shingled=docs).persist()
     band_rows = [
         sig.select(
             "doc_id",
@@ -198,7 +208,6 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    docs = _shingled(df, text_col, id_col, n).persist()
     return (
         cand.join(docs.withColumnRenamed("doc_id", "id1").withColumnRenamed("sh", "sh1"), "id1")
         .join(docs.withColumnRenamed("doc_id", "id2").withColumnRenamed("sh", "sh2"), "id2")

@@ -1,0 +1,73 @@
+"""Scale-path operators: bucketed co-located joins (no shuffle) and
+skew-salted joins (semantics preserved)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datafoundation_multi_source_retail_data_integration_hub_spark.operators.skew import (
+    salted_join,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Writing both join sides bucketed by the key lets the join run
+    without any Exchange — the 100 TB answer to the lineitem-orders
+    co-shuffle (ARCHITECTURE.md)."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS buckets")
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    (
+        li.write.mode("overwrite")
+        .bucketBy(4, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("buckets.li_b")
+    )
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("buckets.orders_b")
+    )
+    # force a sort-merge join: at smoke scale Catalyst would broadcast
+    # (hiding the property under test — the absence of a co-shuffle)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("buckets.li_b").join(
+            spark.table("buckets.orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_salted_join_preserves_semantics(spark):
+    """Salted join == plain join, with the hot key spread across salts."""
+    large = spark.range(0, 10_000).select(
+        (F.when(F.col("id") % 2 == 0, 7).otherwise(F.col("id") % 100)).alias("k"),
+        F.col("id").alias("payload"),
+    )  # key 7 holds ~50% of rows: heavy skew
+    small = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dim_val")
+    )
+    plain = large.join(small, "k").agg(
+        F.count("*").alias("n"), F.sum("dim_val").alias("s")
+    ).first()
+    salted = salted_join(large, small, "k", hot_keys=[7], n_salts=8).agg(
+        F.count("*").alias("n"), F.sum("dim_val").alias("s")
+    ).first()
+    assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])
+
+    # left join with unmatched keys preserved
+    large2 = large.withColumn("k", F.col("k") + 50)  # some keys > 99 unmatched
+    plain2 = large2.join(small, "k", "left").count()
+    salted2 = salted_join(large2, small, "k", hot_keys=[57], how="left").count()
+    assert plain2 == salted2
