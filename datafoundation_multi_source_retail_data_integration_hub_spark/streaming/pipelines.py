@@ -133,6 +133,15 @@ def stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("event_type").agg(F.count("*").alias("n_events"))
 
 
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming ``session_window`` per user (complete mode) —
+    semantics equal the batch lag+cumsum sessionization with the same gap:
+    session_start = first event, session_end = last event + gap."""
+    return run_to_memory(
+        session_windows(events_stream(spark, sf_dir), gap="30 minutes")
+    )
+
+
 STREAM_TUMBLING_ORACLE = f"""
 SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000)
          AS window_start,
@@ -150,12 +159,40 @@ FROM (SELECT DISTINCT ON (event_id) event_type FROM events)
 GROUP BY 1
 """
 
+# session_window == gap sessionization: derive the oracle from the same
+# lag+cumsum construction the batch twin uses (queries/eventops.py)
+STREAM_SESSION_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - epoch_us(
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              > {30 * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       {sql_stable_sum("value")} AS total_value
+FROM sessions GROUP BY user_id, grp
+"""
+
 QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_dedup_count": stream_dedup_count,
+    "stream_session_windows": stream_session_windows,
 }
 
 ORACLES = {
     "stream_tumbling_counts": STREAM_TUMBLING_ORACLE,
     "stream_dedup_count": STREAM_DEDUP_ORACLE,
+    "stream_session_windows": STREAM_SESSION_ORACLE,
 }
