@@ -117,11 +117,103 @@ SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
 """
 
 
+def weekend_weekday_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference query #5 'Weekend vs Weekday — Day-of-week sales patterns'
+    (README.md:289): F8 calendar attrs applied to the fact."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    return (
+        orders.withColumn(
+            "is_weekend", (F.weekday("o_orderdate") >= 5).cast("int")
+        )
+        .groupBy("is_weekend")
+        .agg(
+            stable_sum(F.col("o_totalprice")).alias("sales"),
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+WEEKEND_ORACLE = f"""
+SELECT CAST(CASE WHEN isodow(o_orderdate) >= 6 THEN 1 ELSE 0 END AS INTEGER)
+         AS is_weekend,
+       {sql_stable_sum("o_totalprice")} AS sales,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY 1
+"""
+
+
+def nation_purchasing_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference query #4 'Gender Analysis — purchasing patterns by
+    demographic attribute' (README.md:288) mapped onto the corpus's
+    demographic dimension (customer nation)."""
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    from ..functions.parity import stable_avg
+
+    return (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            stable_sum(F.col("o_totalprice")).alias("total_spend"),
+            stable_avg(F.col("o_totalprice")).alias("avg_order_value"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+NATION_PATTERNS_ORACLE = f"""
+SELECT n_name AS nation_name,
+       {sql_stable_sum("o_totalprice")} AS total_spend,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+             / count(o_totalprice), 4) AS avg_order_value,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+def product_catalog_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference query #7 'Product Catalog — API product catalog overview'
+    (README.md:292) over the part table."""
+    from ..functions.parity import stable_avg
+
+    part = load_tables(spark, sf_dir, "part")["part"]
+    return part.groupBy(F.col("p_type").alias("product_type")).agg(
+        F.count("*").alias("n_products"),
+        F.countDistinct("p_brand").alias("n_brands"),
+        stable_avg(F.col("p_retailprice")).alias("avg_price"),
+        F.round(F.min("p_retailprice"), 4).alias("min_price"),
+        F.round(F.max("p_retailprice"), 4).alias("max_price"),
+    )
+
+
+CATALOG_ORACLE = """
+SELECT p_type AS product_type,
+       count(*) AS n_products,
+       count(DISTINCT p_brand) AS n_brands,
+       round(CAST(sum(CAST(p_retailprice AS DECIMAL(27,6))) AS DOUBLE)
+             / count(p_retailprice), 4) AS avg_price,
+       round(min(p_retailprice), 4) AS min_price,
+       round(max(p_retailprice), 4) AS max_price
+FROM part GROUP BY 1
+"""
+
+
 QUERIES = {
     "supplier_nation_volume": supplier_nation_volume,
     "customers_without_open_orders": customers_without_open_orders,
     "parts_with_bulk_lineitems": parts_with_bulk_lineitems,
     "latest_order_per_customer": latest_order_per_customer,
+    "weekend_weekday_sales": weekend_weekday_sales,
+    "nation_purchasing_patterns": nation_purchasing_patterns,
+    "product_catalog_overview": product_catalog_overview,
 }
 
 ORACLES = {
@@ -129,4 +221,7 @@ ORACLES = {
     "customers_without_open_orders": CUSTOMERS_WITHOUT_OPEN_ORACLE,
     "parts_with_bulk_lineitems": PARTS_WITH_BULK_ORACLE,
     "latest_order_per_customer": LATEST_ORDER_ORACLE,
+    "weekend_weekday_sales": WEEKEND_ORACLE,
+    "nation_purchasing_patterns": NATION_PATTERNS_ORACLE,
+    "product_catalog_overview": CATALOG_ORACLE,
 }
