@@ -206,7 +206,88 @@ FROM part GROUP BY 1
 """
 
 
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 open orders by pending revenue for one
+    market segment — filter both join sides, aggregate, global top-k."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer")
+    from ..functions.parity import DEC
+
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderstatus") != "F")
+    li = t["lineitem"]
+    agg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+            ).alias("rev_dec")
+        )
+    )
+    return (
+        agg.orderBy(F.col("rev_dec").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            F.round(F.col("rev_dec").cast("double"), 4).alias("revenue"),
+        )
+    )
+
+
+SHIPPING_PRIORITY_ORACLE = f"""
+WITH agg AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         sum(CAST({_SQL_REVENUE} AS DECIMAL(27,6))) AS rev_dec
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus <> 'F'
+    AND EXISTS (SELECT 1 FROM customer
+                WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+  GROUP BY 1, 2, 3
+)
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(CAST(rev_dec AS DOUBLE), 4) AS revenue
+FROM agg ORDER BY rev_dec DESC, l_orderkey LIMIT 10
+"""
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose single orders exceed a quantity
+    threshold — grouped HAVING filter."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer")
+    big_orders = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big_orders.join(
+            t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+    )
+
+
+LARGE_VOLUME_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 4) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 4) > 150
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 QUERIES = {
+    "shipping_priority_top10": shipping_priority_top10,
+    "large_volume_customers": large_volume_customers,
     "supplier_nation_volume": supplier_nation_volume,
     "customers_without_open_orders": customers_without_open_orders,
     "parts_with_bulk_lineitems": parts_with_bulk_lineitems,
@@ -217,6 +298,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "shipping_priority_top10": SHIPPING_PRIORITY_ORACLE,
+    "large_volume_customers": LARGE_VOLUME_ORACLE,
     "supplier_nation_volume": SUPPLIER_NATION_ORACLE,
     "customers_without_open_orders": CUSTOMERS_WITHOUT_OPEN_ORACLE,
     "parts_with_bulk_lineitems": PARTS_WITH_BULK_ORACLE,
