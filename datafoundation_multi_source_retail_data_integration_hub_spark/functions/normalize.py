@@ -22,3 +22,13 @@ def normalize_name(name: str) -> str:
 def normalize_columns(df: DataFrame) -> DataFrame:
     """Rename every column via :func:`normalize_name` (metadata-only)."""
     return df.toDF(*[normalize_name(c) for c in df.columns])
+
+
+def format_money(c, decimals: int = 2):
+    """Presentation-layer currency formatting (reference F13,
+    ``dashboard/app.py:96-99`` f-strings): grouped thousands + fixed
+    decimals, e.g. 1234567.891 -> '1,234,567.89'. Engine-side so report
+    sinks don't re-implement it."""
+    from pyspark.sql import functions as F
+
+    return F.format_number(c, decimals)
