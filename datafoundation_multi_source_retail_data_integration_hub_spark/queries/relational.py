@@ -10,10 +10,13 @@ the reference computes or documents:
 
 All queries are pure DataFrame/SQL plans: Catalyst handles predicate
 pushdown into the parquet scans, column pruning, and join strategy
-selection. Small dimensions (region, nation, customer, part at these
-scales) are explicitly ``broadcast()``-hinted where the build side is
-guaranteed dimension-sized even at 100 TB fact scale — the fact table
-never shuffles for the star join.
+selection. Broadcast policy: only constant-cardinality dimensions
+(region: 5 rows, nation: 25 rows) carry a hard ``broadcast()`` hint —
+they are bounded at ANY scale factor. Customer/part/supplier scale with
+the corpus, so their join strategy is left to Catalyst's size estimate +
+AQE's runtime re-plan: auto-broadcast at test scale, shuffle-hash or
+sort-merge (or bucketed co-location, see ARCHITECTURE.md) at 100 TB. A
+hard hint there would OOM the build side at scale.
 
 Float parity: every order-dependent double aggregate goes through the
 ``functions.parity`` decimal-accumulation helpers (see that module's doc
@@ -67,10 +70,10 @@ def flagship_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
     )
     return joined.groupBy(
         F.col("r_name").alias("region_name"), F.col("p_type").alias("part_type")
@@ -187,7 +190,7 @@ def segment_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "orders", "customer")
     return (
         t["orders"]
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             stable_sum(F.col("o_totalprice")).alias("sales"),
@@ -257,7 +260,7 @@ def category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "lineitem", "part")
     cat = (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_type").alias("category"))
         .agg(F.sum(revenue_expr().cast(DEC)).alias("rev_dec"))
     )
@@ -294,7 +297,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "orders", "customer")
     per_cust = (
         t["orders"]
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"))
     )

@@ -26,8 +26,8 @@ def supplier_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
     )
@@ -153,7 +153,7 @@ def nation_purchasing_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         t["orders"]
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
@@ -217,7 +217,7 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"]
     agg = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum(
@@ -268,7 +268,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         big_orders.join(
             t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
         )
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
     )
 
