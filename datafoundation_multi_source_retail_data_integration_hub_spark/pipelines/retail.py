@@ -20,7 +20,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.normalize import normalize_columns
 from ..plans.star_schema import DimensionSpec, FactSpec, StarSchema, build_star_schema
 from ..sources.readers import read_csv
 

@@ -8,7 +8,6 @@ invariants (one current row per key, non-overlapping versions).
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from datafoundation_multi_source_retail_data_integration_hub_spark.operators.scd2 import (

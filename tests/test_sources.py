@@ -2,10 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from datafoundation_multi_source_retail_data_integration_hub_spark.functions.normalize import (
-    normalize_columns,
     normalize_name,
 )
 from datafoundation_multi_source_retail_data_integration_hub_spark.sources.readers import (
