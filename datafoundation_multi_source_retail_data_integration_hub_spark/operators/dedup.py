@@ -82,25 +82,68 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_doc_freq: int = 100,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Pairs (id1 < id2) with word-``n``-gram Jaccard >= ``threshold``.
 
     Inverted-index plan: explode shingles, drop shingles appearing in more
     than ``max_doc_freq`` docs (stop-shingles contribute candidates
     quadratically but little Jaccard mass), self-join on the shingle,
-    count co-occurrences, then compute exact Jaccard from the distinct
-    set sizes.
+    then compute exact Jaccard over the full distinct sets.
+
+    ``prefix_filter``: AllPairs-style lossless candidate pruning — each doc
+    indexes only its first ``|d| - ceil(t*|d|) + 1`` shingles in canonical
+    (hash) order. Any pair with Jaccard >= t must still collide on an
+    indexed shingle, so the RESULT is identical (tested); only the
+    candidate-join input shrinks — the scale path for high thresholds.
     """
-    docs = _shingled(df, text_col, id_col, n)
+    docs = _shingled(df, text_col, id_col, n).persist()
     sizes = docs.select("doc_id", F.size("sh").alias("sz"))
-    # materialize the postings once: they feed the df-count, BOTH sides of
-    # the self-join, and the size lookup — recomputing the regex+explode
-    # shingle pipeline 4x dominates runtime otherwise
-    ex = docs.select("doc_id", F.explode("sh").alias("s")).persist()
+    if prefix_filter:
+        sorted_sh = F.array_sort("sh")
+        prefix_len = (
+            F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh")) + 1
+        ).cast("int")
+        index_side = docs.select(
+            "doc_id", F.slice(sorted_sh, 1, prefix_len).alias("sh")
+        )
+    else:
+        index_side = docs
+    # materialize the postings once: they feed the df-count and BOTH sides
+    # of the self-join — recomputing the regex+explode shingle pipeline
+    # per consumer dominates runtime otherwise
+    ex = index_side.select("doc_id", F.explode("sh").alias("s")).persist()
     rare = ex.groupBy("s").agg(F.count("*").alias("df_")).filter(
         F.col("df_") <= max_doc_freq
     )
     ex = ex.join(F.broadcast(rare.select("s")), "s")
+    if prefix_filter:
+        # candidates from the pruned index, verified on the FULL sets
+        cand = (
+            ex.alias("a")
+            .join(ex.alias("b"), "s")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+            .distinct()
+        )
+        verified = (
+            cand.join(
+                docs.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1")),
+                "id1",
+            )
+            .join(
+                docs.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2")),
+                "id2",
+            )
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("sh1", "sh2")).cast("double")
+                / F.size(F.array_union("sh1", "sh2")),
+            )
+        )
+        return verified.filter(F.col("jaccard") >= threshold).select(
+            "id1", "id2", "jaccard"
+        )
     inter = (
         ex.alias("a")
         .join(ex.alias("b"), "s")
