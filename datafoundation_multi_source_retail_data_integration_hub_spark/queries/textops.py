@@ -309,8 +309,36 @@ FROM cand WHERE bit_count(xor(h1, h2)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
+def doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over the n-gram
+    Jaccard pair graph, each doc labeled with its component's min id.
+    Iterative min-label propagation in Spark; the DuckDB oracle computes
+    the same fixpoint via a recursive-CTE transitive closure."""
+    from ..operators.graph import connected_components
+
+    pairs = doc_ngram_jaccard_pairs(spark, sf_dir)
+    return connected_components(pairs).withColumnRenamed("node", "doc_id")
+
+
+DOC_NEARDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({DOC_NGRAM_JACCARD_ORACLE.strip()}),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+reach (src, dst) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src
+"""
+
+
 QUERIES = {
     "doc_text_stats": doc_text_stats,
+    "doc_neardup_clusters": doc_neardup_clusters,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint": doc_fingerprint,
     "doc_exact_dedup": doc_exact_dedup,
@@ -323,6 +351,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_text_stats": DOC_TEXT_STATS_ORACLE,
+    "doc_neardup_clusters": DOC_NEARDUP_CLUSTERS_ORACLE,
     "doc_lang_id": DOC_LANG_ID_ORACLE,
     "doc_fingerprint": DOC_FINGERPRINT_ORACLE,
     "doc_exact_dedup": DOC_EXACT_DEDUP_ORACLE,

@@ -1,0 +1,34 @@
+"""Connected-components operator: known-topology goldens."""
+
+from __future__ import annotations
+
+from datafoundation_multi_source_retail_data_integration_hub_spark.operators.graph import (
+    connected_components,
+)
+
+
+def test_chain_and_disjoint_components(spark):
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    # triangle 10-11-12, isolated edge 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id1 long, id2 long",
+    )
+    got = {
+        (r["node"], r["cluster_rep"]) for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_long_chain_converges(spark):
+    n = 20  # diameter 19: exercises the iteration loop well past round 1
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id1 long, id2 long"
+    )
+    out = connected_components(pairs).collect()
+    assert all(r["cluster_rep"] == 0 for r in out)
+    assert len(out) == n + 1
