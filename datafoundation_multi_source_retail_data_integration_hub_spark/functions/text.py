@@ -125,6 +125,29 @@ def hashed_word_shingles(c: Column, n: int) -> Column:
     return F.transform(word_shingles(c, n), md5_long)
 
 
+def positional_shingle_hashes(c: Column, n: int) -> Column:
+    """Shingle hashes in POSITION order (no dedup) — the input sequence for
+    rolling-window schemes like winnowing, where order matters."""
+    toks = ws_tokens(normalized_text(c))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.transform(grams, md5_long)
+
+
+def winnowing_fingerprints(c: Column, n: int, window: int) -> Column:
+    """Winnowing (Schleimer/Wilkerson/Aiken, MOSS): slide a ``window`` over
+    the positional shingle-hash sequence, keep each window's minimum hash,
+    dedup. Guarantees every match of length >= window+n-1 tokens shares a
+    fingerprint, at ~2/(window+1) the density of full shingling.
+    (Simplified tie rule: min VALUE per window rather than rightmost-min
+    position — deterministic and engine-agnostic.)"""
+    h = positional_shingle_hashes(c, n)
+    m = F.size(h)
+    starts = F.sequence(F.lit(1), F.greatest(m - (window - 1), F.lit(0)))
+    mins = F.transform(starts, lambda i: F.array_min(F.slice(h, i, window)))
+    return F.array_distinct(mins)
+
+
 # --- DuckDB SQL fragments (kept adjacent to their Spark twins) -------------
 
 
@@ -162,3 +185,21 @@ def sql_word_shingles(col: str, n: int) -> str:
 
 def sql_hashed_word_shingles(col: str, n: int) -> str:
     return f"list_transform({sql_word_shingles(col, n)}, s -> {sql_md5_long('s')})"
+
+
+def sql_positional_shingle_hashes(col: str, n: int) -> str:
+    toks = f"string_split_regex({sql_normalized(col)}, '\\s+')"
+    grams = (
+        f"list_transform(generate_series(1, greatest(len({toks}) - {n - 1}, 0)), "
+        f"i -> array_to_string(({toks})[i:i+{n - 1}], ' '))"
+    )
+    return f"list_transform({grams}, s -> {sql_md5_long('s')})"
+
+
+def sql_winnowing_fingerprints(col: str, n: int, window: int) -> str:
+    h = sql_positional_shingle_hashes(col, n)
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({h}) - {window - 1}, 0)), "
+        f"i -> list_min(({h})[i:i+{window - 1}])))"
+    )

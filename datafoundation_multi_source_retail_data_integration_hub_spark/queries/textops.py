@@ -309,6 +309,23 @@ FROM cand WHERE bit_count(xor(h1, h2)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
+WINNOW_WINDOW = 4
+
+
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed rolling-hash fingerprints, one row per (doc, fingerprint)."""
+    d = _docs(spark, sf_dir)
+    fps = TX.winnowing_fingerprints(F.col("text"), N_SHINGLE, WINNOW_WINDOW)
+    return d.select("doc_id", F.explode(fps).alias("fingerprint"))
+
+
+DOC_WINNOWING_ORACLE = f"""
+SELECT doc_id, unnest({TX.sql_winnowing_fingerprints('text', N_SHINGLE, WINNOW_WINDOW)})
+         AS fingerprint
+FROM documents
+"""
+
+
 def doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: connected components over the n-gram
     Jaccard pair graph, each doc labeled with its component's min id.
@@ -338,6 +355,7 @@ SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src
 
 QUERIES = {
     "doc_text_stats": doc_text_stats,
+    "doc_winnowing_fingerprints": doc_winnowing_fingerprints,
     "doc_neardup_clusters": doc_neardup_clusters,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint": doc_fingerprint,
@@ -351,6 +369,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_text_stats": DOC_TEXT_STATS_ORACLE,
+    "doc_winnowing_fingerprints": DOC_WINNOWING_ORACLE,
     "doc_neardup_clusters": DOC_NEARDUP_CLUSTERS_ORACLE,
     "doc_lang_id": DOC_LANG_ID_ORACLE,
     "doc_fingerprint": DOC_FINGERPRINT_ORACLE,
