@@ -36,14 +36,16 @@ def lineitem_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LINEITEM_VALIDATION_ORACLE = """
 SELECT count(*) AS n_rows,
-       sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS n_nonpositive_price,
-       sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nonpositive_price,
+       CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_discount_out_of_range,
-       sum(CASE WHEN l_tax < 0 OR l_tax > 1 THEN 1 ELSE 0 END) AS n_tax_out_of_range,
-       sum(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL THEN 1 ELSE 0 END)
-         AS n_null_keys,
-       sum(CASE WHEN l_shipdate < TIMESTAMP '1990-01-01' THEN 1 ELSE 0 END)
-         AS n_ship_before_epoch
+       CAST(sum(CASE WHEN l_tax < 0 OR l_tax > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tax_out_of_range,
+       CAST(sum(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null_keys,
+       CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1990-01-01' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ship_before_epoch
 FROM lineitem
 """
 
