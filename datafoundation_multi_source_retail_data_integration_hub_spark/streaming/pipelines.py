@@ -153,14 +153,24 @@ SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000)
 FROM events GROUP BY 1, 2, 3
 """
 
+# Kept-row rule pinned for determinism: ORDER BY event_id, ts makes
+# DISTINCT ON keep the ts-min row. dropDuplicatesWithinWatermark keeps the
+# first-ARRIVING row, which only differs if an event_id recurs with a
+# different event_type — the corpus has none (asserted in tests), so both
+# rules select identical rows.
 STREAM_DEDUP_ORACLE = """
 SELECT event_type, count(*) AS n_events
-FROM (SELECT DISTINCT ON (event_id) event_type FROM events)
+FROM (SELECT DISTINCT ON (event_id) event_type FROM events
+      ORDER BY event_id, ts)
 GROUP BY 1
 """
 
-# session_window == gap sessionization: derive the oracle from the same
-# lag+cumsum construction the batch twin uses (queries/eventops.py)
+# session_window == gap sessionization via the lag+cumsum construction.
+# Boundary semantics (empirically pinned by
+# tests/test_eventops_oracle.py::test_session_window_exact_gap_boundary):
+# Spark's session_window MERGES an event arriving exactly ``gap`` after
+# the previous one (adjacent [t, t+gap] windows coalesce), so new_session
+# fires only on strict > gap — matching the batch twin's convention.
 STREAM_SESSION_ORACLE = f"""
 WITH flagged AS (
   SELECT user_id, ts, event_id, value,
