@@ -25,9 +25,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# Below this many rows a single-partition window is cheaper than the extra
-# count job; dims at test scale stay on the fast path.
+# Below this many (estimated) rows a single-partition window beats the
+# distributed path's extra shuffle + count job; above it, funneling
+# through one task becomes the bottleneck. Read at call time (tests may
+# lower it to force the distributed path on small fixtures).
 SMALL_DIM_THRESHOLD = 1_000_000
+
+# Deliberately small bytes-per-row divisor for the size-based fallback:
+# it must OVERESTIMATE the row count, so borderline inputs take the
+# distributed path — which is correct at any size, just marginally
+# slower on a genuinely small dim. The failure mode this gate must
+# prevent is the opposite one (a huge dim silently serializing through
+# one window task). 16 B/row absorbs parquet compression: measured on the
+# test corpus, scan-based sizeInBytes/16 lands ~1.3x ABOVE the true row
+# count where /64 sat 3x below it.
+EST_ROW_BYTES = 16
+
+
+def _estimated_rows(df: DataFrame) -> int:
+    """Catalyst plan-statistics row estimate — driver-side only, NO job.
+
+    An exact ``count()`` gate was measured to cost ~1s per SCD2 merge at
+    sf0.1: the numbering input is a distinct over a source scan, so
+    counting it re-runs the whole upstream shuffle. Plan stats are free
+    and directionally safe (see ``EST_ROW_BYTES``).
+    """
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    rc = stats.rowCount()
+    if rc.isDefined():
+        return int(str(rc.get()))
+    return int(str(stats.sizeInBytes())) // EST_ROW_BYTES
 
 
 def with_global_row_number(
@@ -39,10 +66,15 @@ def with_global_row_number(
     force_distributed: bool = False,
 ) -> DataFrame:
     """Add ``col_name`` = offset + rank of the row in global ``order_cols``
-    order (1-based). ``order_cols`` must uniquely order the rows."""
-    if not force_distributed:
-        # Single-partition window: correct and cheapest at dim scale (< ~1M
-        # rows); callers numbering huge inputs pass force_distributed.
+    order (1-based). ``order_cols`` must uniquely order the rows.
+
+    Path selection is automatic: a free Catalyst-statistics row estimate
+    gates on ``SMALL_DIM_THRESHOLD`` so huge dims never silently serialize
+    through one window task; callers that already know the input is big
+    can skip the gate with ``force_distributed=True``.
+    """
+    if not force_distributed and _estimated_rows(df) <= SMALL_DIM_THRESHOLD:
+        # Single-partition window: correct and cheapest at dim scale.
         w = Window.orderBy(*[F.col(c) for c in order_cols])
         return df.withColumn(
             col_name, (F.row_number().over(w) + F.lit(offset)).cast("bigint")

@@ -120,3 +120,28 @@ def test_global_row_number_distributed_matches_window(spark):
     fast = with_global_row_number(df, ["k"], "rn")
     dist = with_global_row_number(df, ["k"], "rn", force_distributed=True, num_partitions=7)
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, dist.collect()))
+
+
+def test_auto_threshold_routes_scd2_through_distributed_path(spark, monkeypatch):
+    """Above SMALL_DIM_THRESHOLD the auto-gate must pick the distributed
+    two-phase numbering WITHOUT any caller flag: lower the threshold so a
+    small fixture trips it, run scd2_initial_load unchanged, and check both
+    the plan (no single-partition window) and the numbering."""
+    from datafoundation_multi_source_retail_data_integration_hub_spark.operators import (
+        keys as keys_mod,
+    )
+
+    monkeypatch.setattr(keys_mod, "SMALL_DIM_THRESHOLD", 10)
+    src = spark.createDataFrame(
+        [(f"c{i:03d}", f"name{i}", f"seg{i % 3}") for i in range(50)],
+        "cust_id string, name string, segment string",
+    )
+    dim = scd2_initial_load(src, CFG, "2026-01-01")
+    plan = dim._jdf.queryExecution().executedPlan().toString()
+    # the single-task path uses a row_number window; the distributed path
+    # has a per-partition window (partitioned by __pid) plus a broadcast
+    # offset join — detect it by the offset-join column
+    assert "p_off" in plan
+    rows = dim.select("cust_id", "cust_key").collect()
+    by_key = sorted((r["cust_id"], r["cust_key"]) for r in rows)
+    assert [sk for _, sk in by_key] == list(range(1, 51))
