@@ -105,17 +105,50 @@ def md5_long(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
-def word_shingles(c: Column, n: int) -> Column:
-    """Distinct word n-gram shingles of the normalized text.
+# PERFORMANCE NOTE (measured 7x at sf0.1): an expression captured inside a
+# higher-order-function lambda is RE-EVALUATED per array element — a
+# regex-split referenced inside ``transform``'s lambda turns O(tokens)
+# shingling into O(tokens^2). Hot paths must therefore stage the token
+# array into its own projection (a plain column reference is cheap to
+# re-evaluate) and build shingles with the ``*_from_tokens`` variants
+# below. Catalyst's CollapseProject will NOT inline a multi-referenced
+# expensive alias, so a two-step select keeps the split evaluated once.
+
+
+def shingles_from_tokens(toks: Column, n: int) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED token-array
+    column (see performance note above; pass a plain column reference).
 
     1-based ``slice`` over the token array; DuckDB equivalent:
     ``list_distinct(list_transform(generate_series(1, len(t)-n+1),
     i -> array_to_string(t[i:i+n-1], ' ')))``.
     """
-    toks = ws_tokens(normalized_text(c))
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     return F.array_distinct(grams)
+
+
+def positional_hashes_from_tokens(toks: Column, n: int) -> Column:
+    """Position-ordered (no dedup) shingle hashes from a materialized
+    token-array column — input for rolling-window schemes (winnowing)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.transform(grams, md5_long)
+
+
+def winnowing_from_hashes(h: Column, window: int) -> Column:
+    """Winnowing window-min pass over a MATERIALIZED positional-hash array
+    column (``h`` is sliced inside the lambda — stage it first)."""
+    starts = F.sequence(F.lit(1), F.greatest(F.size(h) - (window - 1), F.lit(0)))
+    mins = F.transform(starts, lambda i: F.array_min(F.slice(h, i, window)))
+    return F.array_distinct(mins)
+
+
+def word_shingles(c: Column, n: int) -> Column:
+    """One-shot shingle column from raw text. Convenience form for small
+    inputs/tests — hot paths stage tokens and use ``shingles_from_tokens``
+    (performance note above)."""
+    return shingles_from_tokens(ws_tokens(normalized_text(c)), n)
 
 
 def hashed_word_shingles(c: Column, n: int) -> Column:
@@ -126,12 +159,9 @@ def hashed_word_shingles(c: Column, n: int) -> Column:
 
 
 def positional_shingle_hashes(c: Column, n: int) -> Column:
-    """Shingle hashes in POSITION order (no dedup) — the input sequence for
-    rolling-window schemes like winnowing, where order matters."""
-    toks = ws_tokens(normalized_text(c))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.transform(grams, md5_long)
+    """One-shot positional hashes from raw text (convenience form; hot
+    paths use ``positional_hashes_from_tokens`` on staged tokens)."""
+    return positional_hashes_from_tokens(ws_tokens(normalized_text(c)), n)
 
 
 def winnowing_fingerprints(c: Column, n: int, window: int) -> Column:
@@ -140,12 +170,12 @@ def winnowing_fingerprints(c: Column, n: int, window: int) -> Column:
     dedup. Guarantees every match of length >= window+n-1 tokens shares a
     fingerprint, at ~2/(window+1) the density of full shingling.
     (Simplified tie rule: min VALUE per window rather than rightmost-min
-    position — deterministic and engine-agnostic.)"""
-    h = positional_shingle_hashes(c, n)
-    m = F.size(h)
-    starts = F.sequence(F.lit(1), F.greatest(m - (window - 1), F.lit(0)))
-    mins = F.transform(starts, lambda i: F.array_min(F.slice(h, i, window)))
-    return F.array_distinct(mins)
+    position — deterministic and engine-agnostic.)
+
+    One-shot convenience form — the hash array is re-evaluated per window
+    position here; hot paths stage tokens AND hashes
+    (``positional_hashes_from_tokens`` -> ``winnowing_from_hashes``)."""
+    return winnowing_from_hashes(positional_shingle_hashes(c, n), window)
 
 
 # --- DuckDB SQL fragments (kept adjacent to their Spark twins) -------------

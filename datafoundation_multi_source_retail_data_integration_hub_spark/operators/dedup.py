@@ -29,7 +29,31 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, hashed_word_shingles, md5_long
+from ..functions.text import (
+    fingerprint,
+    md5_long,
+    normalized_text,
+    shingles_from_tokens,
+    ws_tokens,
+)
+
+# Persisted intermediates (postings, signatures) registered here so callers
+# running many dedup queries in one long-lived session can release executor
+# storage between runs: ``unpersist_all()`` after the consuming action
+# completes. Unpersisting before the action is still CORRECT (Spark just
+# recomputes), so this is purely a storage-hygiene hook.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    _PERSISTED.append(df)
+    return df.persist()
+
+
+def unpersist_all() -> None:
+    """Release every intermediate persisted by this module's operators."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -68,10 +92,19 @@ def exact_dedup_keep_first(df: DataFrame, text_col: str, id_col: str) -> DataFra
 
 
 def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    # shingles ride as 60-bit int hashes: 8-byte shuffle/join keys
-    return df.select(
+    # shingles ride as 60-bit int hashes: 8-byte shuffle/join keys.
+    # Tokens are staged into their own projection first — building the
+    # shingles directly off the split expression re-runs the regex split
+    # per lambda element (O(tokens^2); measured 7x slower at sf0.1).
+    toks = df.select(
         F.col(id_col).alias("doc_id"),
-        hashed_word_shingles(F.col(text_col), n).alias("sh"),
+        ws_tokens(normalized_text(F.col(text_col))).alias("__toks"),
+    )
+    return toks.select(
+        "doc_id",
+        F.transform(
+            shingles_from_tokens(F.col("__toks"), n), md5_long
+        ).alias("sh"),
     ).filter(F.size("sh") > 0)
 
 
@@ -91,54 +124,65 @@ def jaccard_pairs(
     quadratically but little Jaccard mass), self-join on the shingle,
     then compute exact Jaccard over the full distinct sets.
 
-    ``prefix_filter``: AllPairs-style lossless candidate pruning — each doc
-    indexes only its first ``|d| - ceil(t*|d|) + 1`` shingles in canonical
-    (hash) order. Any pair with Jaccard >= t must still collide on an
-    indexed shingle, so the RESULT is identical (tested); only the
-    candidate-join input shrinks — the scale path for high thresholds.
+    ``prefix_filter``: AllPairs-style lossless candidate pruning over the
+    df-capped shingle sets — each doc indexes only its first
+    ``|c| - ceil(t*|c|) + 1`` capped shingles in canonical (hash) order.
+    Lossless proof sketch: the reported score is
+    ``J' = |C1∩C2| / (|S1|+|S2|-|C1∩C2|)`` with ``Ci ⊆ Si`` (capped vs
+    full sets), and ``J' >= t`` implies plain Jaccard over the capped sets
+    ``>= t`` (smaller denominator), so every surviving pair still collides
+    on an indexed prefix shingle. The df cap is computed on the FULL
+    postings first, so prefix mode returns byte-identical results to the
+    full-index mode at any ``max_doc_freq`` (equality-tested both capped
+    and uncapped); only the candidate-join input shrinks — the scale path.
     """
-    docs = _shingled(df, text_col, id_col, n).persist()
+    docs = _persist(_shingled(df, text_col, id_col, n))
     sizes = docs.select("doc_id", F.size("sh").alias("sz"))
-    if prefix_filter:
-        sorted_sh = F.array_sort("sh")
-        prefix_len = (
-            F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh")) + 1
-        ).cast("int")
-        index_side = docs.select(
-            "doc_id", F.slice(sorted_sh, 1, prefix_len).alias("sh")
-        )
-    else:
-        index_side = docs
     # materialize the postings once: they feed the df-count and BOTH sides
     # of the self-join — recomputing the regex+explode shingle pipeline
     # per consumer dominates runtime otherwise
-    ex = index_side.select("doc_id", F.explode("sh").alias("s")).persist()
+    ex = _persist(docs.select("doc_id", F.explode("sh").alias("s")))
     rare = ex.groupBy("s").agg(F.count("*").alias("df_")).filter(
         F.col("df_") <= max_doc_freq
     )
     ex = ex.join(F.broadcast(rare.select("s")), "s")
     if prefix_filter:
-        # candidates from the pruned index, verified on the FULL sets
+        # capped per-doc shingle set, canonical (hash) order — feeds both
+        # the prefix index and the verification join
+        cs = _persist(
+            ex.groupBy("doc_id").agg(
+                F.sort_array(F.collect_list("s")).alias("csh")
+            )
+        )
+        prefix_len = (
+            F.size("csh") - F.ceil(F.lit(threshold) * F.size("csh")) + 1
+        ).cast("int")
+        pre = cs.select(
+            "doc_id", F.explode(F.slice("csh", 1, prefix_len)).alias("s")
+        )
         cand = (
-            ex.alias("a")
-            .join(ex.alias("b"), "s")
+            pre.alias("a")
+            .join(pre.alias("b"), "s")
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
             .distinct()
         )
         verified = (
             cand.join(
-                docs.select(F.col("doc_id").alias("id1"), F.col("sh").alias("sh1")),
+                cs.select(F.col("doc_id").alias("id1"), F.col("csh").alias("csh1")),
                 "id1",
             )
             .join(
-                docs.select(F.col("doc_id").alias("id2"), F.col("sh").alias("sh2")),
+                cs.select(F.col("doc_id").alias("id2"), F.col("csh").alias("csh2")),
                 "id2",
             )
+            .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+            .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+            .withColumn("inter", F.size(F.array_intersect("csh1", "csh2")))
             .withColumn(
                 "jaccard",
-                F.size(F.array_intersect("sh1", "sh2")).cast("double")
-                / F.size(F.array_union("sh1", "sh2")),
+                F.col("inter").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter")),
             )
         )
         return verified.filter(F.col("jaccard") >= threshold).select(
@@ -229,8 +273,8 @@ def minhash_lsh_pairs(
     """
     assert k % bands == 0
     r = k // bands
-    docs = _shingled(df, text_col, id_col, n).persist()
-    sig = minhash_signatures(df, text_col, id_col, n, k, shingled=docs).persist()
+    docs = _persist(_shingled(df, text_col, id_col, n))
+    sig = _persist(minhash_signatures(df, text_col, id_col, n, k, shingled=docs))
     band_rows = [
         sig.select(
             "doc_id",

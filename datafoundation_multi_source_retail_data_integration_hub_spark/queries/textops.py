@@ -150,6 +150,10 @@ SELECT doc_id, text, lang, source, n_chars FROM (
 
 
 def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """τ = 0.2 on purpose: training-data near-dup dedup is recall-oriented
+    (a missed near-dup poisons eval sets; a false candidate just costs one
+    verification), so the threshold sits low and tractability comes from
+    the df cap + lossless AllPairs prefix filter instead."""
     return DD.jaccard_pairs(
         _docs(spark, sf_dir),
         "text",
@@ -157,6 +161,7 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=N_SHINGLE,
         threshold=JACCARD_TAU,
         max_doc_freq=MAX_DOC_FREQ,
+        prefix_filter=True,
     )
 
 
@@ -313,10 +318,21 @@ WINNOW_WINDOW = 4
 
 
 def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowed rolling-hash fingerprints, one row per (doc, fingerprint)."""
+    """Winnowed rolling-hash fingerprints, one row per (doc, fingerprint).
+
+    Tokens and positional hashes are staged into their own projections so
+    the regex split / hash array aren't re-evaluated per lambda element
+    (see functions/text.py performance note)."""
     d = _docs(spark, sf_dir)
-    fps = TX.winnowing_fingerprints(F.col("text"), N_SHINGLE, WINNOW_WINDOW)
-    return d.select("doc_id", F.explode(fps).alias("fingerprint"))
+    toks = d.select(
+        "doc_id", TX.ws_tokens(TX.normalized_text(F.col("text"))).alias("__toks")
+    )
+    hashes = toks.select(
+        "doc_id",
+        TX.positional_hashes_from_tokens(F.col("__toks"), N_SHINGLE).alias("__h"),
+    )
+    fps = TX.winnowing_from_hashes(F.col("__h"), WINNOW_WINDOW)
+    return hashes.select("doc_id", F.explode(fps).alias("fingerprint"))
 
 
 DOC_WINNOWING_ORACLE = f"""

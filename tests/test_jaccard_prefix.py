@@ -1,6 +1,8 @@
 """Prefix filtering is lossless: the AllPairs-pruned Jaccard join returns
-exactly the exhaustive result (doc-frequency cap disabled to isolate the
-prefix property)."""
+exactly the exhaustive result — both with the doc-frequency cap disabled
+(isolating the prefix property) and with a cap tight enough to bite (the
+df cap is computed on the FULL postings before pruning, so capped
+semantics are preserved too)."""
 
 from __future__ import annotations
 
@@ -37,3 +39,16 @@ def test_prefix_filter_lossless_high_threshold(spark):
         jaccard_pairs(docs, "text", "doc_id", prefix_filter=True, **kwargs)
     )
     assert exact == pruned
+
+
+def test_prefix_filter_lossless_with_biting_df_cap(spark):
+    """A cap small enough to drop real shingles must still yield identical
+    results in both modes (capped-inter / full-size Jaccard semantics)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    kwargs = dict(n=3, threshold=0.2, max_doc_freq=5)
+    exact = _result_set(jaccard_pairs(docs, "text", "doc_id", **kwargs))
+    pruned = _result_set(
+        jaccard_pairs(docs, "text", "doc_id", prefix_filter=True, **kwargs)
+    )
+    assert exact == pruned
+    assert len(exact) > 0
