@@ -24,6 +24,7 @@ a left-fold accumulation order that DuckDB's ``list_sum`` reproduces.
 from __future__ import annotations
 
 import hashlib
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -74,12 +75,25 @@ def brute_force_topk(
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
+        # narrow the exchange rows: vectors are dead weight past this point
+        .select("query_id", "neighbor_id", "cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
+    order = (F.col("cosine").desc(), F.col("neighbor_id"))
+    # Two-stage exact top-k. A single per-query window funnels each query's
+    # ENTIRE scored corpus through one task (n_queries tasks total — the
+    # scale wall). Stage 1 ranks per (query, input-partition): the exchange
+    # spreads over n_queries * n_partitions keys and the global top-k is
+    # provably a subset of the per-partition top-k's, so stage 2's exact
+    # window sees only <= k * n_partitions rows per query.
+    local_w = Window.partitionBy("query_id", "__pid").orderBy(*order)
+    survivors = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrank", F.row_number().over(local_w))
+        .filter(F.col("__lrank") <= k)
     )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
@@ -123,17 +137,44 @@ def cosine_pandas_udf(dim: int):
 # ---------------------------------------------------------------------------
 
 
-def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+def hyperplanes(n_planes: int, dim: int, table: int = 0) -> list[list[float]]:
     """Deterministic pseudo-random hyperplane components in [-1, 1]:
-    plane[p][d] = (md5(p:d) mod 2001 - 1000) / 1000 — engine-independent."""
+    plane[p][d] = (md5(p:d) mod 2001 - 1000) / 1000 — engine-independent.
+    ``table`` > 0 derives an independent plane family (md5(t<t>:p:d)) for
+    OR-amplified multi-table LSH; table 0 keeps the original keys."""
     planes = []
+    prefix = "" if table == 0 else f"t{table}:"
     for p in range(n_planes):
         row = []
         for d in range(dim):
-            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+            h = int(
+                hashlib.md5(f"{prefix}{p}:{d}".encode()).hexdigest()[:15], 16
+            )
             row.append((h % 2001 - 1000) / 1000.0)
         planes.append(row)
     return planes
+
+
+def planes_for_corpus(
+    n_vectors: int,
+    target_bucket_rows: int = 100_000,
+    min_planes: int = 4,
+    max_planes: int = 24,
+) -> int:
+    """Scale the bucket count with the corpus: pick ``p`` so the EXPECTED
+    bucket (n / 2^p rows) holds about ``target_bucket_rows`` vectors.
+
+    The round-1 default of 6 planes (64 buckets) is a toy-scale constant:
+    at 1e9 vectors each bucket would still hold ~16M rows and the
+    "bucketed" self-join degenerates toward all-pairs. This gate makes the
+    parameterization explicit: 1e9 vectors / 100k-target -> 14 planes
+    (16384 buckets). Recall per table drops as p grows — compensate with
+    multi-probe (``probe_radius``) or OR-amplification (``n_tables``).
+    """
+    import math
+
+    need = math.ceil(math.log2(max(1.0, n_vectors / target_bucket_rows)))
+    return min(max(min_planes, need), max_planes)
 
 
 def bucket_id(vec: Column, planes: list[list[float]]) -> Column:
@@ -152,6 +193,7 @@ def cosine_neardup_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id1 < id2, cosine >= t).
 
@@ -161,23 +203,43 @@ def cosine_neardup_pairs(
     collide in sign-projection buckets with probability
     ((pi - theta)/pi)^planes, so recall rises with the threshold —
     the regime dedup cares about.
+
+    Scale parameterization: pick ``n_planes`` with ``planes_for_corpus``
+    (bucket count must grow with the corpus or the self-join degenerates
+    toward all-pairs), and recover the recall a deeper hash costs via
+    ``n_tables`` OR-amplification — each extra table is an independent
+    plane family whose candidate pairs union in before verification
+    (miss probability (1 - (1-θ/π)^p)^T, driven down exponentially in T).
     """
-    planes = hyperplanes(n_planes, dim)
-    c = corpus.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        bucket_id(F.col(vec_col), planes).alias("bucket"),
-    )
+    tables = []
+    for t in range(n_tables):
+        planes = hyperplanes(n_planes, dim, table=t)
+        tables.append(
+            corpus.select(
+                F.col(id_col).alias("vid"),
+                F.col(vec_col).alias("vec"),
+                F.lit(t).alias("tbl"),
+                bucket_id(F.col(vec_col), planes).alias("bucket"),
+            )
+        )
+    c = reduce(lambda a, b: a.unionByName(b), tables)
     lhs = c.select(
-        F.col("vid").alias("id1"), F.col("vec").alias("v1"), "bucket"
+        F.col("vid").alias("id1"), F.col("vec").alias("v1"), "tbl", "bucket"
     )
     rhs = c.select(
-        F.col("vid").alias("id2"), F.col("vec").alias("v2"), "bucket"
+        F.col("vid").alias("id2"), F.col("vec").alias("v2"), "tbl", "bucket"
     )
-    return (
-        lhs.join(rhs, "bucket")
+    cand = (
+        lhs.join(rhs, ["tbl", "bucket"])
         .filter(F.col("id1") < F.col("id2"))
-        .withColumn("cosine", cosine(F.col("v1"), F.col("v2")))
+        .select("id1", "id2", "v1", "v2")
+    )
+    if n_tables > 1:
+        # the same pair can collide in several tables — dedup BEFORE the
+        # (expensive) exact verification, not after
+        cand = cand.distinct()
+    return (
+        cand.withColumn("cosine", cosine(F.col("v1"), F.col("v2")))
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
         .distinct()

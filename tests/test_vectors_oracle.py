@@ -30,3 +30,49 @@ def test_ann_results_subset_of_bruteforce_corpus(spark):
             assert r["cosine"] == bf_cos[key]
     recall = hits / len(bf)
     assert recall > 0.1  # sanity floor: one 8-bit bucket probe, tiny corpus
+
+
+def test_neardup_recall_two_parameterizations(spark):
+    """Scale parameterization contract: deeper hashes (more planes) trade
+    recall for smaller buckets; OR-amplification (n_tables) buys it back.
+    Ground truth = the n_planes=0 degenerate bucket (exhaustive pairs)."""
+    from datafoundation_multi_source_retail_data_integration_hub_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+    from datafoundation_multi_source_retail_data_integration_hub_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    tau = 0.3
+
+    def pairs(**kw):
+        return {
+            (r["id1"], r["id2"]): r["cosine"]
+            for r in cosine_neardup_pairs(emb, tau, dim=64, **kw).collect()
+        }
+
+    exact = pairs(n_planes=0, n_tables=1)  # single bucket -> all-pairs
+    single = pairs(n_planes=4, n_tables=1)
+    multi = pairs(n_planes=4, n_tables=4)
+
+    assert len(exact) > 0
+    # every bucketed hit is a true pair with the identical exact cosine
+    for got in (single, multi):
+        for k, v in got.items():
+            assert k in exact and v == exact[k]
+    # table 0 of the multi-table run IS the single-table run -> superset
+    assert set(single) <= set(multi)
+    r1, rT = len(single) / len(exact), len(multi) / len(exact)
+    assert rT >= r1
+    assert rT > 0.2  # OR-amplified recall floor on this corpus
+
+
+def test_planes_for_corpus_scaling():
+    from datafoundation_multi_source_retail_data_integration_hub_spark.operators.similarity import (
+        planes_for_corpus,
+    )
+
+    assert planes_for_corpus(1_000) == 4  # floor
+    assert planes_for_corpus(10**9, target_bucket_rows=100_000) == 14
+    assert planes_for_corpus(10**12) == 24  # ceiling
