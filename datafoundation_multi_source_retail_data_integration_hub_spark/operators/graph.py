@@ -11,11 +11,13 @@ algorithm — min-label propagation to a fixpoint:
 4. repeat until no label changes — O(log diameter) rounds thanks to the
    shortcut step; each round is two hash joins, fully distributed.
 
-Iterative-DataFrame discipline: every round ends in ``localCheckpoint``,
-which TRUNCATES the logical plan. Without it the lineage grows with each
-join and analysis/codegen memory explodes after ~15 rounds (observed:
-driver OOM on a 20-hop chain). On a cluster, swap for a reliable
-``checkpoint`` dir so executor loss can recompute.
+Iterative-DataFrame discipline: every round ends in a checkpoint, which
+TRUNCATES the logical plan. Without it the lineage grows with each join
+and analysis/codegen memory explodes after ~15 rounds (observed: driver
+OOM on a 20-hop chain). Locally an executor-storage ``localCheckpoint``
+suffices; on a cluster pass ``checkpoint_dir`` (HDFS/object store) so the
+truncated lineage survives executor loss — 100 TB runs must not restart a
+50-round fixpoint because one node died.
 """
 
 from __future__ import annotations
@@ -27,21 +29,38 @@ MAX_ITERATIONS = 50
 
 
 def connected_components(
-    pairs: DataFrame, src: str = "id1", dst: str = "id2"
+    pairs: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; the component label
-    is the minimum node id in the component."""
-    edges = (
+    is the minimum node id in the component.
+
+    ``checkpoint_dir``: when set, rounds checkpoint RELIABLY to that
+    directory (``sparkContext.setCheckpointDir`` + ``DataFrame.checkpoint``)
+    instead of to executor-local storage.
+    """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
+    edges = ckpt(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = ckpt(
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint()
     )
     for _ in range(MAX_ITERATIONS):
         neighbor_min = (
@@ -70,8 +89,8 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("ccomp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint()  # truncate lineage every round
         )
+        new_labels = ckpt(new_labels)  # truncate lineage every round
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -32,3 +32,21 @@ def test_long_chain_converges(spark):
     out = connected_components(pairs).collect()
     assert all(r["cluster_rep"] == 0 for r in out)
     assert len(out) == n + 1
+
+
+def test_reliable_checkpoint_dir(spark, tmp_path):
+    """Same fixpoint through the reliable-checkpoint path; checkpoint files
+    actually land in the given directory."""
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id1 long, id2 long"
+    )
+    got = {
+        (r["node"], r["cluster_rep"])
+        for r in connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+    walked = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert walked, "no checkpoint files written to the reliable dir"
