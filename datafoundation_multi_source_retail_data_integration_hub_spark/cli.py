@@ -26,9 +26,11 @@ def _json_default(v):
 
 
 def run_etl_cmd(args: argparse.Namespace) -> int:
+    from datetime import datetime, timezone
+
     from .pipelines import retail
+    from .pipelines.audit import logged_write
     from .session import get_spark
-    from .sources import writers
 
     spark = get_spark(app_name="etl")
     star = retail.run_etl(
@@ -37,13 +39,23 @@ def run_etl_cmd(args: argparse.Namespace) -> int:
         effective_date=args.effective_date,
         encoding=args.encoding,
     )
+    # one audit row per table per run (reference etl_run_log, README.md:74-79)
+    run_id = args.run_id or datetime.now(timezone.utc).strftime(
+        "run-%Y%m%dT%H%M%SZ"
+    )
     summary: dict[str, int] = {}
     for name, dim in star.dimensions.items():
-        writers.write_table(dim, name, database=args.database)
-        summary[name] = dim.count()
-    writers.write_table(star.fact, "fact_sales", database=args.database)
-    summary["fact_sales"] = star.fact.count()
-    print(json.dumps({"database": args.database, "tables": summary}))
+        t0 = datetime.now(timezone.utc)
+        summary[name] = logged_write(
+            dim, name, run_id, t0, datetime.now(timezone.utc),
+            database=args.database,
+        )
+    t0 = datetime.now(timezone.utc)
+    summary["fact_sales"] = logged_write(
+        star.fact, "fact_sales", run_id, t0, datetime.now(timezone.utc),
+        database=args.database,
+    )
+    print(json.dumps({"database": args.database, "run_id": run_id, "tables": summary}))
     return 0
 
 
@@ -75,6 +87,7 @@ def main(argv: list[str] | None = None) -> int:
     etl.add_argument("--database", default="retail_warehouse")
     etl.add_argument("--effective-date", default="2026-01-01")
     etl.add_argument("--encoding", default="latin1")
+    etl.add_argument("--run-id", default=None, help="audit run id (default: UTC timestamp)")
     etl.set_defaults(fn=run_etl_cmd)
 
     an = sub.add_parser("analytics", help="run a registered query, print JSON")

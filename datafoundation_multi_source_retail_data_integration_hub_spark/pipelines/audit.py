@@ -1,0 +1,104 @@
+"""ETL run audit log — the reference's ``etl_run_log`` staging table
+(``README.md:74-79``: MySQL staging surface = ``stg_retail_sales``,
+``stg_api_products``, ``etl_run_log``).
+
+One append-only warehouse table, one row per (run, target table):
+run id, target, row count, status, and caller-injected timestamps
+(injected — never ``current_timestamp()`` inside the plan, so runs are
+deterministic and replayable). Appends are tiny single-row writes; at
+scale the table stays a cheap audit trail partition-prunable by run date.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.writers import DEFAULT_DATABASE, read_table, write_table
+
+RUN_LOG_TABLE = "etl_run_log"
+
+RUN_LOG_SCHEMA = (
+    "run_id string, table_name string, n_rows long, status string, "
+    "started_at timestamp, finished_at timestamp, message string"
+)
+
+
+@dataclass(frozen=True)
+class RunLogEntry:
+    run_id: str
+    table_name: str
+    n_rows: int
+    status: str  # "success" | "failed" | "skipped"
+    started_at: datetime
+    finished_at: datetime
+    message: str = ""
+
+
+def log_run(
+    spark: SparkSession,
+    entry: RunLogEntry,
+    database: str = DEFAULT_DATABASE,
+) -> None:
+    """Append one audit row (reference: per-run bookkeeping rows in
+    ``etl_run_log``)."""
+    row = spark.createDataFrame(
+        [
+            (
+                entry.run_id,
+                entry.table_name,
+                int(entry.n_rows),
+                entry.status,
+                entry.started_at,
+                entry.finished_at,
+                entry.message,
+            )
+        ],
+        RUN_LOG_SCHEMA,
+    )
+    write_table(row, RUN_LOG_TABLE, mode="append", database=database)
+
+
+def logged_write(
+    df: DataFrame,
+    table: str,
+    run_id: str,
+    started_at: datetime,
+    finished_at: datetime,
+    mode: str = "overwrite",
+    database: str = DEFAULT_DATABASE,
+) -> int:
+    """Write ``df`` to ``table`` and append the matching audit row.
+
+    Returns the written row count. The count comes from one extra action
+    on ``df`` — callers loading expensive frames should persist first
+    (the retail pipeline's loads are all terminal writes, so the scan is
+    the same one the write performs).
+    """
+    n = df.count()
+    try:
+        write_table(df, table, mode=mode, database=database)
+        status = "success"
+        msg = ""
+    except Exception as exc:  # noqa: BLE001 — status row must still land
+        status = "failed"
+        msg = str(exc)[:500]
+    log_run(
+        df.sparkSession,
+        RunLogEntry(run_id, table, n, status, started_at, finished_at, msg),
+        database=database,
+    )
+    if status == "failed":
+        raise RuntimeError(f"write of {table} failed (run {run_id}): {msg}")
+    return n
+
+
+def run_history(
+    spark: SparkSession, database: str = DEFAULT_DATABASE
+) -> DataFrame:
+    """The audit table, newest first."""
+    return read_table(spark, RUN_LOG_TABLE, database=database).orderBy(
+        "started_at", ascending=False
+    )

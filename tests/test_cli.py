@@ -21,6 +21,11 @@ def test_cli_etl(spark, tmp_path, capsys):
     assert out["database"] == "cli_wh"
     assert out["tables"]["fact_sales"] == 6
     assert spark.table("cli_wh.dim_customer").count() == out["tables"]["dim_customer"]
+    # every written table got an audit row in etl_run_log under this run id
+    log = spark.table("cli_wh.etl_run_log").collect()
+    assert {r["table_name"] for r in log} == set(out["tables"])
+    assert all(r["run_id"] == out["run_id"] and r["status"] == "success" for r in log)
+    assert {r["table_name"]: r["n_rows"] for r in log} == out["tables"]
 
 
 def test_cli_analytics(capsys):
