@@ -35,6 +35,7 @@ HEADLINE = [
     "quarterly_yoy",
     "region_nation_rollup",
     "order_priority_pivot",
+    "order_price_percentiles",
     "dim_date_calendar",
     "scd2_customer_two_batch",
     "fact_sales_resolution",
@@ -47,6 +48,7 @@ HEADLINE = [
     "embedding_ann_lsh",
     "embedding_cosine_neardup",
     "events_tumbling_10m",
+    "events_sliding_10m_5m",
     "events_sessionization",
     "stream_tumbling_counts",
 ]
@@ -76,11 +78,19 @@ def main() -> None:
         if wname in qs:
             qs[wname](spark, warm_dir).collect()
 
+    from datafoundation_multi_source_retail_data_integration_hub_spark.operators.dedup import (
+        unpersist_all,
+    )
+
+    unpersist_all()  # release warmup-pass caches
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         qs[name](spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # storage hygiene between queries (outside the timed window): the
+        # dedup operators persist postings/signatures scoped to one query
+        unpersist_all()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
