@@ -38,6 +38,7 @@ def _modules():
         q.eventops,
         q.multimodalops,
         q.vectors,
+        q.llmops,
         q.textops,
     ]
 

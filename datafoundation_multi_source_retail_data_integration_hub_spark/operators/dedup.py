@@ -211,6 +211,55 @@ def jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_overlap: float = 0.3,
+) -> DataFrame:
+    """(doc_id, eval_id, overlap_frac) for corpus docs sharing >=
+    ``min_overlap`` of their word-``n``-gram shingles with an eval doc —
+    the training-data DECONTAMINATION pass (drop training docs that leak
+    benchmark content).
+
+    Overlap is directional: |shingles(doc) ∩ shingles(eval)| /
+    |shingles(doc)| — a short eval prompt embedded in a long doc still
+    needs flagging, so the denominator is the TRAINING doc.
+
+    Scale shape: the eval side (benchmark suites: thousands of docs, not
+    billions) broadcasts; the corpus explodes once and the candidate
+    generation is an equi-join on the shingle hash. Corpus-sized work is
+    one explode + one hash aggregation — never all-pairs.
+    """
+    cd = _persist(_shingled(corpus, text_col, id_col, n))
+    ed = _shingled(eval_set, text_col, id_col, n)
+    cex = cd.select("doc_id", F.explode("sh").alias("s"))
+    eex = ed.select(
+        F.col("doc_id").alias("eval_id"), F.explode("sh").alias("s")
+    )
+    shared = (
+        cex.join(F.broadcast(eex), "s")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sizes = cd.select("doc_id", F.size("sh").alias("sz"))
+    return (
+        shared.join(sizes, "doc_id")
+        .withColumn(
+            "overlap_frac", F.col("n_shared").cast("double") / F.col("sz")
+        )
+        .filter(F.col("overlap_frac") >= min_overlap)
+        .select("doc_id", "eval_id", "overlap_frac")
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

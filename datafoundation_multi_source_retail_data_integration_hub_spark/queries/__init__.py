@@ -12,6 +12,7 @@ oracle. Raw passthrough columns are never rounded.
 
 from . import (
     eventops,
+    llmops,
     multimodalops,
     quality,
     relational,
@@ -23,6 +24,7 @@ from . import (
 
 __all__ = [
     "eventops",
+    "llmops",
     "multimodalops",
     "quality",
     "relational",

@@ -1,0 +1,332 @@
+"""Training-data pipeline operators beyond dedup/similarity: deterministic
+sampling & split assignment, vocabulary building, TF-IDF term extraction,
+and sequence packing — each expressed as one declarative Spark plan with
+an exact DuckDB oracle.
+
+These are the ops a 100 TB corpus pipeline runs between "raw documents"
+and "training shards":
+
+- **hash sampling / splits**: NEVER ``rand()`` — a content- or id-keyed
+  hash makes the sample/split a pure function of the row, so re-runs,
+  backfills, and incremental loads agree. One narrow projection, no
+  shuffle at all.
+- **vocabulary**: explode -> hash-partitioned count -> top-k. Partial
+  aggregation does the heavy lifting map-side; only (token, count) pairs
+  shuffle.
+- **TF-IDF**: two hash aggregations (term-frequency per doc, document
+  frequency per term) joined back on the term — all equi-joins on the
+  token. The idf is kept as the raw ratio (N+1)/(df+1) WITHOUT the log:
+  log is monotone, so top-k term ranking is identical, and the ratio is
+  a single IEEE division that matches bit-for-bit across engines
+  (ln() rounding may differ in the last ulp between libm builds).
+- **sequence packing**: greedy token-budget binning via a running-sum
+  window. Packing is inherently sequential, so it runs per SHARD (a hash
+  of the doc id) — shards pack in parallel, each shard's window is a
+  bounded partition, and the (shard, bin) pair is the pack key. This is
+  exactly how production packing shards 100 TB: no global order exists,
+  only per-shard order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..sources.tables import load_tables
+
+SAMPLE_PCT = 10  # doc_hash_sample keeps h % 100 < SAMPLE_PCT
+TRAIN_PCT = 80  # train/val/test = 80/10/10
+VAL_PCT = 90
+VOCAB_K = 100
+TFIDF_TOP = 3
+PACK_TARGET_TOKENS = 512  # context-window token budget per packed sequence
+PACK_SHARDS = 8
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, "documents")["documents"]
+
+
+def _id_hash(col: str = "doc_id") -> F.Column:
+    """60-bit deterministic hash of the document id (not the content:
+    sample membership must survive text edits/recrawls)."""
+    return TX.md5_long(F.col(col).cast("string"))
+
+
+def _sql_id_hash(col: str = "doc_id") -> str:
+    return TX.sql_md5_long(f"CAST({col} AS VARCHAR)")
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling + split assignment
+# ---------------------------------------------------------------------------
+
+
+def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible SAMPLE_PCT% sample — a filter, not a rand(): the same
+    doc is in the sample on every run, on every engine."""
+    d = _docs(spark, sf_dir)
+    return d.filter(_id_hash() % 100 < SAMPLE_PCT).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+DOC_HASH_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE {_sql_id_hash()} % 100 < {SAMPLE_PCT}
+"""
+
+
+def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) keyed on the id
+    hash — the canonical leakage-safe split: membership is a pure function
+    of the row, disjoint by construction, stable under re-runs."""
+    d = _docs(spark, sf_dir)
+    h = _id_hash() % 100
+    split = (
+        F.when(h < TRAIN_PCT, "train")
+        .when(h < VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return d.select("doc_id", split.alias("split"))
+
+
+DOC_TRAIN_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN {_sql_id_hash()} % 100 < {TRAIN_PCT} THEN 'train'
+            WHEN {_sql_id_hash()} % 100 < {VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# vocabulary build
+# ---------------------------------------------------------------------------
+
+
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-``VOCAB_K`` whitespace tokens by frequency
+    (count desc, token asc tiebreak). Map-side partial counts mean only
+    distinct (token, partial_count) rows shuffle — at 100 TB the shuffle
+    is vocabulary-sized, not corpus-sized."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        F.explode(TX.ws_tokens(TX.normalized_text(F.col("text")))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(VOCAB_K)
+    )
+
+
+VOCAB_TOP_TOKENS_ORACLE = f"""
+SELECT token, count(*) AS n_occurrences
+FROM (SELECT unnest(string_split_regex({TX.sql_normalized('text')}, '\\s+'))
+        AS token FROM documents)
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT {VOCAB_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TFIDF_TOP`` terms per doc by tf * (N+1)/(df+1), rank ties
+    broken by token order. Two hash aggregations + one equi-join on the
+    token; the doc-frequency side is vocabulary-sized (broadcastable)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(TX.ws_tokens(TX.normalized_text(F.col("text")))).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = toks.select("doc_id", "token").distinct().groupBy("token").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = d.count()
+    scored = tf.join(df_, "token").withColumn(
+        "tfidf",
+        F.col("tf")
+        * (F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1)).cast("double")),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TFIDF_TOP)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rank")
+    )
+
+
+def _sql_tfidf_oracle() -> str:
+    toks = f"""
+SELECT doc_id,
+       unnest(string_split_regex({TX.sql_normalized('text')}, '\\s+')) AS token
+FROM documents
+"""
+    return f"""
+WITH toks AS ({toks}),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT token, count(*) AS df
+       FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         tf.tf * (CAST(n.n_docs + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE))
+           AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, df, tfidf, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every doc to a (shard, bin) pack: docs are sharded by id
+    hash, ordered by doc_id within the shard, and greedily binned so each
+    bin holds ~``PACK_TARGET_TOKENS`` whitespace tokens (a doc starts a
+    new bin when the running total before it crosses the budget —
+    ``bin = floor(cum_before / target)``).
+
+    Scale shape: the only window is per-shard (PACK_SHARDS-way parallel,
+    each partition-bounded); production raises the shard count so shards
+    stay executor-sized. No global order is needed — or meaningful — when
+    packing a distributed corpus.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        (_id_hash() % PACK_SHARDS).alias("shard"),
+        TX.ws_token_count(TX.normalized_text(F.col("text"))).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn(
+            "bin_id",
+            F.floor(
+                (F.col("cum_tokens") - F.col("n_tokens"))
+                / F.lit(PACK_TARGET_TOKENS)
+            ).cast("long"),
+        )
+        .select("doc_id", "shard", "n_tokens", "cum_tokens", "bin_id")
+    )
+
+
+DOC_PACK_SEQUENCES_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         {_sql_id_hash()} % {PACK_SHARDS} AS shard,
+         len(string_split_regex({TX.sql_normalized('text')}, '\\s+'))
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM toks
+)
+SELECT doc_id, shard, n_tokens, cum_tokens,
+       CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE)
+                  / {PACK_TARGET_TOKENS}) AS BIGINT) AS bin_id
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+EVAL_STRIDE = 50  # docs with doc_id % EVAL_STRIDE == 0 act as the benchmark
+CONTAM_N = 3
+CONTAM_MIN_OVERLAP = 0.3
+
+
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs leaking benchmark content: directional shingle
+    overlap vs a held-out eval subset (see
+    ``operators.dedup.contamination_pairs``)."""
+    from ..operators.dedup import contamination_pairs
+
+    d = _docs(spark, sf_dir)
+    eval_set = d.filter(F.col("doc_id") % EVAL_STRIDE == 0)
+    corpus = d.filter(F.col("doc_id") % EVAL_STRIDE != 0)
+    return contamination_pairs(
+        corpus,
+        eval_set,
+        "text",
+        "doc_id",
+        n=CONTAM_N,
+        min_overlap=CONTAM_MIN_OVERLAP,
+    )
+
+
+_SQL_CONTAM_SH = TX.sql_hashed_word_shingles("text", CONTAM_N)
+
+DOC_CONTAMINATION_ORACLE = f"""
+WITH cd AS (
+  SELECT * FROM (
+    SELECT doc_id, {_SQL_CONTAM_SH} AS sh FROM documents
+    WHERE doc_id % {EVAL_STRIDE} <> 0
+  ) WHERE len(sh) > 0
+),
+ed AS (
+  SELECT * FROM (
+    SELECT doc_id, {_SQL_CONTAM_SH} AS sh FROM documents
+    WHERE doc_id % {EVAL_STRIDE} = 0
+  ) WHERE len(sh) > 0
+),
+cex AS (SELECT doc_id, unnest(sh) AS s FROM cd),
+eex AS (SELECT doc_id AS eval_id, unnest(sh) AS s FROM ed),
+shared AS (
+  SELECT doc_id, eval_id, count(*) AS n_shared
+  FROM cex JOIN eex USING (s) GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(sh) AS sz FROM cd)
+SELECT doc_id, eval_id, CAST(n_shared AS DOUBLE) / sz AS overlap_frac
+FROM shared JOIN sizes USING (doc_id)
+WHERE CAST(n_shared AS DOUBLE) / sz >= {CONTAM_MIN_OVERLAP}
+"""
+
+
+QUERIES = {
+    "doc_hash_sample": doc_hash_sample,
+    "doc_train_split": doc_train_split,
+    "vocab_top_tokens": vocab_top_tokens,
+    "doc_tfidf_top_terms": doc_tfidf_top_terms,
+    "doc_pack_sequences": doc_pack_sequences,
+    "doc_contamination": doc_contamination,
+}
+
+ORACLES = {
+    "doc_hash_sample": DOC_HASH_SAMPLE_ORACLE,
+    "doc_train_split": DOC_TRAIN_SPLIT_ORACLE,
+    "vocab_top_tokens": VOCAB_TOP_TOKENS_ORACLE,
+    "doc_tfidf_top_terms": _sql_tfidf_oracle(),
+    "doc_pack_sequences": DOC_PACK_SEQUENCES_ORACLE,
+    "doc_contamination": DOC_CONTAMINATION_ORACLE,
+}
