@@ -78,13 +78,20 @@ def brute_force_topk(
         # narrow the exchange rows: vectors are dead weight past this point
         .select("query_id", "neighbor_id", "cosine")
     )
+    return exact_topk_per_query(scored, k)
+
+
+def exact_topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Two-stage exact top-k over (query_id, neighbor_id, cosine) rows.
+
+    A single per-query window funnels each query's ENTIRE scored set
+    through one task (n_queries tasks total — the scale wall). Stage 1
+    ranks per (query, input-partition): the exchange spreads over
+    n_queries * n_partitions keys and the global top-k is provably a
+    subset of the per-partition top-k's, so stage 2's exact window sees
+    only <= k * n_partitions rows per query.
+    """
     order = (F.col("cosine").desc(), F.col("neighbor_id"))
-    # Two-stage exact top-k. A single per-query window funnels each query's
-    # ENTIRE scored corpus through one task (n_queries tasks total — the
-    # scale wall). Stage 1 ranks per (query, input-partition): the exchange
-    # spreads over n_queries * n_partitions keys and the global top-k is
-    # provably a subset of the per-partition top-k's, so stage 2's exact
-    # window sees only <= k * n_partitions rows per query.
     local_w = Window.partitionBy("query_id", "__pid").orderBy(*order)
     survivors = (
         scored.withColumn("__pid", F.spark_partition_id())
@@ -289,12 +296,80 @@ def lsh_ann_topk(
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
+        .select("query_id", "neighbor_id", "cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
+    return exact_topk_per_query(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroid_stride: int = 100,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into Voronoi
+    cells around centroid vectors, probe only the ``nprobe`` cells nearest
+    each query, score exactly within the probed cells.
+
+    Coarse quantizer: every ``centroid_stride``-th corpus vector serves as
+    a centroid — deterministic (hence cross-engine oracle-checkable) and a
+    standard cheap init; production swaps in k-means centroids through the
+    same cell-assignment plan, nothing else changes.
+
+    Scale shape: centroids broadcast (C = n/stride rows); cell assignment
+    is one map-side pass (crossJoin vs the broadcast + partial-aggregated
+    ``max_by`` — the shuffle carries one row per corpus vector, never the
+    corpus x C scored pairs); the probe join is an equi-join on the cell
+    id with the tiny query side broadcast. Recall rises with ``nprobe``
+    exactly as in FAISS-style IVF.
+    """
+    cents = corpus.filter((F.col(id_col) % centroid_stride) == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("centv")
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    # tie rule: highest cosine, then LOWEST centroid id -> max_by on the
+    # (csim, -cid) pair, mirrored by arg_max(cid, [csim, -cid]) in DuckDB
+    ckey = F.struct(
+        F.col("csim"), (-F.col("cid")).cast("double").alias("ncid")
     )
+    corpus_cells = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn("csim", cosine(F.col("cvec"), F.col("centv")))
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by("cid", ckey).alias("cid"),
+            F.first("cvec").alias("cvec"),
+        )
+    )
+    qscored = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn("csim", cosine(F.col("qvec"), F.col("centv")))
+    )
+    qw = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cid")
+    )
+    probes = (
+        qscored.withColumn("__pr", F.row_number().over(qw))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "qvec", "cid")
+    )
+    scored = (
+        corpus_cells.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    return exact_topk_per_query(scored, k)

@@ -14,6 +14,7 @@ from ..operators.similarity import (
     brute_force_topk,
     cosine_neardup_pairs,
     hyperplanes,
+    ivf_ann_topk,
     lsh_ann_topk,
 )
 from ..sources.tables import load_tables
@@ -123,6 +124,67 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+IVF_STRIDE = 100
+IVF_NPROBE = 2
+
+
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_ann_topk(
+        emb,
+        queries,
+        TOP_K,
+        centroid_stride=IVF_STRIDE,
+        nprobe=IVF_NPROBE,
+    )
+
+
+def _sql_ivf_oracle() -> str:
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS centv FROM embeddings
+  WHERE vec_id % {IVF_STRIDE} = 0
+),
+corpus_cells AS (
+  SELECT neighbor_id, cid, cvec FROM (
+    SELECT c.vec_id AS neighbor_id, c.embedding AS cvec, cents.cid,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY {_sql_dot("c.embedding", "cents.centv")}
+               / ({_sql_norm("c.embedding")} * {_sql_norm("cents.centv")})
+               DESC, cents.cid) AS rn
+    FROM embeddings c CROSS JOIN cents
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qvec, cid FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qvec, cents.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_sql_dot("q.embedding", "cents.centv")}
+               / ({_sql_norm("q.embedding")} * {_sql_norm("cents.centv")})
+               DESC, cents.cid) AS pr
+    FROM embeddings q CROSS JOIN cents WHERE q.vec_id < {N_QUERIES}
+  ) WHERE pr <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_sql_dot("qvec", "cvec")}
+           / ({_sql_norm("qvec")} * {_sql_norm("cvec")}) AS cosine
+  FROM corpus_cells JOIN probes USING (cid)
+  WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER)
+    AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(
         _emb(spark, sf_dir), NEARDUP_TAU, n_planes=N_PLANES, dim=DIM
@@ -149,11 +211,13 @@ WHERE a.vid < b.vid
 QUERIES = {
     "embedding_topk_bruteforce": embedding_topk_bruteforce,
     "embedding_ann_lsh": embedding_ann_lsh,
+    "embedding_ann_ivf": embedding_ann_ivf,
     "embedding_cosine_neardup": embedding_cosine_neardup,
 }
 
 ORACLES = {
     "embedding_topk_bruteforce": EMBEDDING_TOPK_ORACLE,
     "embedding_ann_lsh": _sql_ann_oracle(),
+    "embedding_ann_ivf": _sql_ivf_oracle(),
     "embedding_cosine_neardup": _sql_neardup_oracle(),
 }

@@ -32,6 +32,21 @@ def test_ann_results_subset_of_bruteforce_corpus(spark):
     assert recall > 0.1  # sanity floor: one 8-bit bucket probe, tiny corpus
 
 
+def test_ivf_results_subset_of_bruteforce_corpus(spark):
+    """Every IVF hit carries the exact cosine brute force computes; recall
+    measured for visibility (probing 2 of ~5 cells on the tiny corpus)."""
+    bf = vectors.QUERIES["embedding_topk_bruteforce"](spark, SF_SMOKE).collect()
+    ivf = vectors.QUERIES["embedding_ann_ivf"](spark, SF_SMOKE).collect()
+    bf_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in bf}
+    hits = 0
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf_cos:
+            assert r["cosine"] == bf_cos[key]
+            hits += 1
+    assert hits / len(bf) > 0.2  # nprobe=2 of ~5 cells
+
+
 def test_neardup_recall_two_parameterizations(spark):
     """Scale parameterization contract: deeper hashes (more planes) trade
     recall for smaller buckets; OR-amplification (n_tables) buys it back.
