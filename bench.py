@@ -44,8 +44,13 @@ HEADLINE = [
     "doc_ngram_jaccard_pairs",
     "doc_minhash_lsh_pairs",
     "doc_simhash",
+    "doc_contamination",
+    "vocab_top_tokens",
+    "doc_tfidf_top_terms",
+    "doc_pack_sequences",
     "embedding_topk_bruteforce",
     "embedding_ann_lsh",
+    "embedding_ann_ivf",
     "embedding_cosine_neardup",
     "events_tumbling_10m",
     "events_sliding_10m_5m",
