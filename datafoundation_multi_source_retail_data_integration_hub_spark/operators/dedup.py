@@ -96,16 +96,24 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     # Tokens are staged into their own projection first — building the
     # shingles directly off the split expression re-runs the regex split
     # per lambda element (O(tokens^2); measured 7x slower at sf0.1).
+    #
+    # The no-shingle filter is phrased on the TOKEN count, not
+    # size(sh) > 0: a predicate on the computed shingle column gets
+    # alias-substituted and pushed below the projection, silently
+    # re-running the whole shingle+md5 pipeline inside the Filter
+    # (measured ~9s of the 10s shingle cost at sf0.1). A doc yields a
+    # shingle iff it has >= n tokens, and the token-count predicate only
+    # re-evaluates the split.
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         ws_tokens(normalized_text(F.col(text_col))).alias("__toks"),
-    )
+    ).filter(F.size("__toks") >= n)
     return toks.select(
         "doc_id",
         F.transform(
             shingles_from_tokens(F.col("__toks"), n), md5_long
         ).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    )
 
 
 def jaccard_pairs(
