@@ -13,10 +13,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.parity import stable_avg, stable_sum, sql_stable_avg, sql_stable_sum
+from ..operators.asof import asof_join
+from ..operators.rangejoin import time_window_pairs
 from ..operators.sessionize import session_stats
 from ..sources.tables import load_tables
 
 SESSION_GAP_SECONDS = 1800
+PAIR_GAP_SECONDS = 300
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,15 +186,120 @@ SELECT event_id, ts, user_id, event_type, value, props FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# As-of join: attribute each purchase to the user's latest prior click
+# ---------------------------------------------------------------------------
+
+
+def events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream attribution via the as-of join operator: every purchase
+    event carries the same user's most recent click at-or-before it
+    (NULL when the purchase precedes all clicks). ``gap_us`` is the exact
+    integer microsecond gap — no float time arithmetic."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        tie_break="click_id",
+    )
+    return j.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+
+
+# The oracle is DuckDB's NATIVE ASOF JOIN. Ties (two clicks at the same
+# truncated microsecond for one user) are deduped to the max click_id
+# first, because ASOF keeps an arbitrary tied row while the Spark
+# operator's tie_break pins the greatest id.
+EVENTS_ASOF_ORACLE = """
+WITH c AS (
+  SELECT user_id, click_id, click_ts FROM (
+    SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts,
+           row_number() OVER (
+             PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+             ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click'
+  ) WHERE rn = 1
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, c.click_id,
+       epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS gap_us
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Banded range join: co-occurring event pairs within 5 minutes
+# ---------------------------------------------------------------------------
+
+
+def events_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event pairs within PAIR_GAP_SECONDS of each other (any users),
+    summarized per type pair — the banded range join versus the oracle's
+    direct inequality join (which DuckDB runs as IEJoin; naive Spark
+    would BNL-scan n² pairs)."""
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "ts")
+    pairs = time_window_pairs(ev, "ts", "event_id", PAIR_GAP_SECONDS)
+    return pairs.groupBy("a_event_type", "b_event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum("gap_us").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0),
+            4,
+        ).alias("avg_gap_sec"),
+    )
+
+
+# sum(gap_us) stays integer-exact in both engines (DuckDB HUGEINT cast
+# down; well under 2^53 → the double division is bit-identical).
+EVENTS_CLOSE_PAIRS_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+)
+SELECT a.event_type AS a_event_type, b.event_type AS b_event_type,
+       count(*) AS n_pairs,
+       round(CAST(CAST(sum(abs(a.us - b.us)) AS BIGINT) AS DOUBLE)
+             / count(*) / 1000000.0, 4) AS avg_gap_sec
+FROM e a JOIN e b
+  ON a.event_id < b.event_id
+ AND abs(a.us - b.us) <= {PAIR_GAP_SECONDS * 1_000_000}
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_tumbling_10m": events_tumbling_10m,
     "events_sliding_10m_5m": events_sliding_10m_5m,
     "events_sessionization": events_sessionization,
     "events_json_flatten": events_json_flatten,
     "events_first_per_user_type": events_first_per_user_type,
+    "events_purchase_attribution": events_purchase_attribution,
+    "events_close_pairs": events_close_pairs,
 }
 
 ORACLES = {
+    "events_purchase_attribution": EVENTS_ASOF_ORACLE,
+    "events_close_pairs": EVENTS_CLOSE_PAIRS_ORACLE,
     "events_tumbling_10m": EVENTS_TUMBLING_ORACLE,
     "events_sliding_10m_5m": EVENTS_SLIDING_ORACLE,
     "events_sessionization": EVENTS_SESSION_ORACLE,
