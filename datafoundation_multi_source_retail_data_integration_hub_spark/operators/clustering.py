@@ -1,0 +1,138 @@
+"""Distributed k-means (Lloyd's algorithm) over an embedding column —
+the trainer for IVF coarse quantizers and corpus partitioning/curation.
+
+Spark shape per iteration (the production Lloyd's-on-Spark layout):
+
+- centroids live on the DRIVER (k × dim doubles — scalar-sized) and enter
+  the plan as a literal array, so cell assignment is a pure map-side
+  expression (no join, no shuffle, whole-stage codegen);
+- the update step is one partial-aggregated groupBy(cluster): the
+  exchange carries k × dim decimal partial sums per map task, never the
+  vectors. At 100 TB each iteration is exactly one scan + one tiny
+  shuffle; sampling a mini-batch per iteration drops the scan cost too.
+
+Cross-engine determinism (the DuckDB oracle hash-matches):
+
+- seeds: the k vectors with the smallest md5-derived 60-bit hash of
+  their id — a pure function of the data;
+- distances: squared L2 via the left-fold ``zip_with``+``aggregate``
+  float64 pattern (bit-exact vs DuckDB ``list_sum(list_transform)``);
+- assignment ties: lexicographic ``array_min`` over (dist, cluster_id)
+  structs — smallest distance, then smallest cluster id;
+- means: per-dimension DECIMAL(27,6) sums (order-independent, exact)
+  divided in float64 — identical operands → identical centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.parity import DEC
+from ..functions.text import md5_long
+
+Centroids = list[tuple[int, list[float]]]
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a strict left fold in float64."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _centroid_literal(centroids: Centroids) -> Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cv"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: Centroids,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append ``cluster_id`` (nearest centroid, squared-L2) and
+    ``sq_dist`` — one map-side expression, no shuffle, no join."""
+    # stage the double-cast vector: captured expressions inside the
+    # transform lambda would re-evaluate per centroid
+    staged = df.withColumn(
+        "__dvec", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    )
+    best = F.array_min(
+        F.transform(
+            _centroid_literal(centroids),
+            lambda c: F.struct(
+                sq_dist(F.col("__dvec"), c["cv"]).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    return (
+        staged.withColumn("__best", best)
+        .withColumn("cluster_id", F.col("__best.cid"))
+        .withColumn("sq_dist", F.col("__best.d"))
+        .drop("__dvec", "__best")
+    )
+
+
+def seed_centroids(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Centroids:
+    """Deterministic init: the k vectors with the smallest 60-bit
+    md5-hash of their id, numbered 0..k-1 in hash order."""
+    rows = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            md5_long(F.col(id_col).cast("string")).alias("__h"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        )
+        .orderBy("__h", "__id")
+        .limit(k)
+        .collect()
+    )
+    return [(i, list(r["__v"])) for i, r in enumerate(rows)]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> Centroids:
+    """Run ``n_iter`` Lloyd's updates from the deterministic seeds and
+    return the fitted centroids. Empty clusters drop out (their id simply
+    stops appearing), matching the unrolled SQL oracle."""
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col))).limit(1).collect()[0][0]
+    centroids = seed_centroids(df, k, vec_col, id_col)
+    for _ in range(n_iter):
+        assigned = assign_clusters(df, centroids, vec_col).withColumn(
+            "__dvec", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        )
+        mean_exprs = [
+            (
+                F.sum(F.col("__dvec")[i].cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias(f"c{i}")
+            for i in range(dim)
+        ]
+        rows = assigned.groupBy("cluster_id").agg(*mean_exprs).collect()
+        centroids = sorted(
+            (int(r["cluster_id"]), [r[f"c{i}"] for i in range(dim)])
+            for r in rows
+        )
+    return centroids

@@ -314,6 +314,7 @@ def ivf_ann_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into Voronoi
     cells around centroid vectors, probe only the ``nprobe`` cells nearest
@@ -331,9 +332,14 @@ def ivf_ann_topk(
     id with the tiny query side broadcast. Recall rises with ``nprobe``
     exactly as in FAISS-style IVF.
     """
-    cents = corpus.filter((F.col(id_col) % centroid_stride) == 0).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("centv")
-    )
+    if centroids is not None:
+        # trained quantizer (e.g. operators.clustering.kmeans_fit):
+        # (cid, centv) rows drop into the identical cell-assignment plan
+        cents = centroids.select("cid", "centv")
+    else:
+        cents = corpus.filter((F.col(id_col) % centroid_stride) == 0).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("centv")
+        )
     # tie rule: highest cosine, then LOWEST centroid id -> max_by on the
     # (csim, -cid) pair, mirrored by arg_max(cid, [csim, -cid]) in DuckDB
     ckey = F.struct(

@@ -208,14 +208,94 @@ WHERE a.vid < b.vid
 """
 
 
+KMEANS_K = 8
+KMEANS_ITER = 2
+
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (deterministic hash seeds, 2 update steps) and the
+    final cell census: per cluster, member count and exact inertia. The
+    oracle is the fully UNROLLED iteration in SQL — seeds, two
+    assign+update rounds, final assignment — hash-matched end-to-end."""
+    from ..functions.parity import stable_sum
+    from ..operators.clustering import assign_clusters, kmeans_fit
+
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_fit(emb, k=KMEANS_K, n_iter=KMEANS_ITER, dim=DIM)
+    return (
+        assign_clusters(emb, cents)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            stable_sum(F.col("sq_dist")).alias("inertia"),
+        )
+    )
+
+
+def _sql_kmeans_oracle() -> str:
+    from ..functions.parity import sql_stable_sum
+    from ..functions.text import sql_md5_long
+
+    def sqd(v: str, c: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {DIM}), "
+            f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
+        )
+
+    def assign(cents: str) -> str:
+        return f"""(
+  SELECT vec_id, vec, cid AS cluster_id, dist FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM (
+      SELECT v.vec_id, v.vec, s.cid, {sqd("v.vec", "s.vec")} AS dist
+      FROM v CROSS JOIN {cents} s
+    )
+  ) WHERE rn = 1
+)"""
+
+    mean_list = ", ".join(
+        f"CAST(sum(CAST(vec[{i + 1}] AS DECIMAL(27,6))) AS DOUBLE) / count(*)"
+        for i in range(DIM)
+    )
+
+    def update(assigned: str) -> str:
+        return f"""(
+  SELECT cluster_id AS cid, [{mean_list}] AS vec
+  FROM {assigned} GROUP BY cluster_id
+)"""
+
+    seeds = f"""(
+  SELECT CAST(rn - 1 AS INTEGER) AS cid, vec FROM (
+    SELECT vec, row_number() OVER (
+      ORDER BY {sql_md5_long("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
+    FROM v
+  ) WHERE rn <= {KMEANS_K}
+)"""
+    cents = seeds
+    for _ in range(KMEANS_ITER):
+        cents = update(assign(cents))
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+)
+SELECT cluster_id, count(*) AS n_vectors,
+       {sql_stable_sum("dist")} AS inertia
+FROM {assign(cents)}
+GROUP BY cluster_id
+"""
+
+
 QUERIES = {
     "embedding_topk_bruteforce": embedding_topk_bruteforce,
     "embedding_ann_lsh": embedding_ann_lsh,
     "embedding_ann_ivf": embedding_ann_ivf,
     "embedding_cosine_neardup": embedding_cosine_neardup,
+    "embedding_kmeans": embedding_kmeans,
 }
 
 ORACLES = {
+    "embedding_kmeans": _sql_kmeans_oracle(),
     "embedding_topk_bruteforce": EMBEDDING_TOPK_ORACLE,
     "embedding_ann_lsh": _sql_ann_oracle(),
     "embedding_ann_ivf": _sql_ivf_oracle(),

@@ -1,0 +1,80 @@
+"""k-means: determinism, Lloyd's-monotonicity, and the trained-quantizer
+path through IVF ANN (recall vs brute force must not collapse)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafoundation_multi_source_retail_data_integration_hub_spark.functions.parity import (
+    stable_sum,
+)
+from datafoundation_multi_source_retail_data_integration_hub_spark.operators.clustering import (
+    assign_clusters,
+    kmeans_fit,
+    seed_centroids,
+)
+from datafoundation_multi_source_retail_data_integration_hub_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_ann_topk,
+)
+from datafoundation_multi_source_retail_data_integration_hub_spark.sources.tables import (
+    load_table,
+)
+
+from .conftest import SF_SMOKE
+
+K = 4
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings")
+
+
+def _inertia(df, cents) -> float:
+    return (
+        assign_clusters(df, cents)
+        .agg(stable_sum(F.col("sq_dist")))
+        .first()[0]
+    )
+
+
+def test_kmeans_deterministic(emb):
+    a = kmeans_fit(emb, k=K, n_iter=2, dim=DIM)
+    b = kmeans_fit(emb, k=K, n_iter=2, dim=DIM)
+    assert a == b  # exact float equality: the whole pipeline is pinned
+
+
+def test_kmeans_inertia_monotone(emb):
+    seeds = seed_centroids(emb, K)
+    fitted1 = kmeans_fit(emb, k=K, n_iter=1, dim=DIM)
+    fitted2 = kmeans_fit(emb, k=K, n_iter=2, dim=DIM)
+    i0, i1, i2 = (_inertia(emb, c) for c in (seeds, fitted1, fitted2))
+    assert i1 < i0  # one Lloyd's step strictly improves random-ish seeds
+    assert i2 <= i1
+
+
+def test_kmeans_covers_all_vectors(emb):
+    cents = kmeans_fit(emb, k=K, n_iter=1, dim=DIM)
+    assigned = assign_clusters(emb, cents)
+    assert assigned.count() == emb.count()
+    n_cells = assigned.select("cluster_id").distinct().count()
+    assert 1 <= n_cells <= K
+
+
+def test_ivf_with_kmeans_centroids(spark, emb):
+    cents = kmeans_fit(emb, k=K, n_iter=2, dim=DIM)
+    cents_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents], "cid INT, centv ARRAY<DOUBLE>"
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    k = 5
+    ann = ivf_ann_topk(emb, queries, k, nprobe=2, centroids=cents_df)
+    exact = brute_force_topk(emb, queries, k)
+    got = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    want = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    assert len(got) == 5 * k  # every query answered from its probed cells
+    recall = len(got & want) / len(want)
+    assert recall >= 0.3  # nprobe=2 of 4 coarse cells on random vectors
