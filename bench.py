@@ -55,6 +55,10 @@ HEADLINE = [
     "events_tumbling_10m",
     "events_sliding_10m_5m",
     "events_sessionization",
+    "events_purchase_attribution",
+    "events_close_pairs",
+    "doc_quality_filter",
+    "embedding_kmeans",
     "stream_tumbling_counts",
 ]
 

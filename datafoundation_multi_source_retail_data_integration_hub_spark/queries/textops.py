@@ -369,7 +369,82 @@ SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style rule-based quality filter
+# ---------------------------------------------------------------------------
+
+# Rule thresholds (Gopher/Rae-et-al-shaped, tuned so each rule actually
+# fires on this corpus): word-count band, mean-word-length band, minimum
+# stopword density, maximum punctuation density.
+QF_MIN_WORDS = 25
+QF_MAX_WORDS = 90
+QF_WL_MIN = 3.8
+QF_WL_MAX = 5.2
+QF_STOP_MIN = 0.05
+QF_PUNCT_MAX = 0.2
+
+
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc rule flags + the keep verdict — the rule-based quality
+    gate a pretraining pipeline runs before dedup. One codegen'd
+    projection, no shuffle; raw (unrounded) doubles feed the comparisons
+    so the verdict is exact in both engines."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    staged = d.select("doc_id", t.alias("text"), TX.ws_tokens(t).alias("__toks"))
+    n = F.size("__toks")
+    wl = F.aggregate(
+        F.transform(F.col("__toks"), lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double") / n
+    flags = staged.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(wl, 4).alias("mean_word_len"),
+        (n < QF_MIN_WORDS).alias("too_short"),
+        (n > QF_MAX_WORDS).alias("too_long"),
+        ((wl < QF_WL_MIN) | (wl > QF_WL_MAX)).alias("bad_word_len"),
+        (TX.stopword_ratio(t) < QF_STOP_MIN).alias("low_stopword"),
+        (TX.punct_ratio(t) > QF_PUNCT_MAX).alias("high_punct"),
+    )
+    return flags.withColumn(
+        "keep",
+        ~(
+            F.col("too_short")
+            | F.col("too_long")
+            | F.col("bad_word_len")
+            | F.col("low_stopword")
+            | F.col("high_punct")
+        ),
+    )
+
+
+DOC_QUALITY_FILTER_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id,
+         len({_SQL_TOKS}) AS n_words,
+         CAST(list_sum(list_transform({_SQL_TOKS}, t -> len(t))) AS DOUBLE)
+           / len({_SQL_TOKS}) AS wl,
+         {_SQL_STOPR} AS stopr,
+         {_SQL_PUNCT} AS punctr
+  FROM documents
+)
+SELECT doc_id, n_words, round(wl, 4) AS mean_word_len,
+       n_words < {QF_MIN_WORDS} AS too_short,
+       n_words > {QF_MAX_WORDS} AS too_long,
+       (wl < {QF_WL_MIN} OR wl > {QF_WL_MAX}) AS bad_word_len,
+       stopr < {QF_STOP_MIN} AS low_stopword,
+       punctr > {QF_PUNCT_MAX} AS high_punct,
+       NOT (n_words < {QF_MIN_WORDS} OR n_words > {QF_MAX_WORDS}
+            OR wl < {QF_WL_MIN} OR wl > {QF_WL_MAX}
+            OR stopr < {QF_STOP_MIN} OR punctr > {QF_PUNCT_MAX}) AS keep
+FROM s
+"""
+
+
 QUERIES = {
+    "doc_quality_filter": doc_quality_filter,
     "doc_text_stats": doc_text_stats,
     "doc_winnowing_fingerprints": doc_winnowing_fingerprints,
     "doc_neardup_clusters": doc_neardup_clusters,
@@ -384,6 +459,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_quality_filter": DOC_QUALITY_FILTER_ORACLE,
     "doc_text_stats": DOC_TEXT_STATS_ORACLE,
     "doc_winnowing_fingerprints": DOC_WINNOWING_ORACLE,
     "doc_neardup_clusters": DOC_NEARDUP_CLUSTERS_ORACLE,
