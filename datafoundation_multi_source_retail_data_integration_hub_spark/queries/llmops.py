@@ -101,6 +101,49 @@ FROM documents
 """
 
 
+# Per-language sampling rates (percent) — the data-mixture knob: upsample
+# scarce languages, downsample the dominant one. Unlisted strata keep
+# DEFAULT_STRATUM_PCT.
+STRATA_PCT = {"en": 30, "de": 80, "fr": 80, "es": 60, "zh": 60}
+DEFAULT_STRATUM_PCT = 10
+
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates applied
+    through the same id-hash gate as ``doc_hash_sample`` — the mixture is
+    reproducible row-by-row, and the census (total vs kept per stratum)
+    is the mixture report a pipeline logs. Pure narrow projection + one
+    vocabulary-sized aggregation."""
+    d = _docs(spark, sf_dir)
+    rate = F.lit(DEFAULT_STRATUM_PCT)
+    for lg, pct in STRATA_PCT.items():
+        rate = F.when(F.col("lang") == lg, F.lit(pct)).otherwise(rate)
+    kept = (_id_hash() % 100 < rate).cast("long")
+    return (
+        d.select("lang", kept.alias("__kept"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("__kept").alias("n_kept"),
+        )
+    )
+
+
+def _sql_rate() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lg}' THEN {pct}" for lg, pct in STRATA_PCT.items()
+    )
+    return f"CASE {whens} ELSE {DEFAULT_STRATUM_PCT} END"
+
+
+DOC_STRATIFIED_SAMPLE_ORACLE = f"""
+SELECT lang, count(*) AS n_total,
+       CAST(sum(CASE WHEN {_sql_id_hash()} % 100 < {_sql_rate()}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # vocabulary build
 # ---------------------------------------------------------------------------
@@ -315,6 +358,7 @@ WHERE CAST(n_shared AS DOUBLE) / sz >= {CONTAM_MIN_OVERLAP}
 
 QUERIES = {
     "doc_hash_sample": doc_hash_sample,
+    "doc_stratified_sample": doc_stratified_sample,
     "doc_train_split": doc_train_split,
     "vocab_top_tokens": vocab_top_tokens,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
@@ -324,6 +368,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_hash_sample": DOC_HASH_SAMPLE_ORACLE,
+    "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_ORACLE,
     "doc_train_split": DOC_TRAIN_SPLIT_ORACLE,
     "vocab_top_tokens": VOCAB_TOP_TOKENS_ORACLE,
     "doc_tfidf_top_terms": _sql_tfidf_oracle(),

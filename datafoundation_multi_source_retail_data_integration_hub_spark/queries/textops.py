@@ -443,8 +443,62 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# Winnowing-fingerprint overlap pairs (shared-substring detection)
+# ---------------------------------------------------------------------------
+
+WINNOW_MIN_SHARED = 3  # pairs must share >= this many winnowed fingerprints
+WINNOW_DF_CAP = 50  # fingerprints in more docs than this are stop-grams
+
+
+def doc_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc pairs sharing >= WINNOW_MIN_SHARED winnowed fingerprints — the
+    MOSS-style shared-substring (plagiarism / boilerplate) detector.
+    Same inverted-index shape as the Jaccard join: equi-join on the
+    fingerprint, never all-pairs; fingerprints above the document-
+    frequency cap (boilerplate n-grams, the quadratic contributors) are
+    dropped via a broadcast anti-join of the small hot set."""
+    fps = doc_winnowing_fingerprints(spark, sf_dir)
+    hot = (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > WINNOW_DF_CAP)
+        .select("fingerprint")
+    )
+    rare = fps.join(F.broadcast(hot), "fingerprint", "left_anti")
+    a = rare.select(F.col("doc_id").alias("doc_id_1"), "fingerprint")
+    b = rare.select(F.col("doc_id").alias("doc_id_2"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= WINNOW_MIN_SHARED)
+    )
+
+
+DOC_WINNOWING_PAIRS_ORACLE = f"""
+WITH fp AS MATERIALIZED (
+  SELECT doc_id,
+         unnest({TX.sql_winnowing_fingerprints('text', N_SHINGLE, WINNOW_WINDOW)})
+           AS fingerprint
+  FROM documents
+),
+rare AS MATERIALIZED (
+  SELECT * FROM fp WHERE fingerprint IN (
+    SELECT fingerprint FROM fp GROUP BY 1 HAVING count(*) <= {WINNOW_DF_CAP})
+)
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_shared_fps
+FROM rare a JOIN rare b USING (fingerprint)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
 QUERIES = {
     "doc_quality_filter": doc_quality_filter,
+    "doc_winnowing_pairs": doc_winnowing_pairs,
     "doc_text_stats": doc_text_stats,
     "doc_winnowing_fingerprints": doc_winnowing_fingerprints,
     "doc_neardup_clusters": doc_neardup_clusters,
@@ -460,6 +514,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_quality_filter": DOC_QUALITY_FILTER_ORACLE,
+    "doc_winnowing_pairs": DOC_WINNOWING_PAIRS_ORACLE,
     "doc_text_stats": DOC_TEXT_STATS_ORACLE,
     "doc_winnowing_fingerprints": DOC_WINNOWING_ORACLE,
     "doc_neardup_clusters": DOC_NEARDUP_CLUSTERS_ORACLE,
