@@ -33,6 +33,22 @@ from ..functions.text import md5_long
 
 Centroids = list[tuple[int, list[float]]]
 
+# Persisted intermediates registered for storage hygiene in long-lived
+# sessions (same pattern as operators.dedup): correctness never depends on
+# the cache, so releasing early just recomputes.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    _PERSISTED.append(df)
+    return df.persist()
+
+
+def unpersist_all() -> None:
+    """Release every intermediate persisted by this module's operators."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
 
 def sq_dist(a: Column, b: Column) -> Column:
     """Squared L2 distance as a strict left fold in float64."""
@@ -136,3 +152,65 @@ def kmeans_fit(
             for r in rows
         )
     return centroids
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: Centroids,
+    tau: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with a trained k-means
+    quantizer, then drop any vector that has a same-cluster neighbor
+    with a SMALLER id and cosine >= ``tau`` — "keep the lowest id per
+    semantic neighborhood". Output: (``id_col``, cluster_id, is_kept).
+
+    Scale shape: the quadratic pair work is confined WITHIN clusters —
+    one shuffle on cluster_id, then a partition-local self-join. With k
+    grown proportionally to corpus size (SemDeDup uses ~n/1000 clusters)
+    per-cluster membership stays bounded, so the join never approaches
+    all-pairs. Assignment itself is a map-side expression (centroids are
+    a driver-held literal — no join, no shuffle). A pathologically hot
+    cluster is the skew risk; AQE skew-join splitting handles moderate
+    skew, and re-bisecting oversized cells is the structural fix.
+
+    The assigned frame (id, cluster_id, double-cast vector) feeds both
+    join sides and the final flag projection, so it is persisted — the
+    corpus is scanned and assigned once, not three times (verified: the
+    unpersisted plan shows three parquet scans, no exchange reuse).
+    Release with ``unpersist_all()`` after the consuming action.
+    """
+    from .similarity import cosine
+
+    assigned = _persist(
+        assign_clusters(df, centroids, vec_col).select(
+            F.col(id_col),
+            "cluster_id",
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        )
+    )
+    x = assigned.select(
+        F.col(id_col), "cluster_id", F.col("__v").alias("__v1")
+    )
+    y = assigned.select(
+        F.col(id_col).alias("__nb"), "cluster_id", F.col("__v").alias("__v2")
+    )
+    dropped = (
+        x.join(y, "cluster_id")
+        .filter(F.col("__nb") < F.col(id_col))
+        .filter(cosine(F.col("__v1"), F.col("__v2")) >= tau)
+        .select(id_col)
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        assigned.select(id_col, "cluster_id")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("is_kept"),
+        )
+    )

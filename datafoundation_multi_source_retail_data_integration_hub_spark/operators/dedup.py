@@ -451,3 +451,60 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-batch) exact dedup
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    seen: DataFrame,
+    text_col: str,
+    id_col: str,
+    prefix: int | None = None,
+) -> DataFrame:
+    """Cross-batch exact dedup — the INGEST-time shape: classify each row
+    of the incoming batch as ``kept``, ``dup_of_seen`` (its fingerprint
+    already exists in the previously-ingested corpus) or ``dup_in_batch``
+    (a lower-id row of the same batch owns the fingerprint;
+    ``dup_of_seen`` wins when both hold). Output: (doc_id, fingerprint,
+    status).
+
+    ``prefix``: hash only the first ``prefix`` chars of the normalized
+    text (CCNet-style leading-content fingerprint) — catches
+    boilerplate-prefixed and truncated re-crawls that exact hashing
+    misses, at the cost of false positives on genuinely shared intros.
+
+    Scale shape: the seen side collapses to DISTINCT fingerprints —
+    16 bytes per doc, which is the artifact a pipeline persists between
+    ingests (at 100 TB you keep the fingerprint store, not the text).
+    The probe is one equi-join on the hash plus one within-batch window;
+    both shuffle on the fingerprint, and the window side is ingest-sized,
+    not corpus-sized.
+    """
+    def key(c):
+        norm = normalized_text(c)
+        if prefix is not None:
+            norm = F.substring(norm, 1, prefix)
+        return F.md5(norm)
+
+    seen_fp = (
+        seen.select(key(F.col(text_col)).alias("fingerprint"))
+        .distinct()
+        .withColumn("__seen", F.lit(True))
+    )
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    nb = new_batch.select(
+        F.col(id_col).alias("doc_id"),
+        key(F.col(text_col)).alias("fingerprint"),
+    ).withColumn("__rn", F.row_number().over(w))
+    return nb.join(seen_fp, "fingerprint", "left").select(
+        "doc_id",
+        "fingerprint",
+        F.when(F.col("__seen"), F.lit("dup_of_seen"))
+        .when(F.col("__rn") > 1, F.lit("dup_in_batch"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+    )

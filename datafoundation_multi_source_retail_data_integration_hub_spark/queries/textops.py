@@ -457,8 +457,11 @@ def doc_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same inverted-index shape as the Jaccard join: equi-join on the
     fingerprint, never all-pairs; fingerprints above the document-
     frequency cap (boilerplate n-grams, the quadratic contributors) are
-    dropped via a broadcast anti-join of the small hot set."""
-    fps = doc_winnowing_fingerprints(spark, sf_dir)
+    dropped via a broadcast anti-join of the small hot set. The
+    fingerprint frame feeds the df-count and both join sides, so it is
+    persisted (registered in ``operators.dedup``'s hygiene registry) —
+    the winnow pipeline runs once, not three times."""
+    fps = DD._persist(doc_winnowing_fingerprints(spark, sf_dir))
     hot = (
         fps.groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("__df"))
@@ -496,8 +499,157 @@ HAVING count(*) >= {WINNOW_MIN_SHARED}
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup + corpus census reports
+# ---------------------------------------------------------------------------
+
+INGEST_STRIDE = 10
+INGEST_REM = 7  # docs with doc_id % STRIDE == REM play the incoming batch
+INGEST_PREFIX = 128  # leading-content fingerprint length (this corpus has
+# no byte-exact dups; near-dup re-crawls share their first ~128 chars)
+
+
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify an incoming ingest batch against the already-ingested
+    corpus: kept / dup_of_seen / dup_in_batch (see
+    ``operators.dedup.incremental_dedup``)."""
+    d = _docs(spark, sf_dir)
+    new_batch = d.filter(F.col("doc_id") % INGEST_STRIDE == INGEST_REM)
+    seen = d.filter(F.col("doc_id") % INGEST_STRIDE != INGEST_REM)
+    return DD.incremental_dedup(
+        new_batch, seen, "text", "doc_id", prefix=INGEST_PREFIX
+    )
+
+
+DOC_INCREMENTAL_DEDUP_ORACLE = f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(substr({TX.sql_normalized('text')}, 1, {INGEST_PREFIX}))
+           AS fingerprint
+  FROM documents
+),
+seen AS (
+  SELECT DISTINCT fingerprint FROM fp
+  WHERE doc_id % {INGEST_STRIDE} <> {INGEST_REM}
+),
+nb AS (
+  SELECT doc_id, fingerprint,
+         row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM fp WHERE doc_id % {INGEST_STRIDE} = {INGEST_REM}
+)
+SELECT nb.doc_id, nb.fingerprint,
+       CASE WHEN s.fingerprint IS NOT NULL THEN 'dup_of_seen'
+            WHEN rn > 1 THEN 'dup_in_batch'
+            ELSE 'kept' END AS status
+FROM nb LEFT JOIN seen s ON nb.fingerprint = s.fingerprint
+"""
+
+
+def doc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus census — docs, volume, language spread, and
+    distinct-text count (1 - unique/docs = the per-source dup rate a
+    crawl report tracks). One shuffle; the count-distincts expand to
+    Spark's standard two-phase partial-distinct aggregation."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct(TX.fingerprint(F.col("text"))).alias("n_unique_texts"),
+    )
+
+
+DOC_SOURCE_STATS_ORACLE = f"""
+SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars_total,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT md5({TX.sql_normalized('text')})) AS BIGINT)
+         AS n_unique_texts
+FROM documents GROUP BY source
+"""
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram — the length-distribution
+    report behind truncation/packing decisions. The bucket is the BIT
+    LENGTH of n_chars (exact integer arithmetic via the binary string —
+    no float log2, so cross-engine parity is exact at bucket edges)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.length(F.bin(F.col("n_chars"))).alias("bucket_bits"), "n_chars")
+        .groupBy("bucket_bits")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+    )
+
+
+DOC_LENGTH_HISTOGRAM_ORACLE = """
+SELECT CAST(length(bin(n_chars)) AS INTEGER) AS bucket_bits,
+       count(*) AS n_docs, min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars, sum(n_chars) AS n_chars_total
+FROM documents GROUP BY 1
+"""
+
+
+REP_N = 2  # duplicate-bigram fraction (the Gopher repetition signal)
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition: duplicate word-bigram fraction (Gopher's
+    'repetition' quality family — boilerplate and low-quality generators
+    repeat n-grams). Pure codegen projection over staged token arrays,
+    no shuffle; docs shorter than one bigram are excluded (no 0/0)."""
+    d = _docs(spark, sf_dir)
+    staged = d.select(
+        "doc_id",
+        TX.ws_tokens(TX.normalized_text(F.col("text"))).alias("__toks"),
+    ).filter(F.size("__toks") >= REP_N)
+    idx = F.sequence(F.lit(1), F.size("__toks") - (REP_N - 1))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, REP_N))
+    )
+    g = staged.select("doc_id", grams.alias("__g"))
+    return g.select(
+        "doc_id",
+        F.size("__g").alias("n_grams"),
+        F.size(F.array_distinct("__g")).alias("n_distinct_grams"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("__g")).cast("double") / F.size("__g")
+        ).alias("dup_gram_frac"),
+    )
+
+
+DOC_REPETITION_STATS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex({TX.sql_normalized('text')}, '\\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(toks) - {REP_N - 1}),
+                        i -> array_to_string(toks[i:i+{REP_N - 1}], ' ')) AS gl
+  FROM t WHERE len(toks) >= {REP_N}
+)
+SELECT doc_id,
+       CAST(len(gl) AS INTEGER) AS n_grams,
+       CAST(len(list_distinct(gl)) AS INTEGER) AS n_distinct_grams,
+       1.0 - CAST(len(list_distinct(gl)) AS DOUBLE) / len(gl)
+         AS dup_gram_frac
+FROM g
+"""
+
+
 QUERIES = {
     "doc_quality_filter": doc_quality_filter,
+    "doc_repetition_stats": doc_repetition_stats,
+    "doc_incremental_dedup": doc_incremental_dedup,
+    "doc_source_stats": doc_source_stats,
+    "doc_length_histogram": doc_length_histogram,
     "doc_winnowing_pairs": doc_winnowing_pairs,
     "doc_text_stats": doc_text_stats,
     "doc_winnowing_fingerprints": doc_winnowing_fingerprints,
@@ -514,6 +666,10 @@ QUERIES = {
 
 ORACLES = {
     "doc_quality_filter": DOC_QUALITY_FILTER_ORACLE,
+    "doc_repetition_stats": DOC_REPETITION_STATS_ORACLE,
+    "doc_incremental_dedup": DOC_INCREMENTAL_DEDUP_ORACLE,
+    "doc_source_stats": DOC_SOURCE_STATS_ORACLE,
+    "doc_length_histogram": DOC_LENGTH_HISTOGRAM_ORACLE,
     "doc_winnowing_pairs": DOC_WINNOWING_PAIRS_ORACLE,
     "doc_text_stats": DOC_TEXT_STATS_ORACLE,
     "doc_winnowing_fingerprints": DOC_WINNOWING_ORACLE,

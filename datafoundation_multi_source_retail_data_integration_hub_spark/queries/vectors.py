@@ -232,8 +232,19 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_kmeans_oracle() -> str:
-    from ..functions.parity import sql_stable_sum
+# the double-cast vector CTE shared by the unrolled k-means oracles
+_SQL_V_CTE = """v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+)"""
+
+
+def _sql_kmeans_assign() -> str:
+    """Unrolled deterministic k-means as a subquery: seeds from the
+    smallest md5-hashed ids, KMEANS_ITER assign+update rounds, final
+    assignment. Columns: vec_id, vec, cluster_id, dist. Expects the
+    ``v`` CTE (``_SQL_V_CTE``) in scope. Shared by the kmeans census
+    and semantic-dedup oracles."""
     from ..functions.text import sql_md5_long
 
     def sqd(v: str, c: str) -> str:
@@ -274,19 +285,56 @@ def _sql_kmeans_oracle() -> str:
     cents = seeds
     for _ in range(KMEANS_ITER):
         cents = update(assign(cents))
+    return assign(cents)
+
+
+def _sql_kmeans_oracle() -> str:
+    from ..functions.parity import sql_stable_sum
+
     return f"""
-WITH v AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-  FROM embeddings
-)
+WITH {_SQL_V_CTE}
 SELECT cluster_id, count(*) AS n_vectors,
        {sql_stable_sum("dist")} AS inertia
-FROM {assign(cents)}
+FROM {_sql_kmeans_assign()}
 GROUP BY cluster_id
 """
 
 
+SEMDEDUP_TAU = NEARDUP_TAU  # same random-embedding cosine regime
+
+
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-cluster the corpus, then keep the lowest id per
+    within-cluster cosine neighborhood (see
+    ``operators.clustering.semantic_dedup``). Quadratic work is bounded
+    per cluster; the oracle re-runs the unrolled k-means SQL and the
+    within-cluster pair scan."""
+    from ..operators.clustering import kmeans_fit, semantic_dedup
+
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_fit(emb, k=KMEANS_K, n_iter=KMEANS_ITER, dim=DIM)
+    return semantic_dedup(emb, cents, tau=SEMDEDUP_TAU)
+
+
+def _sql_semdedup_oracle() -> str:
+    cos = f"{_sql_dot('x.vec', 'y.vec')} / ({_sql_norm('x.vec')} * {_sql_norm('y.vec')})"
+    return f"""
+WITH {_SQL_V_CTE},
+a AS MATERIALIZED (
+  SELECT vec_id, vec, cluster_id FROM {_sql_kmeans_assign()}
+)
+SELECT a.vec_id, a.cluster_id, (d.vec_id IS NULL) AS is_kept
+FROM a LEFT JOIN (
+  SELECT DISTINCT x.vec_id
+  FROM a x JOIN a y
+    ON x.cluster_id = y.cluster_id AND y.vec_id < x.vec_id
+  WHERE {cos} >= {SEMDEDUP_TAU}
+) d ON a.vec_id = d.vec_id
+"""
+
+
 QUERIES = {
+    "embedding_semantic_dedup": embedding_semantic_dedup,
     "embedding_topk_bruteforce": embedding_topk_bruteforce,
     "embedding_ann_lsh": embedding_ann_lsh,
     "embedding_ann_ivf": embedding_ann_ivf,
@@ -295,6 +343,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_semantic_dedup": _sql_semdedup_oracle(),
     "embedding_kmeans": _sql_kmeans_oracle(),
     "embedding_topk_bruteforce": EMBEDDING_TOPK_ORACLE,
     "embedding_ann_lsh": _sql_ann_oracle(),
