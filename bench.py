@@ -44,6 +44,9 @@ HEADLINE = [
     "doc_ngram_jaccard_pairs",
     "doc_minhash_lsh_pairs",
     "doc_simhash",
+    "doc_winnowing_pairs",
+    "doc_incremental_dedup",
+    "doc_source_stats",
     "doc_contamination",
     "vocab_top_tokens",
     "doc_tfidf_top_terms",
@@ -52,6 +55,7 @@ HEADLINE = [
     "embedding_ann_lsh",
     "embedding_ann_ivf",
     "embedding_cosine_neardup",
+    "embedding_semantic_dedup",
     "events_tumbling_10m",
     "events_sliding_10m_5m",
     "events_sessionization",
