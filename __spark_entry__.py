@@ -40,6 +40,7 @@ def _modules():
         q.vectors,
         q.llmops,
         q.textops,
+        q.curation,
     ]
 
 

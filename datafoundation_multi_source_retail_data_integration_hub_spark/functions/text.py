@@ -178,6 +178,37 @@ def winnowing_fingerprints(c: Column, n: int, window: int) -> Column:
     return winnowing_from_hashes(positional_shingle_hashes(c, n), window)
 
 
+# PII redaction patterns — character classes + bounded repetition only,
+# which Java regex (Spark) and RE2 (DuckDB) evaluate identically; no
+# lookarounds (RE2 has none).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    (r"\+?\d[\d .-]{7,14}\d", "[PHONE]"),
+)
+
+
+def redact_pii(c: Column) -> Column:
+    """Strike emails, IPv4 addresses, and phone-shaped digit runs,
+    replacing each with a typed placeholder. Chained ``regexp_replace``
+    — one codegen'd projection, applied in a fixed order (emails first
+    so their digits are not half-eaten by the phone rule)."""
+    out = c
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def sql_redact_pii(col: str) -> str:
+    """DuckDB twin of :func:`redact_pii` (same patterns, same order)."""
+    out = col
+    for pat, repl in PII_PATTERNS:
+        # DuckDB single-quoted strings pass backslashes through verbatim,
+        # so the Python pattern string is already the RE2 pattern
+        out = f"regexp_replace({out}, '{pat.replace(chr(39), chr(39) * 2)}', '{repl}', 'g')"
+    return out
+
+
 # --- DuckDB SQL fragments (kept adjacent to their Spark twins) -------------
 
 

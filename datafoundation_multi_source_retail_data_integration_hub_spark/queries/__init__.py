@@ -11,6 +11,7 @@ oracle. Raw passthrough columns are never rounded.
 """
 
 from . import (
+    curation,
     eventops,
     llmops,
     multimodalops,
@@ -23,6 +24,7 @@ from . import (
 )
 
 __all__ = [
+    "curation",
     "eventops",
     "llmops",
     "multimodalops",

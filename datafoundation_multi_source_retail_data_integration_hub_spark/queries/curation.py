@@ -1,0 +1,347 @@
+"""Corpus-curation queries: span-level dedup, LM-familiarity scoring,
+cluster-representative selection, and PII masking.
+
+These extend the training-data-pipeline family (SURVEY §2 north-star
+extensions) with the remaining curation steps a pretraining corpus
+build runs between raw ingest and tokenization:
+
+- ``doc_segment_dedup`` — C4-style span dedup. The corpus fixture has no
+  newlines, so the "line" unit is a fixed-width token segment: every doc
+  is chunked into ``SEG_LEN``-token segments, each segment is kept only
+  at its globally-first occurrence (min ``(doc_id, seg_idx)``), and docs
+  are reassembled from their surviving segments.
+- ``doc_unigram_familiarity`` — cheap unigram-LM proxy for perplexity
+  filtering: per-doc mean corpus frequency of its tokens plus the
+  out-of-vocabulary rate against the top-``FAM_VOCAB_K`` vocabulary.
+  Every measure is an exact integer sum with a single final division, so
+  the doubles are bit-identical across engines (no order-dependent float
+  accumulation).
+- ``doc_cluster_best`` — representative selection: within each near-dup
+  connected component, keep the highest-``quality_score`` member
+  (doc_id tiebreak) — the "which duplicate survives" policy that follows
+  clustering in a dedup pipeline.
+- ``customer_pii_masked`` — deterministic PII-safe export of the
+  customer dimension (reference stages raw customer PII into the
+  warehouse, `/root/reference/etl/load_to_query.py:16-23`):
+  pseudonymous name, digit redaction, balance generalization.
+  Pure codegen'd string expressions; no shuffle.
+
+Scale notes: segment dedup shuffles once on the segment text (hash
+partition; identical shape to exact line dedup at 100 TB) and once on
+doc_id for reassembly. Familiarity joins the token stream against a
+vocabulary-sized count table (broadcastable after the df cap of a real
+corpus; here corpus-derived and small). Cluster-best reuses the pair
+graph + connected components and adds one window over cluster ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as TX
+from ..sources.tables import load_tables
+from . import textops as TO
+
+SEG_LEN = 10  # tokens per dedup segment
+FAM_VOCAB_K = 100  # "known" vocabulary size for the OOV rate
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, "documents")["documents"]
+
+
+def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, "customer")["customer"]
+
+
+# ---------------------------------------------------------------------------
+# segment-level (C4-style span) dedup
+# ---------------------------------------------------------------------------
+
+
+def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global segment dedup + reassembly. One row per doc: segment
+    counts and the cleaned text built from surviving segments.
+
+    Plan shape: stage tokens once (see the performance note in
+    ``functions/text.py``), explode to (doc, seg_idx, segment), one
+    hash shuffle on the segment text for the keep-first window, one
+    shuffle on doc_id to reassemble. ``array_sort`` over
+    ``struct(seg_idx, seg)`` makes the rebuild order deterministic
+    regardless of ``collect_list``'s arrival order."""
+    d = _docs(spark, sf_dir)
+    staged = d.select(
+        "doc_id",
+        TX.ws_tokens(TX.normalized_text(F.col("text"))).alias("__toks"),
+    )
+    n_segs = F.ceil(F.size("__toks") / F.lit(float(SEG_LEN))).cast("int")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.concat_ws(" ", F.slice("__toks", i * SEG_LEN + 1, SEG_LEN)),
+    )
+    segs = staged.select(
+        "doc_id", F.posexplode(seg_arr).alias("seg_idx", "seg")
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    kept = segs.withColumn("keep", F.row_number().over(w) == 1)
+    surviving = F.array_sort(
+        F.collect_list(F.when(F.col("keep"), F.struct("seg_idx", "seg")))
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_segments"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("int")
+            .alias("n_kept_segments"),
+            F.array_join(
+                F.transform(surviving, lambda s: s["seg"]), " "
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+_SQL_NORM_TOKS = f"string_split_regex({TX.sql_normalized('text')}, '\\s+')"
+
+DOC_SEGMENT_DEDUP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_NORM_TOKS} AS toks FROM documents
+),
+segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(toks[(i*{SEG_LEN}+1):(i*{SEG_LEN}+{SEG_LEN})], ' ')
+           AS seg
+  FROM t, LATERAL (
+    SELECT unnest(range(0,
+      CAST(ceil(len(toks) / CAST({SEG_LEN} AS DOUBLE)) AS BIGINT))) AS i
+  ) u
+),
+k AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY seg ORDER BY doc_id, seg_idx) = 1 AS keep
+  FROM segs
+)
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_segments,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_kept_segments,
+       coalesce(string_agg(CASE WHEN keep THEN seg END, ' '
+                           ORDER BY seg_idx), '') AS cleaned_text
+FROM k GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM familiarity (perplexity-filter proxy)
+# ---------------------------------------------------------------------------
+
+
+def doc_unigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram familiarity: mean corpus frequency of the doc's
+    tokens and the OOV rate against the top-``FAM_VOCAB_K`` vocabulary.
+
+    Two hash aggregations (corpus unigram counts; per-doc rollup) and
+    one equi-join of the token stream against the vocabulary-sized count
+    table — the count side is broadcast (its cardinality is the
+    vocabulary, not the corpus). All aggregates are BIGINT sums;
+    the two doubles are single divisions of exact integers, so both
+    engines produce bit-identical values."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(TX.ws_tokens(TX.normalized_text(F.col("text")))).alias(
+            "token"
+        ),
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    topk = (
+        counts.orderBy(F.col("cnt").desc(), "token")
+        .limit(FAM_VOCAB_K)
+        .select("token", F.lit(True).alias("in_top"))
+    )
+    j = (
+        toks.join(F.broadcast(counts), "token")
+        .join(F.broadcast(topk), "token", "left")
+    )
+    agg = j.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("cnt").alias("sum_freq"),
+        F.sum(F.when(F.col("in_top").isNull(), 1).otherwise(0)).alias(
+            "n_oov"
+        ),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "sum_freq",
+        "n_oov",
+        (F.col("sum_freq").cast("double") / F.col("n_tokens")).alias(
+            "mean_token_freq"
+        ),
+        (F.col("n_oov").cast("double") / F.col("n_tokens")).alias(
+            "oov_rate"
+        ),
+    )
+
+
+DOC_UNIGRAM_FAMILIARITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_NORM_TOKS}) AS token FROM documents
+),
+counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+topk AS (SELECT token FROM counts ORDER BY cnt DESC, token
+         LIMIT {FAM_VOCAB_K}),
+j AS (
+  SELECT t.doc_id, c.cnt, tk.token IS NOT NULL AS in_top
+  FROM toks t
+  JOIN counts c USING (token)
+  LEFT JOIN topk tk ON t.token = tk.token
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(cnt) AS BIGINT) AS sum_freq,
+         CAST(sum(CASE WHEN in_top THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, sum_freq, n_oov,
+       CAST(sum_freq AS DOUBLE) / n_tokens AS mean_token_freq,
+       CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# cluster-representative selection
+# ---------------------------------------------------------------------------
+
+
+def doc_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within each near-dup cluster (connected components over the
+    n-gram Jaccard pair graph), keep the member with the highest
+    ``quality_score`` (doc_id tiebreak). One window over the cluster
+    label — clusters are tiny relative to the corpus, so the extra
+    shuffle is pair-graph-sized, not corpus-sized."""
+    from ..operators.graph import connected_components
+
+    pairs = TO.doc_ngram_jaccard_pairs(spark, sf_dir)
+    clusters = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    scored = clusters.join(
+        _docs(spark, sf_dir).select(
+            "doc_id", TX.quality_score(F.col("text")).alias("quality_score")
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_rep")
+    wo = w.orderBy(F.col("quality_score").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wo))
+        .withColumn("n_members", F.count("*").over(w).cast("int"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_rep",
+            F.col("doc_id").alias("best_doc_id"),
+            F.col("quality_score").alias("best_quality"),
+            "n_members",
+        )
+    )
+
+
+_SQL_QUALITY = (
+    f"CAST(0.4 AS DOUBLE) * ({TO._SQL_LEN_SIG})"
+    f" + CAST(0.3 AS DOUBLE) * ({TO._SQL_STOP_SIG})"
+    f" + CAST(0.3 AS DOUBLE) * (1 - ({TO._SQL_PUNCT}))"
+)
+
+_CC_CTES = TO.DOC_NEARDUP_CLUSTERS_ORACLE.strip().replace(
+    "SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src",
+    "",
+).rstrip()
+
+DOC_CLUSTER_BEST_ORACLE = f"""
+{_CC_CTES},
+clusters AS (
+  SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src
+),
+scored AS (
+  SELECT c.cluster_rep, c.doc_id, {_SQL_QUALITY} AS quality_score
+  FROM clusters c JOIN documents USING (doc_id)
+)
+SELECT cluster_rep, doc_id AS best_doc_id, quality_score AS best_quality,
+       CAST(n_members AS INTEGER) AS n_members
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY cluster_rep
+           ORDER BY quality_score DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_rep) AS n_members
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII masking over the customer dimension
+# ---------------------------------------------------------------------------
+
+
+def customer_pii_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PII-safe export of the customer dimension:
+
+    - pseudonymization: md5-derived token for the name — stable across
+      runs (joinable) but unlinkable to the raw value,
+    - redaction: digit runs struck from the raw name, with a masked-digit
+      audit count,
+    - generalization: account balance coarsened to a 1000-unit band
+      (k-anonymity-style quasi-identifier suppression).
+
+    Single codegen'd projection; no shuffle, no UDFs. The regexes use
+    only character classes, which behave identically in Java regex
+    (Spark) and RE2 (DuckDB)."""
+    c = _customer(spark, sf_dir)
+    return c.select(
+        "c_custkey",
+        F.concat(F.lit("cust-"), F.substring(F.md5("c_name"), 1, 8)).alias(
+            "name_pseudo"
+        ),
+        F.regexp_replace(F.col("c_name"), "[0-9]+", "#").alias(
+            "name_redacted"
+        ),
+        (
+            F.length("c_name")
+            - F.length(F.regexp_replace(F.col("c_name"), "[0-9]", ""))
+        ).cast("int").alias("n_digits_masked"),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000)
+        .cast("long")
+        .alias("acctbal_band"),
+        "c_mktsegment",
+    )
+
+
+CUSTOMER_PII_MASKED_ORACLE = """
+SELECT c_custkey,
+       'cust-' || substr(md5(c_name), 1, 8) AS name_pseudo,
+       regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_redacted,
+       CAST(length(c_name)
+            - length(regexp_replace(c_name, '[0-9]', '', 'g'))
+            AS INTEGER) AS n_digits_masked,
+       CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band,
+       c_mktsegment
+FROM customer
+"""
+
+
+QUERIES = {
+    "doc_segment_dedup": doc_segment_dedup,
+    "doc_unigram_familiarity": doc_unigram_familiarity,
+    "doc_cluster_best": doc_cluster_best,
+    "customer_pii_masked": customer_pii_masked,
+}
+
+ORACLES = {
+    "doc_segment_dedup": DOC_SEGMENT_DEDUP_ORACLE,
+    "doc_unigram_familiarity": DOC_UNIGRAM_FAMILIARITY_ORACLE,
+    "doc_cluster_best": DOC_CLUSTER_BEST_ORACLE,
+    "customer_pii_masked": CUSTOMER_PII_MASKED_ORACLE,
+}
