@@ -41,6 +41,7 @@ def _modules():
         q.llmops,
         q.textops,
         q.curation,
+        q.profiling,
     ]
 
 

@@ -61,8 +61,14 @@ HEADLINE = [
     "events_sessionization",
     "events_purchase_attribution",
     "events_close_pairs",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_gapfill_10m",
     "doc_quality_filter",
     "embedding_kmeans",
+    "customer_revenue_deciles",
+    "order_grouping_sets",
+    "lineitem_stats_profile",
     "stream_tumbling_counts",
 ]
 

@@ -15,6 +15,7 @@ from . import (
     eventops,
     llmops,
     multimodalops,
+    profiling,
     quality,
     relational,
     relational_ext,
@@ -28,6 +29,7 @@ __all__ = [
     "eventops",
     "llmops",
     "multimodalops",
+    "profiling",
     "quality",
     "relational",
     "relational_ext",

@@ -287,6 +287,171 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Ordered-stage funnel (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel: a user counts for a stage only
+    if the stage's event happens AFTER their first event of the previous
+    stage (min-ts chaining, the standard product-analytics semantics —
+    ``min(click) > min(view)`` alone would miss click-before-view users
+    who click again later).
+
+    Three user-keyed aggregations chained by equi-joins on ``user_id`` —
+    every shuffle is user-cardinality, never event-cardinality, and AQE
+    broadcasts the shrinking stage frames as the funnel narrows."""
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("stage"), F.count("*").alias("n_users")
+        )
+
+    return (
+        stage(v, "1_view")
+        .unionAll(stage(c, "2_click"))
+        .unionAll(stage(p, "3_purchase"))
+    )
+
+
+EVENTS_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1
+)
+SELECT '1_view' AS stage, count(*) AS n_users FROM v
+UNION ALL SELECT '2_click', count(*) FROM c
+UNION ALL SELECT '3_purchase', count(*) FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weekly retention cohorts
+# ---------------------------------------------------------------------------
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention matrix: users bucketed by first-seen ISO week
+    (cohort), counted distinct in each later week. Both engines truncate
+    weeks to Monday, so ``datediff / 7`` is exact. One user-keyed
+    aggregation for first-seen, one event-side join (broadcast: the
+    first-seen frame is user-cardinality), one count-distinct shuffle."""
+    ev = _events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    j = ev.join(first, "user_id").select(
+        "user_id",
+        F.to_date(F.date_trunc("week", "first_ts")).alias("cohort_week"),
+        F.to_date(F.date_trunc("week", "ts")).alias("activity_week"),
+    )
+    return (
+        j.withColumn(
+            "week_offset",
+            (F.datediff("activity_week", "cohort_week") / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+EVENTS_RETENTION_ORACLE = """
+WITH first AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1
+),
+j AS (
+  SELECT e.user_id,
+         CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+         CAST(date_trunc('week', e.ts) AS DATE) AS activity_week
+  FROM events e JOIN first f USING (user_id)
+)
+SELECT cohort_week,
+       CAST(datediff('day', cohort_week, activity_week) // 7 AS INTEGER)
+         AS week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM j GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-bucket gap fill (dense 10-minute spine, zero-filled)
+# ---------------------------------------------------------------------------
+
+
+def events_gapfill_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 10-minute time series: every bucket between the corpus min
+    and max appears, zero-filled where no events landed, with an
+    ``is_gap`` marker. The spine is generated with ``sequence`` from a
+    one-row bounds aggregate and exploded — bucket-cardinality, bounded
+    by the time range, never event-cardinality, so the left join is a
+    broadcast at any corpus size."""
+    ev = _events(spark, sf_dir)
+    counts = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("bucket_start"), "n")
+    )
+    bounds = counts.agg(
+        F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 10 MINUTES"))
+        ).alias("bucket_start")
+    )
+    return spine.join(counts, "bucket_start", "left").select(
+        "bucket_start",
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_events"),
+        F.col("n").isNull().alias("is_gap"),
+    )
+
+
+EVENTS_GAPFILL_ORACLE = f"""
+WITH c AS (
+  SELECT {_sql_bucket_start('ts', 600)} AS bucket_start, count(*) AS n
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT unnest(generate_series((SELECT min(bucket_start) FROM c),
+                                (SELECT max(bucket_start) FROM c),
+                                INTERVAL 10 MINUTE)) AS bucket_start
+)
+SELECT s.bucket_start,
+       coalesce(c.n, 0) AS n_events,
+       c.n IS NULL AS is_gap
+FROM s LEFT JOIN c USING (bucket_start)
+"""
+
+
 QUERIES = {
     "events_tumbling_10m": events_tumbling_10m,
     "events_sliding_10m_5m": events_sliding_10m_5m,
@@ -295,9 +460,15 @@ QUERIES = {
     "events_first_per_user_type": events_first_per_user_type,
     "events_purchase_attribution": events_purchase_attribution,
     "events_close_pairs": events_close_pairs,
+    "events_funnel": events_funnel,
+    "events_retention_cohorts": events_retention_cohorts,
+    "events_gapfill_10m": events_gapfill_10m,
 }
 
 ORACLES = {
+    "events_funnel": EVENTS_FUNNEL_ORACLE,
+    "events_retention_cohorts": EVENTS_RETENTION_ORACLE,
+    "events_gapfill_10m": EVENTS_GAPFILL_ORACLE,
     "events_purchase_attribution": EVENTS_ASOF_ORACLE,
     "events_close_pairs": EVENTS_CLOSE_PAIRS_ORACLE,
     "events_tumbling_10m": EVENTS_TUMBLING_ORACLE,

@@ -1,0 +1,200 @@
+"""Distribution analytics and data profiling: exact deciles, multi-level
+grouping-set aggregates, and moment statistics (stddev / correlation).
+
+The reference's dashboard profiles its data with pandas ``describe``-style
+aggregates and segment breakdowns (`/root/reference/dashboard/app.py:84-99`);
+these queries are the engine-grade versions:
+
+- ``customer_revenue_deciles`` — EXACT decile assignment over per-customer
+  revenue. A naive ``ntile(10) OVER (ORDER BY ...)`` funnels the whole
+  table through one window task; here the global rank comes from the
+  distributed two-phase numbering in ``operators/keys.py`` (range
+  repartition -> per-partition row_number -> broadcast per-partition
+  offsets), so the plan scales to any customer count. The decile is then
+  ``floor((rank-1) * 10 / n)`` — a pure expression on the rank.
+- ``order_grouping_sets`` — one pass producing three aggregation levels
+  (flag x status, flag, grand total) with ``grouping()`` indicator
+  columns: Spark expands grouping sets into a single hash aggregation,
+  the relational equivalent of the reference's separate dashboard
+  rollups.
+- ``lineitem_stats_profile`` — count / mean / stddev / correlation in one
+  scan via raw moments. Each moment is accumulated in DECIMAL (exact,
+  associative — see ``functions/parity.py``), so the derived doubles are
+  bit-identical across engines and row orders; the sample-variance and
+  Pearson formulas then run on those exact inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.parity import (
+    DEC,
+    stable_sum,
+    stable_sum_raw,
+    sql_stable_sum,
+    sql_stable_sum_raw,
+)
+from ..operators.keys import with_global_row_number
+from ..sources.tables import load_tables
+
+N_DECILES = 10
+DEC_SQ = "decimal(38,6)"  # square/product sums need more integer headroom
+
+
+def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile revenue profile over customers, revenue-descending.
+    Decile 0 = top spenders. Exact (rank-based), not approximate."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    rev = orders.groupBy("o_custkey").agg(
+        stable_sum_raw(F.col("o_totalprice")).alias("revenue")
+    )
+    # descending rank via ascending key on the negated (exact) double
+    numbered = with_global_row_number(
+        rev.withColumn("neg_revenue", -F.col("revenue")),
+        ["neg_revenue", "o_custkey"],
+        "rn",
+    )
+    total = rev.agg(F.count("*").alias("__n"))
+    return (
+        numbered.crossJoin(F.broadcast(total))
+        .withColumn(
+            "decile",
+            F.floor((F.col("rn") - 1) * N_DECILES / F.col("__n")).cast("int"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            stable_sum(F.col("revenue")).alias("total_revenue"),
+            F.min("revenue").alias("min_revenue"),
+            F.max("revenue").alias("max_revenue"),
+        )
+    )
+
+
+CUSTOMER_REVENUE_DECILES_ORACLE = f"""
+WITH rev AS (
+  SELECT o_custkey, {sql_stable_sum_raw('o_totalprice')} AS revenue
+  FROM orders GROUP BY 1
+),
+numbered AS (
+  SELECT revenue,
+         row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rn,
+         count(*) OVER () AS n
+  FROM rev
+)
+SELECT CAST(floor((rn - 1) * {N_DECILES} / n) AS INTEGER) AS decile,
+       count(*) AS n_customers,
+       {sql_stable_sum('revenue')} AS total_revenue,
+       min(revenue) AS min_revenue,
+       max(revenue) AS max_revenue
+FROM numbered GROUP BY 1
+"""
+
+
+def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three aggregation levels in one hash aggregation: (returnflag,
+    linestatus), (returnflag), and the grand total, with ``grouping()``
+    flags distinguishing a NULL group key from a rolled-up one."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count("*").alias("n_items"),
+            stable_sum(F.col("l_extendedprice")).alias("total_price"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "g_flag",
+            "g_status",
+            "n_items",
+            "total_price",
+        )
+    )
+
+
+ORDER_GROUPING_SETS_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+       count(*) AS n_items,
+       {sql_stable_sum('l_extendedprice')} AS total_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def lineitem_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe()-grade moment statistics in ONE scan: count, mean,
+    sample stddev of quantity, and the quantity-price Pearson
+    correlation. Raw moments are exact DECIMAL sums; the closed-form
+    variance/correlation arithmetic runs on the resulting (identical)
+    doubles in a fixed expression order on both engines."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    m = li.agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum(y.cast(DEC)).cast("double").alias("sy"),
+        F.sum((x * x).cast(DEC_SQ)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(DEC_SQ)).cast("double").alias("syy"),
+        F.sum((x * y).cast(DEC_SQ)).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    corr_num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    corr_den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "n",
+        F.round(F.col("sx") / n, 4).alias("mean_qty"),
+        F.round(F.sqrt(var), 4).alias("stddev_qty"),
+        F.round(corr_num / corr_den, 6).alias("corr_qty_price"),
+    )
+
+
+LINEITEM_STATS_PROFILE_ORACLE = f"""
+WITH m AS (
+  SELECT count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))
+              AS DOUBLE) AS syy,
+         CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxy
+  FROM lineitem
+)
+SELECT n,
+       round(sx / n, 4) AS mean_qty,
+       round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_qty,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS corr_qty_price
+FROM m
+"""
+
+
+QUERIES = {
+    "customer_revenue_deciles": customer_revenue_deciles,
+    "order_grouping_sets": order_grouping_sets,
+    "lineitem_stats_profile": lineitem_stats_profile,
+}
+
+ORACLES = {
+    "customer_revenue_deciles": CUSTOMER_REVENUE_DECILES_ORACLE,
+    "order_grouping_sets": ORDER_GROUPING_SETS_ORACLE,
+    "lineitem_stats_profile": LINEITEM_STATS_PROFILE_ORACLE,
+}

@@ -1,0 +1,61 @@
+"""Profiling queries (exact deciles, grouping sets, moment statistics)
+match their DuckDB oracles, plus semantic invariants."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from datafoundation_multi_source_retail_data_integration_hub_spark.queries import profiling
+
+from .conftest import SF_SMOKE
+from .oracle import compare
+
+
+@pytest.mark.parametrize("name", sorted(profiling.QUERIES))
+def test_profiling_query_matches_oracle(spark, name):
+    compare(
+        spark, SF_SMOKE, profiling.QUERIES[name], profiling.ORACLES[name], name
+    )
+
+
+def test_deciles_are_balanced_and_ordered(spark):
+    rows = {
+        r["decile"]: r
+        for r in profiling.customer_revenue_deciles(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == set(range(10))
+    sizes = [rows[d]["n_customers"] for d in range(10)]
+    assert max(sizes) - min(sizes) <= 1  # rank formula balances within 1
+    # decile 0 holds the top spenders: min revenue of decile d >= max of d+1
+    for d in range(9):
+        assert rows[d]["min_revenue"] >= rows[d + 1]["max_revenue"]
+
+
+def test_grouping_sets_levels_consistent(spark):
+    out = profiling.order_grouping_sets(spark, SF_SMOKE).collect()
+    detail = [r for r in out if r["g_flag"] == 0 and r["g_status"] == 0]
+    per_flag = [r for r in out if r["g_flag"] == 0 and r["g_status"] == 1]
+    grand = [r for r in out if r["g_flag"] == 1 and r["g_status"] == 1]
+    assert len(grand) == 1
+    assert grand[0]["n_items"] == sum(r["n_items"] for r in detail)
+    assert grand[0]["n_items"] == sum(r["n_items"] for r in per_flag)
+
+
+def test_stats_profile_matches_native_aggregates(spark):
+    """The decimal-moment construction reproduces DuckDB's native
+    stddev_samp/corr to float tolerance (they use different summation
+    orders, so exact equality is not expected — the oracle comparison
+    covers exactness of OUR construction)."""
+    got = profiling.lineitem_stats_profile(spark, SF_SMOKE).collect()[0]
+    con = duckdb.connect()
+    ref = con.execute(
+        f"SELECT avg(l_quantity), stddev_samp(l_quantity), "
+        f"corr(l_quantity, l_extendedprice) "
+        f"FROM '{SF_SMOKE}/lineitem.parquet'"
+    ).fetchone()
+    assert math.isclose(got["mean_qty"], ref[0], rel_tol=1e-4)
+    assert math.isclose(got["stddev_qty"], ref[1], rel_tol=1e-4)
+    assert math.isclose(got["corr_qty_price"], ref[2], rel_tol=1e-3, abs_tol=1e-4)
