@@ -25,23 +25,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _modules():
-    # streaming first: if the driver's correctness run ever hits a global
-    # time budget, the rarely-exercised streaming rows must already be
-    # recorded (round 1 lost stream_dedup_count/stream_session_windows to
-    # exactly this — the heavy doc/text queries ran before them)
+    # Ordered by driver-budget risk: the correctness run has a global time
+    # budget and round 2 ran out before reaching the tail (30 queries got
+    # no row at all). Never-yet-recorded families (textops, curation,
+    # profiling, llmops) therefore run FIRST, right after the cheap-but-
+    # fragile streaming trio; the long-proven relational/warehouse families
+    # run last — losing one of their rows costs least (green in r01+r02).
     return [
         streaming_pipelines,
-        q.relational,
-        q.relational_ext,
-        q.warehouse,
-        q.quality,
-        q.eventops,
-        q.multimodalops,
-        q.vectors,
-        q.llmops,
         q.textops,
         q.curation,
         q.profiling,
+        q.llmops,
+        q.eventops,
+        q.multimodalops,
+        q.vectors,
+        q.quality,
+        q.relational,
+        q.relational_ext,
+        q.warehouse,
     ]
 
 

@@ -97,9 +97,14 @@ def main() -> None:
         if wname in qs:
             qs[wname](spark, warm_dir).collect()
 
-    from datafoundation_multi_source_retail_data_integration_hub_spark.operators.dedup import (
-        unpersist_all,
+    from datafoundation_multi_source_retail_data_integration_hub_spark.operators import (
+        clustering,
+        dedup,
     )
+
+    def unpersist_all() -> None:
+        dedup.unpersist_all()
+        clustering.unpersist_all()
 
     unpersist_all()  # release warmup-pass caches
     timings: dict[str, float] = {}
@@ -108,7 +113,7 @@ def main() -> None:
         qs[name](spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
         # storage hygiene between queries (outside the timed window): the
-        # dedup operators persist postings/signatures scoped to one query
+        # dedup/clustering operators persist intermediates scoped to one query
         unpersist_all()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.parity import stable_sum
 from ..plans.star_schema import DimensionSpec, FactSpec, StarSchema, build_star_schema
 from ..sources.readers import read_csv
 
@@ -118,8 +119,8 @@ def mart_sales_performance(star: StarSchema) -> DataFrame:
     return (
         star.fact.groupBy("order_date")
         .agg(
-            F.round(F.sum("sales"), 4).alias("total_sales"),
-            F.round(F.sum("profit"), 4).alias("total_profit"),
+            stable_sum(F.col("sales")).alias("total_sales"),
+            stable_sum(F.col("profit")).alias("total_profit"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -134,8 +135,8 @@ def mart_category_analysis(star: StarSchema) -> DataFrame:
         )
         .groupBy("category")
         .agg(
-            F.round(F.sum("sales"), 4).alias("total_sales"),
-            F.round(F.sum("profit"), 4).alias("total_profit"),
+            stable_sum(F.col("sales")).alias("total_sales"),
+            stable_sum(F.col("profit")).alias("total_profit"),
             F.count("*").alias("n_rows"),
         )
     )

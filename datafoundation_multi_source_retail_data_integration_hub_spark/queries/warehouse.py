@@ -12,7 +12,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.dates import build_calendar, date_key
+from ..functions.parity import sql_stable_sum
 from ..operators.scd2 import SCD2Config, current_key_map, scd2_initial_load, scd2_merge
+from ..pipelines import retail
+from ..plans.star_schema import StarSchema
 from ..sources.tables import load_tables
 
 ROUND = 4
@@ -234,11 +237,92 @@ LEFT JOIN dimp ON l_partkey = dimp.p_partkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Marts (reference README.md:82-85): the documented pre-aggregations, run
+# through the *actual* mart builders in pipelines.retail over a corpus star
+# so the driver oracle covers the reference's last ETL stage.
+# ---------------------------------------------------------------------------
+
+
+def _corpus_star(spark: SparkSession, sf_dir: str) -> StarSchema:
+    """Corpus analog of the retail star: part plays dim_product (p_type as
+    category), lineitem+orders play the sales fact with sales = net
+    revenue and profit = revenue minus the tax amount. Both measures stay
+    at <= 4 decimal places (2-decimal inputs, one product each), so the
+    decimal-space stable_sum never lands on a round(.,4) half-way point —
+    a 6-decimal measure (e.g. rev*(1-tax)) would reintroduce the Spark
+    HALF_UP vs DuckDB half-even tie."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "part")
+    dim_part = scd2_initial_load(t["part"], PART_CFG, D0)
+    dim_product = dim_part.select(
+        F.col("part_key").alias("product_key"),
+        F.col("p_type").alias("category"),
+        "is_current",
+    )
+    pmap = current_key_map(dim_part, PART_CFG)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    fact = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            date_key(F.col("o_orderdate")).alias("order_date"),
+            rev.alias("sales"),
+            (rev - F.col("l_extendedprice") * F.col("l_tax")).alias("profit"),
+        )
+        .join(F.broadcast(pmap), "p_partkey")
+        .select("order_date", F.col("part_key").alias("product_key"), "sales", "profit")
+    )
+    return StarSchema(dimensions={"dim_product": dim_product}, fact=fact)
+
+
+def mart_sales_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retail.mart_sales_performance(_corpus_star(spark, sf_dir))
+
+
+def mart_category_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retail.mart_category_analysis(_corpus_star(spark, sf_dir))
+
+
+_MART_FACT_SQL = """
+  SELECT CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS INTEGER)
+           AS order_date,
+         l_partkey,
+         l_extendedprice * (1 - l_discount) AS sales,
+         l_extendedprice * (1 - l_discount) - l_extendedprice * l_tax AS profit
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+MART_SALES_PERFORMANCE_ORACLE = f"""
+SELECT order_date,
+       {sql_stable_sum("sales")} AS total_sales,
+       {sql_stable_sum("profit")} AS total_profit,
+       count(*) AS n_rows
+FROM ({_MART_FACT_SQL})
+GROUP BY order_date
+"""
+
+MART_CATEGORY_ANALYSIS_ORACLE = f"""
+SELECT p.p_type AS category,
+       {sql_stable_sum("f.sales")} AS total_sales,
+       {sql_stable_sum("f.profit")} AS total_profit,
+       count(*) AS n_rows
+FROM ({_MART_FACT_SQL}) f
+JOIN part p ON f.l_partkey = p.p_partkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "dim_date_calendar": dim_date_calendar,
     "dim_customer_scd2_init": dim_customer_scd2_init,
     "scd2_customer_two_batch": scd2_customer_two_batch,
     "fact_sales_resolution": fact_sales_resolution,
+    "mart_sales_performance": mart_sales_performance,
+    "mart_category_analysis": mart_category_analysis,
 }
 
 ORACLES = {
@@ -246,4 +330,6 @@ ORACLES = {
     "dim_customer_scd2_init": DIM_CUSTOMER_INIT_ORACLE,
     "scd2_customer_two_batch": SCD2_TWO_BATCH_ORACLE,
     "fact_sales_resolution": FACT_RESOLUTION_ORACLE,
+    "mart_sales_performance": MART_SALES_PERFORMANCE_ORACLE,
+    "mart_category_analysis": MART_CATEGORY_ANALYSIS_ORACLE,
 }

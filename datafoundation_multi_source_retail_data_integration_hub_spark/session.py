@@ -48,6 +48,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # corpus parquet stores plain-micros timestamps (no UTC flag);
+        # read them as session-TZ TIMESTAMP at scan level (keeps pushdown,
+        # matches the UTC-naive DuckDB oracle since session TZ is UTC)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -29,24 +29,41 @@ TPCH_TABLES = (
 )
 
 
-# Columns stored as TIMESTAMP(NANOS) in parquet — Spark's reader has no
-# nanosecond timestamp type, so these are read as long (via the legacy
-# nanosAsLong conf) and truncated to microseconds, matching what
-# nanos-unaware engines (DuckDB included) do with the same file.
-_NANOS_TS_COLS = {"events": ("ts",)}
+# Event-time columns whose physical parquet encoding has drifted across
+# corpus generations: TIMESTAMP(NANOS) (read as long via the legacy
+# nanosAsLong conf, truncated to micros) and plain micros with no UTC flag
+# (read as TIMESTAMP_NTZ by Spark 4). Both are normalized to TimestampType;
+# the session timezone is pinned UTC (session.py), so the NTZ->TZ cast is a
+# pure re-tag with identical wall-clock values — matching the UTC-naive
+# DuckDB oracle exactly.
+_EVENT_TIME_COLS = {"events": ("ts",)}
+
+
+def _normalize_event_time(df: DataFrame, col: str) -> DataFrame:
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        # nanos-as-long; integer division — double loses precision > 2^53
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one corpus table. Lazy — nothing is read until an action."""
-    if name in _NANOS_TS_COLS:
-        # runtime-settable; done here (not only in the session factory)
-        # because the driver harness builds its own SparkSession
+    # Runtime-settable confs applied here (not only in the session factory)
+    # because the driver harness builds its own SparkSession.
+    # inferTimestampNTZ=false makes plain-micros parquet timestamps (no UTC
+    # flag) scan directly as session-TZ TIMESTAMP — a scan-level fix, so
+    # predicate pushdown on timestamp filters is preserved (a post-scan
+    # NTZ->TZ cast would block it). Session TZ is pinned UTC, so values are
+    # identical to the UTC-naive DuckDB oracle.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    if name in _EVENT_TIME_COLS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for col in _NANOS_TS_COLS.get(name, ()):
-        if isinstance(df.schema[col].dataType, T.LongType):
-            # integer division: double division loses precision > 2^53
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    for col in _EVENT_TIME_COLS.get(name, ()):
+        df = _normalize_event_time(df, col)
     return df
 
 

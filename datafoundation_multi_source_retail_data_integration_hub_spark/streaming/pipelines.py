@@ -35,6 +35,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     nanos-timestamp column arrives as long and is truncated to micros,
     mirroring ``sources.tables.load_table``."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # scan-level TIMESTAMP (not NTZ) for plain-micros parquet — see
+    # sources.tables.load_table
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the streaming file source requires a directory; glob-filter to the
     # events file within the corpus dir
@@ -47,6 +50,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        # session TZ is pinned UTC, so this cast is a pure re-tag; a plain
+        # NTZ ts would be rejected by withWatermark (EVENT_TIME_IS_NOT_ON_
+        # TIMESTAMP_TYPE)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
