@@ -39,6 +39,8 @@ HEADLINE = [
     "dim_date_calendar",
     "scd2_customer_two_batch",
     "fact_sales_resolution",
+    "mart_sales_performance",
+    "mart_category_analysis",
     "doc_text_stats",
     "doc_exact_dedup",
     "doc_ngram_jaccard_pairs",
@@ -51,6 +53,7 @@ HEADLINE = [
     "vocab_top_tokens",
     "doc_tfidf_top_terms",
     "doc_pack_sequences",
+    "doc_chunk_windows",
     "embedding_topk_bruteforce",
     "embedding_ann_lsh",
     "embedding_ann_ivf",

@@ -248,6 +248,33 @@ def sql_hashed_word_shingles(col: str, n: int) -> str:
     return f"list_transform({sql_word_shingles(col, n)}, s -> {sql_md5_long('s')})"
 
 
+def sql_hashed_shingle_table(
+    col: str,
+    n: int,
+    source: str = "documents",
+    id_col: str = "doc_id",
+    where: str = "",
+) -> str:
+    """Staged table form of ``sql_hashed_word_shingles``: SELECT
+    (id, sh) with the token list materialized through a CTE so the regex
+    split runs once per row instead of once per lambda element (measured
+    0.78 s -> 0.07 s on the sf0.01 shingle stage; equality-tested).
+    ``where`` filters the source rows inside the CTE."""
+    wc = f"WHERE {where}" if where else ""
+    return f"""
+WITH __stoks AS MATERIALIZED (
+  SELECT {id_col}, string_split_regex({sql_normalized(col)}, '\\s+') AS tl
+  FROM {source} {wc}
+)
+SELECT {id_col},
+       list_distinct(list_transform(
+         list_transform(generate_series(1, greatest(len(tl) - {n - 1}, 0)),
+                        i -> array_to_string(tl[i:i+{n - 1}], ' ')),
+         s -> {sql_md5_long('s')})) AS sh
+FROM __stoks
+"""
+
+
 def sql_positional_shingle_hashes(col: str, n: int) -> str:
     toks = f"string_split_regex({sql_normalized(col)}, '\\s+')"
     grams = (
@@ -264,3 +291,39 @@ def sql_winnowing_fingerprints(col: str, n: int, window: int) -> str:
         f"generate_series(1, greatest(len({h}) - {window - 1}, 0)), "
         f"i -> list_min(({h})[i:i+{window - 1}])))"
     )
+
+
+def sql_winnowing_fingerprint_rows(
+    col: str, n: int, window: int, source: str = "documents", id_col: str = "doc_id"
+) -> str:
+    """Staged table-form winnowing: SELECT (id, fingerprint) rows.
+
+    Same math as ``sql_winnowing_fingerprints`` (equality-tested at
+    sf0.01), but the token list and positional hashes are staged through
+    MATERIALIZED CTEs and the window-min runs as a frame window over
+    unnested positions. The scalar form inlines the whole
+    tokenize+shingle+md5 pipeline inside nested list_transform lambdas,
+    which DuckDB re-evaluates per element — measured 49.4 s -> 0.11 s
+    (450x) on the sf0.01 corpus. The driver runs these oracles inside its
+    correctness budget, so oracle-side cost is budget too."""
+    hv = sql_md5_long(f"array_to_string(tl[i:i+{n - 1}], ' ')")
+    return f"""
+WITH __wtoks AS MATERIALIZED (
+  SELECT {id_col}, string_split_regex({sql_normalized(col)}, '\\s+') AS tl
+  FROM {source}
+),
+__wpos AS MATERIALIZED (
+  SELECT {id_col}, i, {hv} AS hv
+  FROM __wtoks,
+       LATERAL unnest(generate_series(1, greatest(len(tl) - {n - 1}, 0))) AS u(i)
+),
+__wmin AS (
+  SELECT {id_col}, i,
+         min(hv) OVER (PARTITION BY {id_col} ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)
+           AS fingerprint,
+         max(i) OVER (PARTITION BY {id_col}) AS n_pos
+  FROM __wpos
+)
+SELECT DISTINCT {id_col}, fingerprint FROM __wmin WHERE i <= n_pos - {window - 1}
+"""

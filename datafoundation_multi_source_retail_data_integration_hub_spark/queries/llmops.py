@@ -328,19 +328,15 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_CONTAM_SH = TX.sql_hashed_word_shingles("text", CONTAM_N)
-
 DOC_CONTAMINATION_ORACLE = f"""
 WITH cd AS (
   SELECT * FROM (
-    SELECT doc_id, {_SQL_CONTAM_SH} AS sh FROM documents
-    WHERE doc_id % {EVAL_STRIDE} <> 0
+{TX.sql_hashed_shingle_table("text", CONTAM_N, where=f"doc_id % {EVAL_STRIDE} <> 0")}
   ) WHERE len(sh) > 0
 ),
 ed AS (
   SELECT * FROM (
-    SELECT doc_id, {_SQL_CONTAM_SH} AS sh FROM documents
-    WHERE doc_id % {EVAL_STRIDE} = 0
+{TX.sql_hashed_shingle_table("text", CONTAM_N, where=f"doc_id % {EVAL_STRIDE} = 0")}
   ) WHERE len(sh) > 0
 ),
 cex AS (SELECT doc_id, unnest(sh) AS s FROM cd),
@@ -356,8 +352,61 @@ WHERE CAST(n_shared AS DOUBLE) / sz >= {CONTAM_MIN_OVERLAP}
 """
 
 
+# ---------------------------------------------------------------------------
+# sliding-window chunking (RAG / pretraining context windows)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 600  # chars per chunk
+CHUNK_STRIDE = 480  # start-to-start distance; overlap = SIZE - STRIDE
+
+
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping character windows — the
+    chunking pass feeding RAG indexes and fixed-context pretraining.
+    Chunk ``i`` covers ``[i*stride, i*stride + size)``; starts step by
+    ``stride`` while inside the text, so consecutive chunks overlap by
+    ``size - stride`` chars and the final chunk is short. One narrow
+    projection + ``explode(sequence(...))`` — map-side only, no shuffle:
+    at 100 TB this runs at scan speed and parallelizes per input split.
+
+    Output keeps a fingerprint of the chunk text (not the text itself):
+    downstream chunk-level dedup joins on exactly this hash, and the
+    result stays narrow for the oracle compare.
+    """
+    d = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    n_chunks = F.ceil(F.length("text") / F.lit(float(CHUNK_STRIDE))).cast("int")
+    chunk = F.expr(f"substring(text, chunk_idx * {CHUNK_STRIDE} + 1, {CHUNK_SIZE})")
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.length(chunk).alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )
+
+
+DOC_CHUNK_WINDOWS_ORACLE = f"""
+SELECT doc_id,
+       i AS chunk_idx,
+       length(substring(text, i * {CHUNK_STRIDE} + 1, {CHUNK_SIZE})) AS chunk_len,
+       md5(substring(text, i * {CHUNK_STRIDE} + 1, {CHUNK_SIZE})) AS chunk_md5
+FROM documents,
+     LATERAL unnest(
+       range(0, CAST(ceil(length(text) / {CHUNK_STRIDE}.0) AS BIGINT))
+     ) AS t(i)
+WHERE length(text) > 0
+"""
+
+
 QUERIES = {
     "doc_hash_sample": doc_hash_sample,
+    "doc_chunk_windows": doc_chunk_windows,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_train_split": doc_train_split,
     "vocab_top_tokens": vocab_top_tokens,
@@ -368,6 +417,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_hash_sample": DOC_HASH_SAMPLE_ORACLE,
+    "doc_chunk_windows": DOC_CHUNK_WINDOWS_ORACLE,
     "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_ORACLE,
     "doc_train_split": DOC_TRAIN_SPLIT_ORACLE,
     "vocab_top_tokens": VOCAB_TOP_TOKENS_ORACLE,

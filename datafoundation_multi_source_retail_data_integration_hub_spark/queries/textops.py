@@ -165,10 +165,10 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_SH = TX.sql_hashed_word_shingles("text", N_SHINGLE)
+_SQL_SH_TABLE = TX.sql_hashed_shingle_table("text", N_SHINGLE)
 
 DOC_NGRAM_JACCARD_ORACLE = f"""
-WITH d0 AS (SELECT doc_id, {_SQL_SH} AS sh FROM documents),
+WITH d0 AS MATERIALIZED ({_SQL_SH_TABLE}),
 dd AS (SELECT * FROM d0 WHERE len(sh) > 0),
 sizes AS (SELECT doc_id, len(sh) AS sz FROM dd),
 ex AS (SELECT doc_id, unnest(sh) AS s FROM dd),
@@ -220,7 +220,7 @@ def _sql_minhash_oracle() -> str:
         for b in range(bands)
     )
     return f"""
-WITH d0 AS (SELECT doc_id, {_SQL_SH} AS sh FROM documents),
+WITH d0 AS MATERIALIZED ({_SQL_SH_TABLE}),
 dd AS (SELECT * FROM d0 WHERE len(sh) > 0),
 ex AS (SELECT doc_id,
        {TX.sql_md5_long("CAST(s AS VARCHAR)")} % {P} AS a,
@@ -335,11 +335,9 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashes.select("doc_id", F.explode(fps).alias("fingerprint"))
 
 
-DOC_WINNOWING_ORACLE = f"""
-SELECT doc_id, unnest({TX.sql_winnowing_fingerprints('text', N_SHINGLE, WINNOW_WINDOW)})
-         AS fingerprint
-FROM documents
-"""
+DOC_WINNOWING_ORACLE = TX.sql_winnowing_fingerprint_rows(
+    "text", N_SHINGLE, WINNOW_WINDOW
+)
 
 
 def doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,10 +480,7 @@ def doc_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_WINNOWING_PAIRS_ORACLE = f"""
 WITH fp AS MATERIALIZED (
-  SELECT doc_id,
-         unnest({TX.sql_winnowing_fingerprints('text', N_SHINGLE, WINNOW_WINDOW)})
-           AS fingerprint
-  FROM documents
+{TX.sql_winnowing_fingerprint_rows('text', N_SHINGLE, WINNOW_WINDOW)}
 ),
 rare AS MATERIALIZED (
   SELECT * FROM fp WHERE fingerprint IN (

@@ -150,6 +150,43 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental staging ingestion end-to-end (§2.9): replay the
+    warehouse two-batch SCD2 scenario as TWO ``availableNow`` streaming
+    upsert runs (file source -> ``foreachBatch`` set-based merge ->
+    managed table) and return the final dimension. The result equals the
+    batch ``scd2_customer_two_batch`` exactly, so the same oracle gates
+    this path — proving the streaming ingest converges to the batch
+    warehouse state."""
+    import tempfile
+    import uuid
+
+    from ..queries.warehouse import CUSTOMER_CFG, D0, D1, _customer_batch2
+    from ..sources import writers as W
+    from ..sources.tables import load_table
+    from .upsert import scd2_stream_upsert
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = tempfile.mkdtemp(prefix="scd2_stream_upsert_")
+    src = f"{base}/incoming"
+    ckpt = f"{base}/ckpt"
+    # fresh namespace per invocation: the checkpoint is fresh too, so a
+    # reused table would be double-merged
+    db = f"stream_upsert_{uuid.uuid4().hex[:12]}"
+    schema = cust.schema
+
+    def incoming() -> DataFrame:
+        return spark.readStream.schema(schema).parquet(src)
+
+    cust.write.mode("append").parquet(src)
+    q = scd2_stream_upsert(incoming(), CUSTOMER_CFG, "dim_customer", db, D0, ckpt)
+    q.awaitTermination(300)
+    _customer_batch2(cust).write.mode("append").parquet(src)
+    q = scd2_stream_upsert(incoming(), CUSTOMER_CFG, "dim_customer", db, D1, ckpt)
+    q.awaitTermination(300)
+    return W.read_table(spark, "dim_customer", db)
+
+
 STREAM_TUMBLING_ORACLE = f"""
 SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000)
          AS window_start,
@@ -207,10 +244,22 @@ QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_dedup_count": stream_dedup_count,
     "stream_session_windows": stream_session_windows,
+    "stream_scd2_upsert": stream_scd2_upsert,
 }
+
+
+def _scd2_two_batch_oracle() -> str:
+    # the streaming upsert lands the identical final state as the batch
+    # two-batch merge, so it shares that oracle (import deferred: the
+    # queries package imports are heavier than this module)
+    from ..queries.warehouse import SCD2_TWO_BATCH_ORACLE
+
+    return SCD2_TWO_BATCH_ORACLE
+
 
 ORACLES = {
     "stream_tumbling_counts": STREAM_TUMBLING_ORACLE,
     "stream_dedup_count": STREAM_DEDUP_ORACLE,
     "stream_session_windows": STREAM_SESSION_ORACLE,
+    "stream_scd2_upsert": _scd2_two_batch_oracle(),
 }
