@@ -71,18 +71,49 @@ def _centroid_literal(centroids: Centroids) -> Column:
     )
 
 
+def prepare_vectors(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Cast the float vector column to double ONCE and persist the
+    (id, ``__dvec``) working set. Every Lloyd's iteration, the final
+    assignment, and the semantic-dedup pair scan re-read exactly this
+    frame — without it each pass re-scans parquet and re-casts the
+    vectors (measured ~2x on the kmeans family at sf0.1). This is the
+    cache-the-working-set step a cluster run does too (iterative ML on
+    a 100 TB corpus persists its feature frame or checkpoints it).
+    Release with ``unpersist_all()``."""
+    return _persist(
+        df.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__dvec"),
+        )
+    )
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: Centroids,
     vec_col: str = "embedding",
+    pre_cast: bool = False,
 ) -> DataFrame:
     """Append ``cluster_id`` (nearest centroid, squared-L2) and
-    ``sq_dist`` — one map-side expression, no shuffle, no join."""
-    # stage the double-cast vector: captured expressions inside the
-    # transform lambda would re-evaluate per centroid
-    staged = df.withColumn(
-        "__dvec", F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    )
+    ``sq_dist`` — one map-side expression, no shuffle, no join.
+
+    ``pre_cast``: ``vec_col`` already holds double arrays (e.g. a
+    ``prepare_vectors`` frame) — skip the cast stage and keep the column.
+    """
+    if pre_cast:
+        staged = df if vec_col == "__dvec" else df.withColumn(
+            "__dvec", F.col(vec_col)
+        )
+        drop_cols = ["__best"] if vec_col == "__dvec" else ["__dvec", "__best"]
+    else:
+        # stage the double-cast vector: captured expressions inside the
+        # transform lambda would re-evaluate per centroid
+        staged = df.withColumn(
+            "__dvec", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        )
+        drop_cols = ["__dvec", "__best"]
     best = F.array_min(
         F.transform(
             _centroid_literal(centroids),
@@ -96,7 +127,7 @@ def assign_clusters(
         staged.withColumn("__best", best)
         .withColumn("cluster_id", F.col("__best.cid"))
         .withColumn("sq_dist", F.col("__best.d"))
-        .drop("__dvec", "__best")
+        .drop(*drop_cols)
     )
 
 
@@ -105,14 +136,20 @@ def seed_centroids(
     k: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    pre_cast: bool = False,
 ) -> Centroids:
     """Deterministic init: the k vectors with the smallest 60-bit
     md5-hash of their id, numbered 0..k-1 in hash order."""
+    vec = (
+        F.col(vec_col)
+        if pre_cast
+        else F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    )
     rows = (
         df.select(
             F.col(id_col).alias("__id"),
             md5_long(F.col(id_col).cast("string")).alias("__h"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+            vec.alias("__v"),
         )
         .orderBy("__h", "__id")
         .limit(k)
@@ -128,20 +165,27 @@ def kmeans_fit(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int | None = None,
+    pre_cast: bool = False,
 ) -> Centroids:
     """Run ``n_iter`` Lloyd's updates from the deterministic seeds and
     return the fitted centroids. Empty clusters drop out (their id simply
-    stops appearing), matching the unrolled SQL oracle."""
+    stops appearing), matching the unrolled SQL oracle.
+
+    The double-cast working set is built (and persisted) once via
+    ``prepare_vectors`` — each iteration is then one in-memory scan +
+    one k x dim shuffle. Pass ``pre_cast=True`` with an existing
+    ``prepare_vectors`` frame to share it with downstream assignment.
+    """
+    prep = df if pre_cast else prepare_vectors(df, vec_col, id_col)
+    vcol = vec_col if pre_cast else "__dvec"
     if dim is None:
-        dim = df.select(F.size(F.col(vec_col))).limit(1).collect()[0][0]
-    centroids = seed_centroids(df, k, vec_col, id_col)
+        dim = prep.select(F.size(F.col(vcol))).limit(1).collect()[0][0]
+    centroids = seed_centroids(prep, k, vcol, id_col, pre_cast=True)
     for _ in range(n_iter):
-        assigned = assign_clusters(df, centroids, vec_col).withColumn(
-            "__dvec", F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        )
+        assigned = assign_clusters(prep, centroids, vcol, pre_cast=True)
         mean_exprs = [
             (
-                F.sum(F.col("__dvec")[i].cast(DEC)).cast("double")
+                F.sum(F.col(vcol)[i].cast(DEC)).cast("double")
                 / F.count(F.lit(1))
             ).alias(f"c{i}")
             for i in range(dim)
@@ -160,6 +204,7 @@ def semantic_dedup(
     tau: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    pre_cast: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus with a trained k-means
@@ -184,11 +229,13 @@ def semantic_dedup(
     """
     from .similarity import cosine
 
+    prep = df if pre_cast else prepare_vectors(df, vec_col, id_col)
+    vcol = vec_col if pre_cast else "__dvec"
     assigned = _persist(
-        assign_clusters(df, centroids, vec_col).select(
+        assign_clusters(prep, centroids, vcol, pre_cast=True).select(
             F.col(id_col),
             "cluster_id",
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+            F.col(vcol).alias("__v"),
         )
     )
     x = assigned.select(

@@ -218,12 +218,17 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the fully UNROLLED iteration in SQL — seeds, two
     assign+update rounds, final assignment — hash-matched end-to-end."""
     from ..functions.parity import stable_sum
-    from ..operators.clustering import assign_clusters, kmeans_fit
+    from ..operators.clustering import assign_clusters, kmeans_fit, prepare_vectors
 
     emb = _emb(spark, sf_dir)
-    cents = kmeans_fit(emb, k=KMEANS_K, n_iter=KMEANS_ITER, dim=DIM)
+    # one persisted double-cast working set feeds every Lloyd's pass AND
+    # the final census scan
+    prep = prepare_vectors(emb)
+    cents = kmeans_fit(
+        prep, k=KMEANS_K, n_iter=KMEANS_ITER, vec_col="__dvec", dim=DIM, pre_cast=True
+    )
     return (
-        assign_clusters(emb, cents)
+        assign_clusters(prep, cents, "__dvec", pre_cast=True)
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
@@ -309,11 +314,14 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators.clustering.semantic_dedup``). Quadratic work is bounded
     per cluster; the oracle re-runs the unrolled k-means SQL and the
     within-cluster pair scan."""
-    from ..operators.clustering import kmeans_fit, semantic_dedup
+    from ..operators.clustering import kmeans_fit, prepare_vectors, semantic_dedup
 
     emb = _emb(spark, sf_dir)
-    cents = kmeans_fit(emb, k=KMEANS_K, n_iter=KMEANS_ITER, dim=DIM)
-    return semantic_dedup(emb, cents, tau=SEMDEDUP_TAU)
+    prep = prepare_vectors(emb)
+    cents = kmeans_fit(
+        prep, k=KMEANS_K, n_iter=KMEANS_ITER, vec_col="__dvec", dim=DIM, pre_cast=True
+    )
+    return semantic_dedup(prep, cents, tau=SEMDEDUP_TAU, vec_col="__dvec", pre_cast=True)
 
 
 def _sql_semdedup_oracle() -> str:

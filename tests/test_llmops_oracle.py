@@ -46,3 +46,34 @@ def test_contamination_flags_eval_docs_only_from_corpus(spark):
         assert r["doc_id"] % llmops.EVAL_STRIDE != 0  # training side
         assert r["eval_id"] % llmops.EVAL_STRIDE == 0  # benchmark side
         assert 0.0 <= r["overlap_frac"] <= 1.0
+
+
+def test_chunk_windows_cover_text_exactly(spark):
+    """Chunk invariants: starts step by the stride from 0; every chunk is
+    full-size except possibly the final ones; md5 of the reconstructed
+    substring matches; the union of chunks covers every character (the
+    stride never exceeds the chunk size, so no gaps)."""
+    assert llmops.CHUNK_STRIDE <= llmops.CHUNK_SIZE
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in llmops._docs(spark, SF_SMOKE).select("doc_id", "text").collect()
+    }
+    out = llmops.doc_chunk_windows(spark, SF_SMOKE).collect()
+    import hashlib
+    from collections import defaultdict
+
+    per_doc = defaultdict(list)
+    for r in out:
+        per_doc[r["doc_id"]].append(r)
+    for doc_id, rows in per_doc.items():
+        text = docs[doc_id]
+        idxs = sorted(r["chunk_idx"] for r in rows)
+        assert idxs == list(range(len(idxs)))  # contiguous chunk ids from 0
+        # chunk count covers the whole text: last start < len <= next start
+        assert (len(idxs) - 1) * llmops.CHUNK_STRIDE < len(text)
+        assert len(text) <= len(idxs) * llmops.CHUNK_STRIDE
+        for r in rows:
+            start = r["chunk_idx"] * llmops.CHUNK_STRIDE
+            expect = text[start : start + llmops.CHUNK_SIZE]
+            assert r["chunk_len"] == len(expect)
+            assert r["chunk_md5"] == hashlib.md5(expect.encode("utf-8")).hexdigest()
