@@ -41,6 +41,7 @@ HEADLINE = [
     "fact_sales_resolution",
     "mart_sales_performance",
     "mart_category_analysis",
+    "dashboard_extract",
     "doc_text_stats",
     "doc_exact_dedup",
     "doc_ngram_jaccard_pairs",
@@ -57,6 +58,8 @@ HEADLINE = [
     "embedding_topk_bruteforce",
     "embedding_ann_lsh",
     "embedding_ann_ivf",
+    "embedding_quantize_int8",
+    "embedding_ann_pq",
     "embedding_cosine_neardup",
     "embedding_semantic_dedup",
     "events_tumbling_10m",

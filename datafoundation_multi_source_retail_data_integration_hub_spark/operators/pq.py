@@ -1,0 +1,151 @@
+"""Product quantization (PQ) for embedding corpora: per-subspace k-means
+codebooks, byte-code encoding, and asymmetric-distance (ADC) top-k.
+
+The ANN memory ladder at 100 TB: float32 vectors -> int8 scalar codes
+(4x, ``queries/vectors.py::embedding_quantize_int8``) -> PQ codes
+(``m`` bytes per vector regardless of dimension — 64x for dim=64/m=4,
+the Jegou/Douze/Schmid IVF-ADC layout every production ANN index uses).
+
+Spark shape:
+
+- **train**: ``m`` independent deterministic k-means fits, each over a
+  ``slice`` of the shared persisted double-cast working set
+  (``clustering.prepare_vectors``) — the corpus is scanned from cache,
+  and each fit shuffles only k x sub doubles per iteration.
+- **encode**: one map-side expression per subspace (codebooks enter the
+  plan as literals, exactly like ``assign_clusters``); the corpus never
+  shuffles. The encoded frame is ``m`` ints per vector.
+- **ADC query**: the query side (tiny) precomputes its per-subspace
+  distance TABLE to every codebook centroid as a map literal-keyed
+  column, broadcasts, and the scored join is ``m`` map lookups + an
+  ``m``-term sum per (query, vector) — no vector arithmetic touches the
+  corpus at query time. Top-k by (approx_dist, neighbor_id) window.
+
+Determinism mirrors the clustering module: md5-hash seeds, squared-L2
+left folds, lexicographic (dist, cid) tie-breaks — every stage is
+reproducible in the DuckDB oracle (``queries/vectors.py``).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .clustering import Centroids, _centroid_literal, kmeans_fit, sq_dist
+
+
+def train_codebooks(
+    prep: DataFrame,
+    m: int,
+    sub: int,
+    k: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "__dvec",
+    id_col: str = "vec_id",
+) -> list[Centroids]:
+    """One deterministic k-means codebook per subspace. ``prep`` is a
+    ``prepare_vectors`` frame (already double-cast + persisted)."""
+    books = []
+    for s in range(m):
+        sub_df = prep.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("__dvec"),
+        )
+        books.append(
+            kmeans_fit(
+                sub_df,
+                k=k,
+                n_iter=n_iter,
+                vec_col="__dvec",
+                id_col=id_col,
+                dim=sub,
+                pre_cast=True,
+            )
+        )
+    return books
+
+
+def _nearest_cid(vec: Column, codebook: Centroids) -> Column:
+    best = F.array_min(
+        F.transform(
+            _centroid_literal(codebook),
+            lambda c: F.struct(sq_dist(vec, c["cv"]).alias("d"), c["cid"].alias("cid")),
+        )
+    )
+    return best["cid"]
+
+
+def encode(
+    prep: DataFrame,
+    codebooks: list[Centroids],
+    sub: int,
+    vec_col: str = "__dvec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ-encode the corpus: columns ``c0..c{m-1}`` (nearest centroid id
+    per subspace). Pure map-side — the 100 TB scan-speed path."""
+    out = prep.select(
+        F.col(id_col),
+        *[
+            _nearest_cid(
+                F.slice(F.col(vec_col), s * sub + 1, sub), cb
+            ).alias(f"c{s}")
+            for s, cb in enumerate(codebooks)
+        ],
+    )
+    return out
+
+
+def adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[Centroids],
+    sub: int,
+    top_k: int,
+    vec_col: str = "__dvec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k: exact query sub-vectors against the
+    corpus's PQ codes. Output: (query_id, neighbor_id, approx_dist, rank).
+
+    The per-query distance tables ride as map columns (cid ->
+    subspace distance) built from the codebook literals, so after the
+    broadcast join the score is ``m`` lookups + a fixed-order sum."""
+    def dist_table(s: int, cb: Centroids) -> Column:
+        qsub = F.slice(F.col(vec_col), s * sub + 1, sub)
+        # NB: the lambda must take exactly one parameter — a second one
+        # would be bound to the array INDEX by the higher-order function
+        return F.map_from_arrays(
+            F.array(*[F.lit(int(cid)) for cid, _ in cb]),
+            F.transform(
+                _centroid_literal(cb),
+                lambda c: sq_dist(qsub, c["cv"]),
+            ),
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        *[dist_table(s, cb).alias(f"dt{s}") for s, cb in enumerate(codebooks)],
+    )
+    approx = reduce(
+        lambda acc, s: acc + F.col(f"dt{s}")[F.col(f"c{s}")],
+        range(1, len(codebooks)),
+        F.col("dt0")[F.col("c0")],
+    )
+    scored = (
+        codes.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            approx.alias("approx_dist"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )

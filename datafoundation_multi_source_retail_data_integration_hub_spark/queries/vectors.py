@@ -341,6 +341,220 @@ FROM a LEFT JOIN (
 """
 
 
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (4x storage shrink for the ANN corpus)
+# ---------------------------------------------------------------------------
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min/max scalar quantization to int8 codes plus the
+    per-vector reconstruction MSE — the storage-shrink pass an ANN corpus
+    runs before indexing (float32 -> uint8 is 4x smaller; IVF/LSH recall
+    is re-validated against the MSE report).
+
+    Two-pass scale shape: pass 1 is one partial-aggregated groupBy over
+    (dim, value) pairs producing DIM min/max rows (collected to the
+    driver — constant-size, like k-means centroids); pass 2 is a pure
+    map-side expression over the corpus with the stats embedded as
+    literals: encode, decode, and fold the squared error in fixed
+    dimension order (left fold == DuckDB list_sum, bit-exact). No join,
+    no shuffle on the corpus side.
+    """
+    emb = _emb(spark, sf_dir)
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    ex = v.select("vec_id", F.posexplode("v").alias("d", "x"))
+    stats = {
+        r["d"]: (r["mn"], r["mx"])
+        for r in ex.groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    }
+    mn = F.array(*[F.lit(float(stats[d][0])) for d in range(DIM)])
+    scale = F.array(
+        *[F.lit(float(stats[d][1]) - float(stats[d][0])) for d in range(DIM)]
+    )
+    # dq_d = x_d - mn_d; code_d = floor(dq*255/s + 0.5) (floor(+0.5): both
+    # engines agree; round() half-rule differs between Spark and DuckDB)
+    dq = F.zip_with("v", mn, lambda x, m: x - m)
+    codes = F.zip_with(
+        dq,
+        scale,
+        lambda y, s: F.when(s > 0, F.floor(y * 255 / s + 0.5)).otherwise(
+            F.lit(0)
+        ).cast("int"),
+    )
+    err = F.zip_with(
+        F.zip_with(codes, scale, lambda q, s: q * s / 255),
+        dq,
+        lambda r, y: (r - y) * (r - y),
+    )
+    mse = F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e) / DIM
+    return v.select("vec_id", codes.alias("codes"), mse.alias("mse"))
+
+
+def _sql_quantize_oracle() -> str:
+    # same literals-from-stats construction, stats computed in SQL and
+    # carried as in-order lists; element arithmetic is textually identical
+    # so every IEEE intermediate matches
+    code = "CASE WHEN sl[i] > 0 THEN floor((v[i] - mnl[i]) * 255 / sl[i] + 0.5) ELSE 0 END"
+    err = f"({code} * sl[i] / 255 - (v[i] - mnl[i]))"
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, i, v[i] AS x
+  FROM v, LATERAL unnest(generate_series(1, {DIM})) AS t(i)
+),
+st AS (
+  SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i
+),
+sl AS (
+  SELECT list(mn ORDER BY i) AS mnl, list(mx - mn ORDER BY i) AS sl FROM st
+)
+SELECT vec_id,
+       list_transform(generate_series(1, {DIM}),
+                      i -> CAST({code} AS INTEGER)) AS codes,
+       list_sum(list_transform(generate_series(1, {DIM}),
+                               i -> {err} * {err})) / {DIM} AS mse
+FROM v CROSS JOIN sl
+"""
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ANN (per-subspace codebooks + ADC)
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_SUB = DIM // PQ_M  # dims per subspace
+PQ_K = 8  # centroids per codebook -> 4 bytes/vector
+PQ_ITER = KMEANS_ITER
+
+
+def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-k (see ``operators.pq``): train ``PQ_M``
+    per-subspace codebooks with the deterministic k-means, byte-encode
+    the corpus, and answer the standard query set by asymmetric distance
+    — the ``m`` bytes/vector regime brute-force ANN runs at 100 TB."""
+    from ..operators.clustering import prepare_vectors
+    from ..operators.pq import adc_topk, encode, train_codebooks
+
+    emb = _emb(spark, sf_dir)
+    prep = prepare_vectors(emb)
+    books = train_codebooks(prep, PQ_M, PQ_SUB, k=PQ_K, n_iter=PQ_ITER)
+    codes = encode(prep, books, PQ_SUB)
+    queries = prep.filter(F.col("vec_id") < N_QUERIES)
+    return adc_topk(codes, queries, books, PQ_SUB, TOP_K)
+
+
+def _sql_unrolled_kmeans(cte: str, dim: int, k: int, iters: int) -> tuple[str, str]:
+    """Generalized unrolled Lloyd's: (final_centroids_sql, assign_sql)
+    over a CTE exposing (vec_id, vec) — the per-subspace reuse of the
+    ``_sql_kmeans_assign`` construction."""
+    from ..functions.text import sql_md5_long
+
+    def sqd(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    def assign(cents: str) -> str:
+        return f"""(
+  SELECT vec_id, vec, cid AS cluster_id, dist FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM (
+      SELECT t.vec_id, t.vec, s.cid, {sqd("t.vec", "s.vec")} AS dist
+      FROM {cte} t CROSS JOIN {cents} s
+    )
+  ) WHERE rn = 1
+)"""
+
+    mean_list = ", ".join(
+        f"CAST(sum(CAST(vec[{i + 1}] AS DECIMAL(27,6))) AS DOUBLE) / count(*)"
+        for i in range(dim)
+    )
+
+    def update(assigned: str) -> str:
+        return f"""(
+  SELECT cluster_id AS cid, [{mean_list}] AS vec
+  FROM {assigned} GROUP BY cluster_id
+)"""
+
+    seeds = f"""(
+  SELECT CAST(rn - 1 AS INTEGER) AS cid, vec FROM (
+    SELECT vec, row_number() OVER (
+      ORDER BY {sql_md5_long("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
+    FROM {cte}
+  ) WHERE rn <= {k}
+)"""
+    cents = seeds
+    for _ in range(iters):
+        cents = update(assign(cents))
+    return cents, assign(cents)
+
+
+def _sql_pq_oracle() -> str:
+    def sqd(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {PQ_SUB}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    sub_ctes, cents_ctes, enc_joins, qd_ctes, qd_joins, dsum = [], [], [], [], [], []
+    for s in range(PQ_M):
+        lo, hi = s * PQ_SUB + 1, (s + 1) * PQ_SUB
+        sub_ctes.append(f"v{s} AS MATERIALIZED (SELECT vec_id, vec[{lo}:{hi}] AS vec FROM v)")
+        cents, assign = _sql_unrolled_kmeans(f"v{s}", PQ_SUB, PQ_K, PQ_ITER)
+        cents_ctes.append(f"cents{s} AS MATERIALIZED ({cents})")
+        cents_ctes.append(
+            f"e{s} AS MATERIALIZED (SELECT vec_id, cluster_id AS c{s} FROM {assign})"
+        )
+        qd_ctes.append(
+            f"qd{s} AS (SELECT query_id, cid, {sqd(f'qvec[{lo}:{hi}]', 's.vec')} AS d"
+            f" FROM q CROSS JOIN cents{s} s)"
+        )
+        if s == 0:
+            enc_joins.append("e0")
+            qd_joins.append("JOIN qd0 ON qd0.cid = e.c0")
+        else:
+            enc_joins.append(f"JOIN e{s} USING (vec_id)")
+            qd_joins.append(
+                f"JOIN qd{s} ON qd{s}.cid = e.c{s} AND qd{s}.query_id = qd0.query_id"
+            )
+        dsum.append(f"qd{s}.d")
+    subs = ",\n".join(sub_ctes)
+    cents_all = ",\n".join(cents_ctes)
+    qds = ",\n".join(qd_ctes)
+    encs = " ".join(enc_joins)
+    qdj = "\n  ".join(qd_joins)
+    dtotal = " + ".join(dsum)
+    return f"""
+WITH {_SQL_V_CTE},
+{subs},
+{cents_all},
+q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < {N_QUERIES}),
+{qds},
+enc AS (SELECT * FROM {encs}),
+scored AS (
+  SELECT qd0.query_id, e.vec_id AS neighbor_id,
+         {dtotal} AS approx_dist
+  FROM enc e
+  {qdj}
+  WHERE e.vec_id <> qd0.query_id
+)
+SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "embedding_semantic_dedup": embedding_semantic_dedup,
     "embedding_topk_bruteforce": embedding_topk_bruteforce,
@@ -348,6 +562,8 @@ QUERIES = {
     "embedding_ann_ivf": embedding_ann_ivf,
     "embedding_cosine_neardup": embedding_cosine_neardup,
     "embedding_kmeans": embedding_kmeans,
+    "embedding_quantize_int8": embedding_quantize_int8,
+    "embedding_ann_pq": embedding_ann_pq,
 }
 
 ORACLES = {
@@ -357,4 +573,6 @@ ORACLES = {
     "embedding_ann_lsh": _sql_ann_oracle(),
     "embedding_ann_ivf": _sql_ivf_oracle(),
     "embedding_cosine_neardup": _sql_neardup_oracle(),
+    "embedding_quantize_int8": _sql_quantize_oracle(),
+    "embedding_ann_pq": _sql_pq_oracle(),
 }

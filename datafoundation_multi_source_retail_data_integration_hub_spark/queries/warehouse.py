@@ -316,6 +316,72 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Dashboard extract (reference dashboard/app.py:51-58): the single wide
+# denormalized pull feeding every chart — fact joined back to dim_date /
+# dim_customer / dim_product current rows. The reference ships the result
+# to the client over Arrow (S9); here the same frame is the oracle-checked
+# deliverable.
+# ---------------------------------------------------------------------------
+
+
+def dashboard_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer", "part")
+    dim_customer = scd2_initial_load(t["customer"], CUSTOMER_CFG, D0)
+    dim_part = scd2_initial_load(t["part"], PART_CFG, D0)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    fact = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "o_custkey",
+            "l_partkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            rev.alias("sales"),
+            (rev - F.col("l_extendedprice") * F.col("l_tax")).alias("profit"),
+        )
+    )
+    # the dashboard filters both dims to is_current = 1 (app.py:58)
+    cust_attrs = dim_customer.filter(F.col("is_current") == 1).select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    part_attrs = dim_part.filter(F.col("is_current") == 1).select(
+        "p_partkey", F.col("p_type").alias("category")
+    )
+    return (
+        fact.join(
+            F.broadcast(cust_attrs), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(part_attrs), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.round("sales", 4).alias("sales"),
+            F.round("profit", 4).alias("profit"),
+            "order_date",
+            F.year("order_date").cast("int").alias("year"),
+            "segment",
+            "category",
+        )
+    )
+
+
+DASHBOARD_EXTRACT_ORACLE = """
+SELECT round(l_extendedprice * (1 - l_discount), 4) AS sales,
+       round(l_extendedprice * (1 - l_discount) - l_extendedprice * l_tax, 4)
+         AS profit,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS year,
+       c.c_mktsegment AS segment,
+       p.p_type AS category
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer c ON o_custkey = c.c_custkey
+JOIN part p ON l_partkey = p.p_partkey
+"""
+
+
 QUERIES = {
     "dim_date_calendar": dim_date_calendar,
     "dim_customer_scd2_init": dim_customer_scd2_init,
@@ -323,6 +389,7 @@ QUERIES = {
     "fact_sales_resolution": fact_sales_resolution,
     "mart_sales_performance": mart_sales_performance,
     "mart_category_analysis": mart_category_analysis,
+    "dashboard_extract": dashboard_extract,
 }
 
 ORACLES = {
@@ -332,4 +399,5 @@ ORACLES = {
     "fact_sales_resolution": FACT_RESOLUTION_ORACLE,
     "mart_sales_performance": MART_SALES_PERFORMANCE_ORACLE,
     "mart_category_analysis": MART_CATEGORY_ANALYSIS_ORACLE,
+    "dashboard_extract": DASHBOARD_EXTRACT_ORACLE,
 }

@@ -78,3 +78,58 @@ def test_ivf_with_kmeans_centroids(spark, emb):
     assert len(got) == 5 * k  # every query answered from its probed cells
     recall = len(got & want) / len(want)
     assert recall >= 0.3  # nprobe=2 of 4 coarse cells on random vectors
+
+def test_pq_encode_and_adc_invariants(spark, emb):
+    """PQ: codebooks bounded by k per subspace, codes are valid centroid
+    ids, every query gets exactly top_k neighbors, and the reported ADC
+    distance equals the sum of per-subspace code distances (recomputed in
+    Python on a sampled row)."""
+    import math
+
+    from datafoundation_multi_source_retail_data_integration_hub_spark.operators.clustering import (
+        prepare_vectors,
+        unpersist_all,
+    )
+    from datafoundation_multi_source_retail_data_integration_hub_spark.operators.pq import (
+        adc_topk,
+        encode,
+        train_codebooks,
+    )
+
+    m, sub, k, top_k = 4, DIM // 4, 4, 5
+    prep = prepare_vectors(emb)
+    books = train_codebooks(prep, m, sub, k=k, n_iter=1)
+    assert len(books) == m
+    for cb in books:
+        assert 1 <= len(cb) <= k
+        assert all(len(vec) == sub for _, vec in cb)
+
+    codes = encode(prep, books, sub)
+    valid = [{cid for cid, _ in cb} for cb in books]
+    crows = {r["vec_id"]: r for r in codes.collect()}
+    for r in crows.values():
+        for s in range(m):
+            assert r[f"c{s}"] in valid[s]
+
+    queries = prep.filter(F.col("vec_id") < 3)
+    out = adc_topk(codes, queries, books, sub, top_k).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {0, 1, 2}
+    assert all(len(v) == top_k for v in per_q.values())
+
+    # recompute one ADC distance in Python
+    qvecs = {
+        r["vec_id"]: list(r["__dvec"]) for r in queries.collect()
+    }
+    r0 = per_q[0][0]
+    qv, code_row = qvecs[0], crows[r0["neighbor_id"]]
+    books_by_cid = [dict(cb) for cb in books]
+    expect = 0.0
+    for s in range(m):
+        cv = books_by_cid[s][code_row[f"c{s}"]]
+        qs = qv[s * sub : (s + 1) * sub]
+        expect += sum((a - b) * (a - b) for a, b in zip(qs, cv))
+    assert math.isclose(r0["approx_dist"], expect, rel_tol=1e-9)
+    unpersist_all()

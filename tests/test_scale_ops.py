@@ -71,3 +71,48 @@ def test_salted_join_preserves_semantics(spark):
     plain2 = large2.join(small, "k", "left").count()
     salted2 = salted_join(large2, small, "k", hot_keys=[57], how="left").count()
     assert plain2 == salted2
+
+
+def test_jaccard_pairs_exact_under_10x_replication(spark):
+    """Adversarial-duplication scale smoke: replicate the corpus 10x with
+    shifted ids (every doc gains 9 byte-identical clones) and check the
+    near-dup pair count against the closed-form prediction:
+
+      pairs(10x) == 100 * pairs(1x) + 45 * n_docs_with_shingles
+
+    (each original near-dup pair appears once per clone-pair combination
+    = 10*10; each doc pairs with its own clones = C(10,2) = 45). The
+    document-frequency cap is scaled by the same factor so the dropped
+    stop-shingle set is identical — this pins that candidate generation
+    stays exact (no silent loss) while the inverted index absorbs a 10x
+    corpus with 100x the candidate pairs."""
+    from datafoundation_multi_source_retail_data_integration_hub_spark.operators import (
+        dedup as DD,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n, cap, tau = 3, 100, 0.2
+    base_pairs = DD.jaccard_pairs(
+        docs, "text", "doc_id", n=n, threshold=tau, max_doc_freq=cap,
+        prefix_filter=True,
+    ).count()
+    DD.unpersist_all()
+    n_shingled = (
+        docs.select(F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("nt"))
+        .filter(F.col("nt") >= n)
+        .count()
+    )
+
+    offset = 10_000_000
+    replicas = spark.range(10).select(F.col("id").alias("rep"))
+    rep10 = docs.crossJoin(replicas).select(
+        (F.col("doc_id") + F.col("rep") * offset).alias("doc_id"), "text"
+    )
+    rep_pairs = DD.jaccard_pairs(
+        rep10, "text", "doc_id", n=n, threshold=tau, max_doc_freq=cap * 10,
+        prefix_filter=True,
+    ).count()
+    DD.unpersist_all()
+    assert rep_pairs == 100 * base_pairs + 45 * n_shingled
