@@ -60,6 +60,7 @@ HEADLINE = [
     "embedding_ann_ivf",
     "embedding_quantize_int8",
     "embedding_ann_pq",
+    "doc_hybrid_search_rrf",
     "embedding_cosine_neardup",
     "embedding_semantic_dedup",
     "events_tumbling_10m",

@@ -555,6 +555,175 @@ SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INTEGER) AS rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: lexical + vector with reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard RRF damping constant
+HYB_QUERIES = 3
+HYB_POOL = 50  # per-modality candidate pool
+HYB_TOP = 10
+
+
+def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval over (documents, embeddings), the RAG-index query
+    path: token-Jaccard lexical candidates + cosine vector candidates,
+    fused by reciprocal-rank fusion ``1/(K+r_lex) + 1/(K+r_vec)``.
+
+    Scale shape: the lexical side is an inverted-index equi-join on the
+    token against the BROADCAST query token set (queries are per-request,
+    corpus-side work is one explode + hash agg); the vector side is the
+    broadcast-queries map-side cosine; each modality keeps only its
+    ``HYB_POOL`` best per query, so fusion joins two bounded lists.
+    Ranks are integers, so the fused score is engine-exact (two IEEE
+    divisions + one add in fixed order).
+    """
+    from ..functions.text import normalized_text, ws_tokens
+
+    t = load_tables(spark, sf_dir, "documents", "embeddings")
+    toks = t["documents"].select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(ws_tokens(normalized_text(F.col("text"))))
+        ).alias("t"),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    qt = toks.filter(F.col("doc_id") < HYB_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "t"
+    )
+    shared = (
+        toks.join(F.broadcast(qt), "t")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    from pyspark.sql import Window
+
+    jacc = (
+        shared.join(sizes, "doc_id")
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("doc_id").alias("query_id"), F.col("sz").alias("qsz")
+                )
+            ),
+            "query_id",
+        )
+        .withColumn(
+            "lex_sim",
+            F.col("n_shared").cast("double")
+            / (F.col("sz") + F.col("qsz") - F.col("n_shared")),
+        )
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("lex_sim").desc(), F.col("doc_id")
+    )
+    lex = (
+        jacc.withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= HYB_POOL)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+
+    v = t["embeddings"].select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    qv = v.filter(F.col("doc_id") < HYB_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    from ..operators.similarity import cosine
+
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("doc_id")
+    )
+    vec = (
+        v.join(F.broadcast(qv), F.col("doc_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("v"), F.col("qv")))
+        .withColumn("vec_rank", F.row_number().over(wv))
+        .filter(F.col("vec_rank") <= HYB_POOL)
+        .select("query_id", "doc_id", "vec_rank")
+    )
+
+    fused = lex.join(vec, ["query_id", "doc_id"], "full_outer").withColumn(
+        "rrf",
+        F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (RRF_K + F.col("vec_rank")), F.lit(0.0)),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= HYB_TOP)
+        .select("query_id", "doc_id", "lex_rank", "vec_rank", "rrf", "rank")
+    )
+
+
+def _sql_hybrid_oracle() -> str:
+    from ..functions.text import sql_normalized
+
+    return f"""
+WITH toks0 AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(string_split_regex({sql_normalized('text')}, '\\s+')) AS tl
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(tl) AS t FROM toks0),
+sizes AS (SELECT doc_id, len(tl) AS sz FROM toks0),
+qt AS (SELECT doc_id AS query_id, t FROM toks WHERE doc_id < {HYB_QUERIES}),
+shared AS (
+  SELECT query_id, doc_id, count(*) AS n_shared
+  FROM toks JOIN qt USING (t) WHERE doc_id <> query_id GROUP BY 1, 2
+),
+lex0 AS (
+  SELECT s.query_id, s.doc_id,
+         CAST(s.n_shared AS DOUBLE) / (d.sz + q.sz - s.n_shared) AS lex_sim
+  FROM shared s
+  JOIN sizes d ON s.doc_id = d.doc_id
+  JOIN sizes q ON s.query_id = q.doc_id
+),
+lex AS (
+  SELECT query_id, doc_id, CAST(lex_rank AS INTEGER) AS lex_rank FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY lex_sim DESC, doc_id) AS lex_rank
+    FROM lex0
+  ) WHERE lex_rank <= {HYB_POOL}
+),
+v AS (
+  SELECT vec_id AS doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+qv AS (SELECT doc_id AS query_id, v AS qv FROM v WHERE doc_id < {HYB_QUERIES}),
+vec AS (
+  SELECT query_id, doc_id, CAST(vec_rank AS INTEGER) AS vec_rank FROM (
+    SELECT query_id, doc_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, doc_id) AS vec_rank
+    FROM (
+      SELECT qv.query_id, v.doc_id,
+             {_sql_dot("v.v", "qv.qv")} / ({_sql_norm("v.v")} * {_sql_norm("qv.qv")})
+               AS cos
+      FROM v CROSS JOIN qv WHERE v.doc_id <> qv.query_id
+    )
+  ) WHERE vec_rank <= {HYB_POOL}
+),
+fused AS (
+  SELECT COALESCE(lex.query_id, vec.query_id) AS query_id,
+         COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         lex.lex_rank, vec.vec_rank,
+         COALESCE(1.0 / ({RRF_K} + lex.lex_rank), 0.0)
+           + COALESCE(1.0 / ({RRF_K} + vec.vec_rank), 0.0) AS rrf
+  FROM lex FULL OUTER JOIN vec
+    ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id
+)
+SELECT query_id, doc_id, lex_rank, vec_rank, rrf, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= {HYB_TOP}
+"""
+
+
 QUERIES = {
     "embedding_semantic_dedup": embedding_semantic_dedup,
     "embedding_topk_bruteforce": embedding_topk_bruteforce,
@@ -564,6 +733,7 @@ QUERIES = {
     "embedding_kmeans": embedding_kmeans,
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_ann_pq": embedding_ann_pq,
+    "doc_hybrid_search_rrf": doc_hybrid_search_rrf,
 }
 
 ORACLES = {
@@ -575,4 +745,5 @@ ORACLES = {
     "embedding_cosine_neardup": _sql_neardup_oracle(),
     "embedding_quantize_int8": _sql_quantize_oracle(),
     "embedding_ann_pq": _sql_pq_oracle(),
+    "doc_hybrid_search_rrf": _sql_hybrid_oracle(),
 }
