@@ -187,14 +187,76 @@ FROM m
 """
 
 
+SKEW_TOP = 10
+
+
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-planning diagnostics for the engine's hottest join key
+    (lineitem.l_orderkey): the top heavy-hitter keys plus, on every row,
+    the global statistics a planner needs to pick a strategy — distinct
+    key count, mean rows/key, and the max/mean skew factor. A skew factor
+    near 1 means hash partitioning balances; >> 1 says salt the listed
+    keys (``operators/skew.py``) or lean on AQE skew-join splitting.
+
+    One pass: hash-agg per key, then a single-row global roll-up joined
+    back by broadcast. Top-N via TakeOrdered — no global sort.
+    """
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    glob = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("n_total"),
+        F.max("n_rows").alias("max_rows"),
+    ).select(
+        "n_keys",
+        (F.col("n_total").cast("double") / F.col("n_keys")).alias("mean_rows"),
+        (
+            F.col("max_rows")
+            / (F.col("n_total").cast("double") / F.col("n_keys"))
+        ).alias("skew_factor"),
+    )
+    return (
+        per_key.orderBy(F.col("n_rows").desc(), "l_orderkey")
+        .limit(SKEW_TOP)
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "l_orderkey",
+            "n_rows",
+            "n_keys",
+            F.round("mean_rows", 6).alias("mean_rows"),
+            F.round("skew_factor", 6).alias("skew_factor"),
+        )
+    )
+
+
+JOIN_KEY_SKEW_ORACLE = f"""
+WITH per_key AS (
+  SELECT l_orderkey, count(*) AS n_rows FROM lineitem GROUP BY 1
+),
+gstats AS (
+  SELECT count(*) AS n_keys,
+         CAST(sum(n_rows) AS DOUBLE) / count(*) AS mean_rows,
+         max(n_rows) / (CAST(sum(n_rows) AS DOUBLE) / count(*)) AS skew_factor
+  FROM per_key
+)
+SELECT l_orderkey, n_rows, n_keys,
+       round(mean_rows, 6) AS mean_rows,
+       round(skew_factor, 6) AS skew_factor
+FROM (SELECT * FROM per_key ORDER BY n_rows DESC, l_orderkey LIMIT {SKEW_TOP})
+CROSS JOIN gstats
+"""
+
+
 QUERIES = {
     "customer_revenue_deciles": customer_revenue_deciles,
     "order_grouping_sets": order_grouping_sets,
     "lineitem_stats_profile": lineitem_stats_profile,
+    "join_key_skew_report": join_key_skew_report,
 }
 
 ORACLES = {
     "customer_revenue_deciles": CUSTOMER_REVENUE_DECILES_ORACLE,
     "order_grouping_sets": ORDER_GROUPING_SETS_ORACLE,
     "lineitem_stats_profile": LINEITEM_STATS_PROFILE_ORACLE,
+    "join_key_skew_report": JOIN_KEY_SKEW_ORACLE,
 }

@@ -89,6 +89,18 @@ AUDITED = {
         "expect": ["BroadcastHashJoin", "HashAggregate"],
         "forbid_pattern": r"CartesianProduct|BroadcastNestedLoopJoin",
     },
+    "embedding_ann_pq": {
+        # encode is map-side (codebook literals); ADC join broadcasts the
+        # tiny query side (BNLJ on the != predicate is the intended plan)
+        "expect": ["BroadcastNestedLoopJoin", "Window"],
+        "forbid_pattern": r"CartesianProduct",
+    },
+    "doc_hybrid_search_rrf": {
+        # lexical candidates ride an equi-join against broadcast query
+        # tokens; fusion is a bounded full-outer join
+        "expect": ["BroadcastHashJoin", "Window"],
+        "forbid_pattern": r"CartesianProduct",
+    },
 }
 
 
