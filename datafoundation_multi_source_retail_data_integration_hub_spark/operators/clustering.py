@@ -221,13 +221,17 @@ def semantic_dedup(
     cluster is the skew risk; AQE skew-join splitting handles moderate
     skew, and re-bisecting oversized cells is the structural fix.
 
-    The assigned frame (id, cluster_id, double-cast vector) feeds both
-    join sides and the final flag projection, so it is persisted — the
-    corpus is scanned and assigned once, not three times (verified: the
-    unpersisted plan shows three parquet scans, no exchange reuse).
+    The assigned frame (id, cluster_id, double-cast vector, norm) feeds
+    both join sides and the final flag projection, so it is persisted —
+    the corpus is scanned and assigned once, not three times (verified:
+    the unpersisted plan shows three parquet scans, no exchange reuse).
+    The NORM is precomputed per vector: a pair's cosine is
+    ``dot/(n1*n2)`` with the same IEEE operands as the inline form, but
+    the two norm folds run once per vector instead of once per pair —
+    the pair scan does one fold instead of three (the quadratic term).
     Release with ``unpersist_all()`` after the consuming action.
     """
-    from .similarity import cosine
+    from .similarity import dot, norm
 
     prep = df if pre_cast else prepare_vectors(df, vec_col, id_col)
     vcol = vec_col if pre_cast else "__dvec"
@@ -236,18 +240,25 @@ def semantic_dedup(
             F.col(id_col),
             "cluster_id",
             F.col(vcol).alias("__v"),
+            norm(F.col(vcol)).alias("__n"),
         )
     )
     x = assigned.select(
-        F.col(id_col), "cluster_id", F.col("__v").alias("__v1")
+        F.col(id_col), "cluster_id", F.col("__v").alias("__v1"),
+        F.col("__n").alias("__n1"),
     )
     y = assigned.select(
-        F.col(id_col).alias("__nb"), "cluster_id", F.col("__v").alias("__v2")
+        F.col(id_col).alias("__nb"), "cluster_id", F.col("__v").alias("__v2"),
+        F.col("__n").alias("__n2"),
     )
     dropped = (
         x.join(y, "cluster_id")
         .filter(F.col("__nb") < F.col(id_col))
-        .filter(cosine(F.col("__v1"), F.col("__v2")) >= tau)
+        .filter(
+            dot(F.col("__v1"), F.col("__v2"))
+            / (F.col("__n1") * F.col("__n2"))
+            >= tau
+        )
         .select(id_col)
         .distinct()
         .withColumn("__dropped", F.lit(True))

@@ -225,28 +225,37 @@ def cosine_neardup_pairs(
             corpus.select(
                 F.col(id_col).alias("vid"),
                 F.col(vec_col).alias("vec"),
+                # norm precomputed per (vector, table): the verification
+                # cosine is dot/(n1*n2) with identical IEEE operands, but
+                # the norm folds run corpus-linear instead of per pair
+                norm(F.col(vec_col)).alias("nrm"),
                 F.lit(t).alias("tbl"),
                 bucket_id(F.col(vec_col), planes).alias("bucket"),
             )
         )
     c = reduce(lambda a, b: a.unionByName(b), tables)
     lhs = c.select(
-        F.col("vid").alias("id1"), F.col("vec").alias("v1"), "tbl", "bucket"
+        F.col("vid").alias("id1"), F.col("vec").alias("v1"),
+        F.col("nrm").alias("n1"), "tbl", "bucket"
     )
     rhs = c.select(
-        F.col("vid").alias("id2"), F.col("vec").alias("v2"), "tbl", "bucket"
+        F.col("vid").alias("id2"), F.col("vec").alias("v2"),
+        F.col("nrm").alias("n2"), "tbl", "bucket"
     )
     cand = (
         lhs.join(rhs, ["tbl", "bucket"])
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "v1", "v2")
+        .select("id1", "id2", "v1", "v2", "n1", "n2")
     )
     if n_tables > 1:
         # the same pair can collide in several tables — dedup BEFORE the
         # (expensive) exact verification, not after
         cand = cand.distinct()
     return (
-        cand.withColumn("cosine", cosine(F.col("v1"), F.col("v2")))
+        cand.withColumn(
+            "cosine",
+            dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
         .distinct()
