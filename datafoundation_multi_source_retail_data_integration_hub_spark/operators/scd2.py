@@ -120,7 +120,10 @@ def scd2_merge(
     changed_keys = changed_members.select(nk).distinct()
     # expire: current variants of changed keys NOT re-asserted by the
     # incoming batch (a re-asserted identical variant stays current)
-    expired_base = current.join(F.broadcast(changed_keys), nk, "left_semi")
+    # changed_keys is batch-delta-sized — usually tiny, but a batch can
+    # legally rewrite the whole dimension, so no hard broadcast() hint
+    # (policy: queries/relational.py module doc); AQE decides.
+    expired_base = current.join(changed_keys, nk, "left_semi")
     expired = (
         expired_base.join(inc, tuple_eq(expired_base, inc), "left_anti")
         .withColumn(cfg.expiry_col, F.lit(effective_date).cast("date"))

@@ -128,11 +128,11 @@ def mart_sales_performance(star: StarSchema) -> DataFrame:
 
 def mart_category_analysis(star: StarSchema) -> DataFrame:
     """Category mart: join fact back to current product dim rows."""
+    # product dim scales with the catalog — no hard broadcast() hint
+    # (policy: queries/relational.py module doc); AQE decides.
     prod = star.dimensions["dim_product"].filter(F.col("is_current") == 1)
     return (
-        star.fact.join(
-            F.broadcast(prod.select("product_key", "category")), "product_key"
-        )
+        star.fact.join(prod.select("product_key", "category"), "product_key")
         .groupBy("category")
         .agg(
             stable_sum(F.col("sales")).alias("total_sales"),

@@ -107,9 +107,15 @@ def resolve_fact(
 ) -> DataFrame:
     """Build the fact table: project measures + resolve FK surrogate keys.
 
-    Each dim key map is explicitly ``broadcast()``: one row per current
-    member — dimension-sized however big the fact is, so the fact never
-    shuffles for FK resolution.
+    Each dim key map is one row per current member. Broadcast policy
+    (see queries/relational.py module doc): dims like customer/part
+    scale WITH the corpus, so the key-map joins carry NO hard
+    ``broadcast()`` hint — Catalyst's size estimate + AQE's runtime
+    re-plan choose broadcast-hash at test scale and degrade to
+    shuffle-hash/sort-merge for billion-row dims at the 100 TB design
+    point, where a hard hint would OOM the executors. The left join
+    stays key-map-sized per dim either way; the fact never shuffles
+    more than once per unresolved FK.
 
     Reference parity note: the reference's key map keeps ALL current rows
     (``load_to_query.py:173-176``), so a natural key with several current
@@ -136,7 +142,7 @@ def resolve_fact(
             )
         if cfg.natural_key != fact_nk:
             kmap = kmap.withColumnRenamed(cfg.natural_key, fact_nk)
-        fact = fact.join(F.broadcast(kmap), fact_nk, "left").drop(fact_nk)
+        fact = fact.join(kmap, fact_nk, "left").drop(fact_nk)
 
     if fact_spec.date_column:
         # The reference stores the int date_key under the fact's original

@@ -198,9 +198,12 @@ def fact_sales_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cmap = current_key_map(dim_customer, CUSTOMER_CFG)
     pmap = current_key_map(dim_part, PART_CFG)
+    # No hard broadcast() on the key maps: customer/part scale with the
+    # corpus (broadcast policy, queries/relational.py module doc). AQE
+    # picks broadcast-hash at test scale, shuffle strategies at 100 TB.
     return (
-        fact.join(F.broadcast(cmap), "c_custkey", "left")
-        .join(F.broadcast(pmap), "p_partkey", "left")
+        fact.join(cmap, "c_custkey", "left")
+        .join(pmap, "p_partkey", "left")
         .select(
             "l_orderkey",
             "l_linenumber",
@@ -273,7 +276,9 @@ def _corpus_star(spark: SparkSession, sf_dir: str) -> StarSchema:
             rev.alias("sales"),
             (rev - F.col("l_extendedprice") * F.col("l_tax")).alias("profit"),
         )
-        .join(F.broadcast(pmap), "p_partkey")
+        # part scales with the corpus — no hard broadcast hint (policy in
+        # queries/relational.py module doc); AQE decides.
+        .join(pmap, "p_partkey")
         .select("order_date", F.col("part_key").alias("product_key"), "sales", "profit")
     )
     return StarSchema(dimensions={"dim_product": dim_product}, fact=fact)
@@ -351,11 +356,14 @@ def dashboard_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_attrs = dim_part.filter(F.col("is_current") == 1).select(
         "p_partkey", F.col("p_type").alias("category")
     )
+    # Broadcast policy (see queries/relational.py module doc): customer
+    # and part scale WITH the corpus, so no hard broadcast() hint here —
+    # a hard hint OOMs the build side at the 100 TB design point. At test
+    # scale Catalyst's size estimate + AQE still pick broadcast-hash on
+    # their own; at scale they degrade to shuffle-hash/sort-merge.
     return (
-        fact.join(
-            F.broadcast(cust_attrs), F.col("o_custkey") == F.col("c_custkey")
-        )
-        .join(F.broadcast(part_attrs), F.col("l_partkey") == F.col("p_partkey"))
+        fact.join(cust_attrs, F.col("o_custkey") == F.col("c_custkey"))
+        .join(part_attrs, F.col("l_partkey") == F.col("p_partkey"))
         .select(
             F.round("sales", 4).alias("sales"),
             F.round("profit", 4).alias("profit"),
