@@ -150,10 +150,15 @@ def jaccard_pairs(
     # of the self-join — recomputing the regex+explode shingle pipeline
     # per consumer dominates runtime otherwise
     ex = _persist(docs.select("doc_id", F.explode("sh").alias("s")))
-    rare = ex.groupBy("s").agg(F.count("*").alias("df_")).filter(
-        F.col("df_") <= max_doc_freq
+    # The df cap is applied as a broadcast ANTI-join against the HOT
+    # shingle set: shingles with df > max_doc_freq number at most
+    # |postings| / max_doc_freq — bounded small at any corpus size —
+    # whereas the complementary rare set is corpus-scale (≈ all distinct
+    # shingles) and must never be a broadcast build side.
+    hot = ex.groupBy("s").agg(F.count("*").alias("df_")).filter(
+        F.col("df_") > max_doc_freq
     )
-    ex = ex.join(F.broadcast(rare.select("s")), "s")
+    ex = ex.join(F.broadcast(hot.select("s")), "s", "left_anti")
     if prefix_filter:
         # capped per-doc shingle set, canonical (hash) order — feeds both
         # the prefix index and the verification join
@@ -285,11 +290,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: columns m0..m{k-1}.
 
-    Hash family from TWO md5 evaluations per shingle instead of k:
-    hash_i(s) = (a(s) + i * b(s)) mod p with a = md5_long(s),
-    b = md5_long('x:' || s), p = 2^31 - 1 — the classic affine family,
-    deterministic and reproducible in any engine with md5, and 8x fewer
-    md5 invocations on the exploded postings (the hot loop).
+    Hash family from ONE md5 evaluation per shingle:
+    hash_i(s) = (a(s) + i * b(s)) mod p with a = 60-bit int of md5 hex
+    chars [1,15], b = 60-bit int of hex chars [16,30] of the SAME
+    digest, p = 2^31 - 1 — the classic affine family, deterministic and
+    reproducible in any engine with md5.
+
+    Plan shape: explode the (already 60-bit-hashed) shingles, derive
+    (a, b) with one md5 per posting, then a hash aggregate of k mins
+    per doc. The exchange carries only per-doc PARTIAL minima (docs x k
+    longs — map-side combine collapses the postings before the
+    shuffle), so the plan scales with the corpus scan, not the posting
+    count. A fully map-side variant (staged arrays + 16 array_min
+    transforms) measured ~25% SLOWER at sf0.1: Catalyst inlines the
+    multi-referenced array stages back into each of the k transforms.
 
     ``shingled``: optionally pass a precomputed (ideally persisted)
     ``_shingled`` frame so callers who also need the shingle sets (e.g.
@@ -297,12 +311,14 @@ def minhash_signatures(
     """
     p = MINHASH_PRIME
     docs = shingled if shingled is not None else _shingled(df, text_col, id_col, n)
-    ex = docs.select("doc_id", F.explode("sh").alias("s")).select(
-        "doc_id",
-        (md5_long(F.col("s").cast("string")) % p).alias("a"),
-        (md5_long(F.concat(F.lit("x:"), F.col("s").cast("string"))) % p).alias(
-            "b"
-        ),
+    ex = (
+        docs.select("doc_id", F.explode("sh").alias("s"))
+        .select("doc_id", F.md5(F.col("s").cast("string")).alias("__h"))
+        .select(
+            "doc_id",
+            (F.conv(F.substring("__h", 1, 15), 16, 10).cast("long") % p).alias("a"),
+            (F.conv(F.substring("__h", 16, 15), 16, 10).cast("long") % p).alias("b"),
+        )
     )
     hashed = ex.select(
         "doc_id",
@@ -332,17 +348,27 @@ def minhash_lsh_pairs(
     r = k // bands
     docs = _persist(_shingled(df, text_col, id_col, n))
     sig = _persist(minhash_signatures(df, text_col, id_col, n, k, shingled=docs))
-    band_rows = [
-        sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(",", *[F.col(f"m{b * r + j}") for j in range(r)])
-            ).alias("bsig"),
-        )
-        for b in range(bands)
-    ]
-    banded = reduce(lambda a, b: a.unionByName(b), band_rows)
+    # one (band, bsig) row per band via a single explode — NOT a
+    # bands-way union, which scans the cached signature frame ``bands``
+    # times per join side (2*bands cache scans; measured slower at sf0.1)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",", *[F.col(f"m{b * r + j}") for j in range(r)]
+                            )
+                        ).alias("bsig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bb"),
+    ).select("doc_id", F.col("__bb.band").alias("band"), F.col("__bb.bsig").alias("bsig"))
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bsig"])

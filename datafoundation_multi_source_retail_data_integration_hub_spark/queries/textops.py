@@ -209,10 +209,16 @@ def _sql_minhash_oracle() -> str:
 
     k, bands = MINHASH_K, MINHASH_BANDS
     r = k // bands
-    hash_cols = ",\n       ".join(
-        f"(a + {i} * b) % {P} AS h{i}" for i in range(k)
+    # map-side signature mirror of operators.dedup.minhash_signatures:
+    # one md5 per shingle, a/b = 60-bit ints of hex chars [1,15]/[16,30],
+    # m_i = list_min over the affine transform — staged through
+    # MATERIALIZED CTEs (DuckDB re-evaluates lambda-inlined expressions
+    # per element otherwise)
+    min_cols = ",\n       ".join(
+        f"list_min(list_transform(generate_series(1, len(al)), "
+        f"j -> (al[j] + {i} * bl[j]) % {P})) AS m{i}"
+        for i in range(k)
     )
-    min_cols = ", ".join(f"min(h{i}) AS m{i}" for i in range(k))
     band_selects = "\nUNION ALL\n".join(
         f"SELECT doc_id, {b} AS band, md5(concat_ws(',', "
         + ", ".join(f"m{b * r + j}" for j in range(r))
@@ -222,14 +228,17 @@ def _sql_minhash_oracle() -> str:
     return f"""
 WITH d0 AS MATERIALIZED ({_SQL_SH_TABLE}),
 dd AS (SELECT * FROM d0 WHERE len(sh) > 0),
-ex AS (SELECT doc_id,
-       {TX.sql_md5_long("CAST(s AS VARCHAR)")} % {P} AS a,
-       {TX.sql_md5_long("'x:' || CAST(s AS VARCHAR)")} % {P} AS b
-       FROM (SELECT doc_id, unnest(sh) AS s FROM dd)),
-hx AS (SELECT doc_id,
-       {hash_cols}
-       FROM ex),
-sig AS (SELECT doc_id, {min_cols} FROM hx GROUP BY doc_id),
+hsx AS MATERIALIZED (
+  SELECT doc_id, list_transform(sh, s -> md5(CAST(s AS VARCHAR))) AS hsl
+  FROM dd),
+abx AS MATERIALIZED (
+  SELECT doc_id,
+    list_transform(hsl, h -> CAST(('0x' || substr(h, 1, 15)) AS BIGINT) % {P}) AS al,
+    list_transform(hsl, h -> CAST(('0x' || substr(h, 16, 15)) AS BIGINT) % {P}) AS bl
+  FROM hsx),
+sig AS (SELECT doc_id,
+       {min_cols}
+       FROM abx),
 bands AS ({band_selects}),
 cand AS (
   SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
@@ -555,7 +564,8 @@ def doc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DOC_SOURCE_STATS_ORACLE = f"""
-SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars_total,
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
        CAST(count(DISTINCT md5({TX.sql_normalized('text')})) AS BIGINT)
          AS n_unique_texts
@@ -584,7 +594,8 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_LENGTH_HISTOGRAM_ORACLE = """
 SELECT CAST(length(bin(n_chars)) AS INTEGER) AS bucket_bits,
        count(*) AS n_docs, min(n_chars) AS min_chars,
-       max(n_chars) AS max_chars, sum(n_chars) AS n_chars_total
+       max(n_chars) AS max_chars,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_total
 FROM documents GROUP BY 1
 """
 
