@@ -44,27 +44,42 @@ def train_codebooks(
     n_iter: int = 2,
     vec_col: str = "__dvec",
     id_col: str = "vec_id",
+    cache_key: tuple | None = None,
 ) -> list[Centroids]:
     """One deterministic k-means codebook per subspace. ``prep`` is a
-    ``prepare_vectors`` frame (already double-cast + persisted)."""
-    books = []
-    for s in range(m):
+    ``prepare_vectors`` frame (already double-cast + persisted).
+
+    ``cache_key`` (a tuple naming the corpus) memoizes each subspace fit
+    via ``clustering._FIT_CACHE`` — the ``m`` training-job groups run
+    once per session instead of once per query invocation.
+
+    The ``m`` fits are INDEPENDENT, so they are submitted as concurrent
+    Spark jobs from a thread pool: each fit is a chain of tiny
+    jobs (seed scan + ``n_iter`` aggregate-collects) whose wall time is
+    dominated by fixed per-job scheduling cost, and Spark's scheduler
+    interleaves concurrent jobs across the executor cores — wall time is
+    ~max(fit) instead of sum(fit). Determinism is untouched: each
+    subspace trains on its own slice and lands in its own list slot."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def fit(s: int) -> Centroids:
         sub_df = prep.select(
             F.col(id_col),
             F.slice(F.col(vec_col), s * sub + 1, sub).alias("__dvec"),
         )
-        books.append(
-            kmeans_fit(
-                sub_df,
-                k=k,
-                n_iter=n_iter,
-                vec_col="__dvec",
-                id_col=id_col,
-                dim=sub,
-                pre_cast=True,
-            )
+        return kmeans_fit(
+            sub_df,
+            k=k,
+            n_iter=n_iter,
+            vec_col="__dvec",
+            id_col=id_col,
+            dim=sub,
+            pre_cast=True,
+            cache_key=(*cache_key, "pq_sub", s, sub) if cache_key else None,
         )
-    return books
+
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        return list(pool.map(fit, range(m)))
 
 
 def _nearest_cid(vec: Column, codebook: Centroids) -> Column:
