@@ -267,10 +267,11 @@ WITH __stoks AS MATERIALIZED (
   FROM {source} {wc}
 )
 SELECT {id_col},
-       list_distinct(list_transform(
-         list_transform(generate_series(1, greatest(len(tl) - {n - 1}, 0)),
-                        i -> array_to_string(tl[i:i+{n - 1}], ' ')),
-         s -> {sql_md5_long('s')})) AS sh
+       list_transform(
+         list_distinct(
+           list_transform(generate_series(1, greatest(len(tl) - {n - 1}, 0)),
+                          i -> array_to_string(tl[i:i+{n - 1}], ' '))),
+         s -> {sql_md5_long('s')}) AS sh
 FROM __stoks
 """
 
