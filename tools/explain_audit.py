@@ -101,6 +101,12 @@ AUDITED = {
         "expect": ["BroadcastHashJoin", "Window"],
         "forbid_pattern": r"CartesianProduct",
     },
+    "dashboard_extract": {
+        # no hard hints on the customer/part dims (scale-variable); at
+        # test scale AQE still picks broadcast-hash on its own
+        "expect": ["BroadcastHashJoin"],
+        "forbid_pattern": r"CartesianProduct|BroadcastNestedLoopJoin",
+    },
 }
 
 
