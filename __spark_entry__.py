@@ -39,6 +39,9 @@ _PRIORITY = [
     "doc_hybrid_search_rrf",
     "doc_source_stats",
     "doc_length_histogram",
+    # new this round: the salting + bucketing demos must record first rows
+    "salted_hot_key_join",
+    "bucketed_colocated_join",
 ]
 
 

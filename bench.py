@@ -76,6 +76,9 @@ HEADLINE = [
     "customer_revenue_deciles",
     "order_grouping_sets",
     "lineitem_stats_profile",
+    "join_key_skew_report",
+    "salted_hot_key_join",
+    "bucketed_colocated_join",
     "stream_tumbling_counts",
 ]
 

@@ -271,18 +271,35 @@ def events_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # sum(gap_us) stays integer-exact in both engines (DuckDB HUGEINT cast
 # down; well under 2^53 → the double division is bit-identical).
+#
+# The oracle mirrors the engine's banded construction (see
+# ``operators/rangejoin.py``) instead of the direct inequality join: the
+# direct form runs as an IEJoin whose cost dominated the grading driver's
+# correctness budget (~45 s at sf0.01 — vs sub-second banded). Bucketing
+# every row to floor-start buckets, 3-way unnesting the probe side, and
+# hash-joining on the bucket id is result-identical (any pair within the
+# gap spans at most adjacent buckets; the build side keeps its single
+# true bucket, so each qualifying pair joins exactly once).
+_PAIR_GAP_US = PAIR_GAP_SECONDS * 1_000_000
 EVENTS_CLOSE_PAIRS_ORACLE = f"""
-WITH e AS (
-  SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+WITH e AS MATERIALIZED (
+  SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         epoch_us(CAST(ts AS TIMESTAMP))
+           - epoch_us(CAST(ts AS TIMESTAMP)) % {_PAIR_GAP_US} AS bkt
   FROM events
+),
+probe AS (
+  SELECT event_id, event_type, us,
+         unnest([bkt - {_PAIR_GAP_US}, bkt, bkt + {_PAIR_GAP_US}]) AS probe_bkt
+  FROM e
 )
 SELECT a.event_type AS a_event_type, b.event_type AS b_event_type,
        count(*) AS n_pairs,
        round(CAST(CAST(sum(abs(a.us - b.us)) AS BIGINT) AS DOUBLE)
              / count(*) / 1000000.0, 4) AS avg_gap_sec
-FROM e a JOIN e b
-  ON a.event_id < b.event_id
- AND abs(a.us - b.us) <= {PAIR_GAP_SECONDS * 1_000_000}
+FROM probe a JOIN e b ON a.probe_bkt = b.bkt
+WHERE a.event_id < b.event_id
+  AND abs(a.us - b.us) <= {_PAIR_GAP_US}
 GROUP BY 1, 2
 """
 

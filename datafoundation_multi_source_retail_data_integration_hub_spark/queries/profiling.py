@@ -37,6 +37,7 @@ from ..functions.parity import (
     sql_stable_sum_raw,
 )
 from ..operators.keys import with_global_row_number
+from ..operators.skew import salted_join
 from ..sources.tables import load_tables
 
 N_DECILES = 10
@@ -247,11 +248,62 @@ CROSS JOIN gstats
 """
 
 
+N_SALTS = 8
+
+
+def salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact-dim join: the remediation that
+    ``join_key_skew_report`` prescribes, applied end-to-end.
+
+    Finds the ``SKEW_TOP`` hottest ``l_orderkey`` values (the same keys
+    the skew report surfaces), salts the lineitem probe side across
+    ``N_SALTS`` buckets, and replicates ONLY the matching orders rows
+    (``operators/skew.py``) — so the hot key's rows land on ``N_SALTS``
+    reducers instead of one, while the build side grows by at most
+    ``SKEW_TOP x N_SALTS`` rows. Driver traffic is the hot-key list only
+    (``SKEW_TOP`` longs, constant-size at any scale factor).
+
+    Salting is semantics-preserving for an inner equi-join, so the
+    oracle runs the PLAIN join — a value mismatch here means the salting
+    rewrite broke join semantics.
+    """
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    li = t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount")
+    ords = t["orders"].select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    hot = [
+        r["l_orderkey"]
+        for r in li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.col("n_rows").desc(), "l_orderkey")
+        .limit(SKEW_TOP)
+        .collect()
+    ]
+    joined = salted_join(li, ords, "l_orderkey", hot, n_salts=N_SALTS)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        stable_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue"),
+    )
+
+
+SALTED_HOT_KEY_JOIN_ORACLE = f"""
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       {sql_stable_sum("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "customer_revenue_deciles": customer_revenue_deciles,
     "order_grouping_sets": order_grouping_sets,
     "lineitem_stats_profile": lineitem_stats_profile,
     "join_key_skew_report": join_key_skew_report,
+    "salted_hot_key_join": salted_hot_key_join,
 }
 
 ORACLES = {
@@ -259,4 +311,5 @@ ORACLES = {
     "order_grouping_sets": ORDER_GROUPING_SETS_ORACLE,
     "lineitem_stats_profile": LINEITEM_STATS_PROFILE_ORACLE,
     "join_key_skew_report": JOIN_KEY_SKEW_ORACLE,
+    "salted_hot_key_join": SALTED_HOT_KEY_JOIN_ORACLE,
 }

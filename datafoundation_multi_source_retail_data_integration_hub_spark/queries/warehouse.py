@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.dates import build_calendar, date_key
-from ..functions.parity import sql_stable_sum
+from ..functions.parity import sql_stable_sum, stable_sum
 from ..operators.scd2 import SCD2Config, current_key_map, scd2_initial_load, scd2_merge
 from ..pipelines import retail
 from ..plans.star_schema import StarSchema
@@ -390,6 +390,93 @@ JOIN part p ON l_partkey = p.p_partkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Bucketed co-located join: the pay-once shuffle-elimination layout for the
+# warehouse's hottest join (orders <-> lineitem). ARCHITECTURE.md names
+# bucketing as the 100 TB strategy for repeated fact<->fact joins; this is
+# that strategy executed end-to-end, with the shuffle-free plan asserted in
+# tests/test_warehouse_oracle.py.
+# ---------------------------------------------------------------------------
+
+N_BUCKETS = 16
+
+
+def _bucketed_join(spark: SparkSession, sf_dir: str, db: str) -> DataFrame:
+    """Write orders+lineitem hash-clustered on the order key (one file per
+    bucket via the pre-repartition), then join the BUCKETED tables.
+
+    Both scans expose the same hash distribution to Catalyst, so the
+    ``merge``-hinted join plans as SortMergeJoin with ZERO Exchange on
+    either side — the write-time shuffle replaced every future join
+    shuffle on this key. The hint only pins the join family (broadcast
+    would be chosen at toy scale and is impossible fact-vs-fact at
+    100 TB); the shuffle elimination itself comes from the layout.
+    """
+    from ..sources import writers as W
+
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    orders = t["orders"].select("o_orderkey", "o_orderstatus")
+    li = t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount")
+    # repartition to n_buckets on the bucket key: bucket hash == shuffle
+    # hash, so every bucket lands in exactly one task -> one file per
+    # bucket (multi-file buckets would force a per-partition re-sort)
+    W.write_bucketed_table(
+        orders.repartition(N_BUCKETS, "o_orderkey"),
+        "orders_bkt",
+        ("o_orderkey",),
+        N_BUCKETS,
+        sort_cols=("o_orderkey",),
+        database=db,
+    )
+    W.write_bucketed_table(
+        li.repartition(N_BUCKETS, "l_orderkey"),
+        "lineitem_bkt",
+        ("l_orderkey",),
+        N_BUCKETS,
+        sort_cols=("l_orderkey",),
+        database=db,
+    )
+    o_b = W.read_table(spark, "orders_bkt", db)
+    l_b = W.read_table(spark, "lineitem_bkt", db)
+    return l_b.hint("merge").join(
+        o_b, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+
+
+def _bucketed_join_agg(spark: SparkSession, sf_dir: str, db: str) -> DataFrame:
+    joined = _bucketed_join(spark, sf_dir, db)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+    )
+
+
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing wrapper: per-invocation namespace, materialize, then
+    drop — repeated runs (bench warmup + timed, driver rounds) leave no
+    warehouse state behind. Bucketing is layout-only, so the plain-join
+    oracle gates the semantics."""
+    import uuid
+
+    db = f"bucketed_demo_{uuid.uuid4().hex[:12]}"
+    try:
+        out = _bucketed_join_agg(spark, sf_dir, db).localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    return out
+
+
+BUCKETED_COLOCATED_JOIN_ORACLE = f"""
+SELECT o_orderstatus,
+       count(*) AS n_items,
+       {sql_stable_sum("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "dim_date_calendar": dim_date_calendar,
     "dim_customer_scd2_init": dim_customer_scd2_init,
@@ -398,6 +485,7 @@ QUERIES = {
     "mart_sales_performance": mart_sales_performance,
     "mart_category_analysis": mart_category_analysis,
     "dashboard_extract": dashboard_extract,
+    "bucketed_colocated_join": bucketed_colocated_join,
 }
 
 ORACLES = {
@@ -408,4 +496,5 @@ ORACLES = {
     "mart_sales_performance": MART_SALES_PERFORMANCE_ORACLE,
     "mart_category_analysis": MART_CATEGORY_ANALYSIS_ORACLE,
     "dashboard_extract": DASHBOARD_EXTRACT_ORACLE,
+    "bucketed_colocated_join": BUCKETED_COLOCATED_JOIN_ORACLE,
 }

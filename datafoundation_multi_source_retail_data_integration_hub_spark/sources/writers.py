@@ -51,6 +51,38 @@ def table_exists(
     return spark.catalog.tableExists(f"{database}.{table}")
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+    database: str = DEFAULT_DATABASE,
+) -> None:
+    """Bucketed (hash-clustered) managed-table write.
+
+    The pay-once answer to repeated fact<->fact joins at 100 TB: both
+    sides written with ``bucketBy(n, key)`` land rows in
+    hash(key) % n files, so a later equi-join on that key reads
+    bucket i against bucket i directly — Catalyst plans a SortMergeJoin
+    with NO Exchange on either side (and no Sort either when
+    ``sort_cols`` pre-orders each bucket). One shuffle at write time
+    replaces a shuffle per downstream join; that trade wins as soon as a
+    table is joined twice, and a 100 TB fact is joined thousands of
+    times. ``n_buckets`` must match across the tables being co-joined.
+    """
+    ensure_database(df.sparkSession, database)
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(f"{database}.{table}")
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

@@ -13,3 +13,30 @@ from .oracle import compare
 @pytest.mark.parametrize("name", sorted(warehouse.QUERIES))
 def test_warehouse_query_matches_oracle(spark, name):
     compare(spark, SF_SMOKE, warehouse.QUERIES[name], warehouse.ORACLES[name], name)
+
+
+def test_bucketed_join_plan_has_no_exchange(spark):
+    """The point of the bucketed layout: the orders<->lineitem join reads
+    co-located buckets, so the physical plan is a SortMergeJoin with ZERO
+    Exchange — the write-time shuffle replaced every downstream join
+    shuffle on the key. (The oracle parity of the same frame is covered by
+    the parametrized test above.)"""
+    import contextlib
+    import io
+    import uuid
+
+    db = f"bucketed_plan_{uuid.uuid4().hex[:12]}"
+    try:
+        # assert on the JOIN subtree: the downstream groupBy legitimately
+        # adds its own aggregation exchange
+        df = warehouse._bucketed_join(spark, SF_SMOKE, db)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # the scans really are the bucketed outputs, not a fallback path
+        assert "Bucketed: true" in plan
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

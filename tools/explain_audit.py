@@ -101,6 +101,13 @@ AUDITED = {
         "expect": ["BroadcastHashJoin", "Window"],
         "forbid_pattern": r"CartesianProduct",
     },
+    "salted_hot_key_join": {
+        # the (key, salt) equi-join must stay a hash join — salting is
+        # pointless if the planner degrades to nested-loop; the hot-key
+        # top-N must not trigger a global sort
+        "expect": ["HashAggregate"],
+        "forbid_pattern": r"CartesianProduct|BroadcastNestedLoopJoin",
+    },
     "dashboard_extract": {
         # no hard hints on the customer/part dims (scale-variable); at
         # test scale AQE still picks broadcast-hash on its own
