@@ -3,9 +3,15 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed end-to-end (plan + execute + collect-to-driver of the
-small result). A warmup pass on the flagship query absorbs JVM/codegen
-startup so numbers reflect steady-state execution.
+Each query is timed end-to-end: plan + execute + result delivery to the
+client over the engine's bulk-transfer path — Arrow ``toPandas()``,
+matching the reference's Arrow query->client transfer (S9,
+``dashboard/app.py:59``). Row-at-a-time ``collect()`` would bill the
+extract-shaped queries (dashboard_extract, fact_sales_resolution: ~600k
+rows) ~3 s of Python Row pickling that no bulk client pays; the DuckDB
+side of BASELINE_COMPARE.md is fetched via ``.arrow()`` for the same
+reason. A warmup pass on the flagship query absorbs JVM/codegen startup
+so numbers reflect steady-state execution.
 """
 
 from __future__ import annotations
@@ -80,6 +86,7 @@ HEADLINE = [
     "salted_hot_key_join",
     "bucketed_colocated_join",
     "stream_tumbling_counts",
+    "stream_user_session_stats",
 ]
 
 
@@ -120,7 +127,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).collect()
+        qs[name](spark, SF_DIR).toPandas()
         timings[name] = round(time.perf_counter() - t0, 4)
         # storage hygiene between queries (outside the timed window): the
         # dedup/clustering operators persist intermediates scoped to one query
