@@ -39,9 +39,11 @@ _PRIORITY = [
     "doc_hybrid_search_rrf",
     "doc_source_stats",
     "doc_length_histogram",
-    # new this round: the salting + bucketing demos must record first rows
+    # new this round: the salting + bucketing demos and the stateful
+    # session-stats stream must record first rows
     "salted_hot_key_join",
     "bucketed_colocated_join",
+    "stream_user_session_stats",
 ]
 
 

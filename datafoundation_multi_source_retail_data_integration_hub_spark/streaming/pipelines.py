@@ -255,11 +255,110 @@ SELECT user_id,
 FROM sessions GROUP BY user_id, grp
 """
 
+# split point for the two-run stateful replay: mid-corpus (events span
+# 2024-01-01..2024-01-30 at every SF), so both runs carry real volume and
+# most users' state crosses the checkpoint boundary
+SESSION_STATS_SPLIT = "2024-01-16 00:00:00"
+
+
+def stream_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator end-to-end (§2.9 "custom
+    stateful operators"): per-user lifetime session statistics via
+    ``applyInPandasWithState`` (``streaming/stateful.py``), replayed as
+    TWO time-split ``availableNow`` runs through ONE checkpoint — the
+    state store carries each user's (n_events, n_sessions, first_us,
+    last_us) across the runs, exactly how a daily-restarted production
+    stream resumes. The monotone fold over both update-mode sinks equals
+    the batch lag/cumsum sessionization, which is the oracle.
+    """
+    import shutil
+    import tempfile
+
+    from ..queries.eventops import SESSION_GAP_SECONDS
+    from ..sources.tables import load_table
+    from .stateful import user_session_stats
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    base = tempfile.mkdtemp(prefix="stream_session_stats_")
+    src = f"{base}/incoming"
+    ckpt = f"{base}/ckpt"
+    out_dir = f"{base}/updates"
+    schema = ev.schema
+    split = F.lit(SESSION_STATS_SPLIT).cast("timestamp")
+
+    # foreachBatch, not the memory sink: only fault-tolerant sinks may
+    # resume a checkpoint, and resuming is the point of the two-run replay
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").parquet(out_dir)
+
+    def run(batch_df: DataFrame) -> None:
+        batch_df.write.mode("append").parquet(src)
+        q = (
+            user_session_stats(
+                spark.readStream.schema(schema).parquet(src),
+                SESSION_GAP_SECONDS,
+            )
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # as in stream_scd2_upsert: a timed-out run still holds the
+        # checkpoint while the next starts — fail fast instead
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stateful session stream did not finish in 300s")
+
+    try:
+        run(ev.filter(F.col("ts") < split))
+        run(ev.filter(F.col("ts") >= split))
+        # every column is monotone per user (first_us constant once set),
+        # so max/min folds recover each user's LAST emission
+        out = (
+            spark.read.parquet(out_dir)
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("n_sessions").alias("n_sessions"),
+                F.min("first_us").alias("first_us"),
+                F.max("last_us").alias("last_us"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+# 1800000000 us == queries.eventops.SESSION_GAP_SECONDS (strict > gap
+# opens a session, the sessionize.py convention); guarded by
+# tests/test_stateful_streaming.py so the constants cannot drift apart
+STREAM_USER_SESSION_STATS_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+),
+lagged AS (
+  SELECT user_id, us,
+         lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+  FROM e
+)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       min(us) AS first_us,
+       max(us) AS last_us
+FROM lagged GROUP BY 1
+"""
+
+
 QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_dedup_count": stream_dedup_count,
     "stream_session_windows": stream_session_windows,
     "stream_scd2_upsert": stream_scd2_upsert,
+    "stream_user_session_stats": stream_user_session_stats,
 }
 
 
@@ -280,4 +379,5 @@ ORACLES = {
     "stream_dedup_count": STREAM_DEDUP_ORACLE,
     "stream_session_windows": STREAM_SESSION_ORACLE,
     "stream_scd2_upsert": _scd2_two_batch_oracle(),
+    "stream_user_session_stats": STREAM_USER_SESSION_STATS_ORACLE,
 }

@@ -3,16 +3,37 @@
 The escape hatch for stateful semantics Spark's built-in operators don't
 express (SURVEY §2.9 "custom stateful operators"): per-group state rides
 in the state store across micro-batches, the user function sees Arrow
-batches per group. State here is O(1) per user (a running float), so the
-state store stays bounded without watermark eviction; operators holding
-per-event state must pair with ``GroupStateTimeout`` eviction instead.
+batches per group (no row-at-a-time Python). State in both operators here
+is one fixed-width tuple PER USER, hash partitioned by ``user_id`` across
+executors by the state store — state size grows with |users|, never with
+|events|, so it stays bounded without watermark eviction; operators
+holding per-event state must pair with ``GroupStateTimeout`` eviction
+instead.
+
+- ``running_total_per_user``: cumulative value per user (quota/alerting
+  building block; multi-batch state continuity covered by
+  ``tests/test_stateful_streaming.py``).
+- ``user_session_stats``: lifetime session statistics with a custom gap
+  rule — the driver-facing query ``stream_user_session_stats`` replays it
+  as two time-split ``availableNow`` runs through one checkpoint and
+  gates the result against the batch lag/cumsum sessionization oracle.
+
+Determinism contract for ``user_session_stats``: the transition assumes
+micro-batches arrive in non-decreasing event-time order per user (the
+time-split replay guarantees it). Within a batch the kernel sorts by
+timestamp, so intra-batch file order never matters. Session rule matches
+``operators/sessionize.py``: a gap strictly greater than ``gap_seconds``
+starts a new session; equal-timestamp events always share a session, so
+ties cannot affect any output column.
 """
 
 from __future__ import annotations
 
-import pandas as pd
+from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 RUNNING_TOTAL_SCHEMA = "user_id long, running_value double, batch_rows long"
@@ -46,6 +67,65 @@ def running_total_per_user(
         update,
         RUNNING_TOTAL_SCHEMA,
         _STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+SESSION_STATS_SCHEMA = (
+    "user_id long, n_events long, n_sessions long, first_us long, last_us long"
+)
+_SESSION_STATE_SCHEMA = "n_events long, n_sessions long, first_us long, last_us long"
+
+
+def user_session_stats(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Running (n_events, n_sessions, first_us, last_us) per user over a
+    stream of events; emits each user's updated totals every micro-batch
+    that touches the user (output mode: update — the LAST emission per
+    user is the lifetime answer, and every emitted column is monotone, so
+    late readers can fold sinks with max()).
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def transition(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n_events, n_sessions, first_us, last_us = state.get
+        else:
+            n_events, n_sessions, first_us, last_us = 0, 0, None, None
+        for pdf in pdfs:
+            us = pdf["__us"].sort_values().reset_index(drop=True)
+            if us.empty:
+                continue
+            n_events += len(us)
+            if first_us is None:
+                first_us = int(us.iloc[0])
+            # new session at every strictly-greater-than-gap jump; the
+            # first event ever (last_us None) opens session 1
+            prev = us.shift(1)
+            prev.iloc[0] = last_us if last_us is not None else float("nan")
+            jumps = (us - prev) > gap_us
+            n_sessions += int(jumps.sum()) + int(prev.isna().iloc[0])
+            last_us = int(us.iloc[-1])
+        state.update((n_events, n_sessions, first_us, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n_events],
+                "n_sessions": [n_sessions],
+                "first_us": [first_us],
+                "last_us": [last_us],
+            }
+        )
+
+    prepped = events.select(
+        "user_id", F.unix_micros(F.col("ts")).alias("__us")
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        transition,
+        SESSION_STATS_SCHEMA,
+        _SESSION_STATE_SCHEMA,
         "update",
         GroupStateTimeout.NoTimeout,
     )

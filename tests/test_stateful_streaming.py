@@ -66,3 +66,72 @@ def test_running_total_state_across_batches(spark, tmp_path):
     assert set(finals) == set(expected)
     for u in expected:
         assert finals[u] == pytest.approx(expected[u], rel=1e-9)
+
+
+def test_session_stats_gap_matches_oracle_constant():
+    """The Spark kernel takes SESSION_GAP_SECONDS while the DuckDB oracle
+    hardcodes the microsecond literal — pin them together so neither can
+    drift (the oracle parity test would only catch a drift that changes
+    results on the corpus; boundary-exact data might not exist there)."""
+    from datafoundation_multi_source_retail_data_integration_hub_spark.queries.eventops import (
+        SESSION_GAP_SECONDS,
+    )
+    from datafoundation_multi_source_retail_data_integration_hub_spark.streaming.pipelines import (
+        STREAM_USER_SESSION_STATS_ORACLE,
+    )
+
+    assert f"> {SESSION_GAP_SECONDS * 1_000_000}" in STREAM_USER_SESSION_STATS_ORACLE
+
+
+def test_session_stats_state_crosses_checkpointed_runs(spark):
+    """Users active on both sides of the replay split must have their
+    sessions counted ACROSS the two availableNow runs: if state were lost
+    between runs, each run would re-open session 1 and every cross-split
+    user's n_sessions would inflate by exactly one re-opened session
+    (and first_us would reset). The oracle comparison in
+    test_eventops_oracle covers values; this pins the mechanism."""
+    from datafoundation_multi_source_retail_data_integration_hub_spark.sources.tables import (
+        load_table,
+    )
+    from datafoundation_multi_source_retail_data_integration_hub_spark.streaming.pipelines import (
+        SESSION_STATS_SPLIT,
+        stream_user_session_stats,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    split = F.lit(SESSION_STATS_SPLIT).cast("timestamp")
+    both_sides = (
+        ev.select("user_id", (F.col("ts") < split).alias("before"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("before").alias("n_sides"))
+        .filter(F.col("n_sides") == 2)
+        .count()
+    )
+    assert both_sides > 0  # the split really exercises cross-run state
+
+    out = {
+        r["user_id"]: r
+        for r in stream_user_session_stats(spark, SF_SMOKE).collect()
+    }
+    # first_us survives from run 1: for every cross-split user it must
+    # predate the split point
+    import datetime as dt
+
+    split_us = int(
+        dt.datetime.fromisoformat(SESSION_STATS_SPLIT)
+        .replace(tzinfo=dt.timezone.utc)
+        .timestamp()
+        * 1_000_000
+    )
+    cross = [
+        r["user_id"]
+        for r in ev.select("user_id", "ts")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .filter((F.col("lo") < split) & (F.col("hi") >= split))
+        .collect()
+    ]
+    assert cross
+    for u in cross:
+        assert out[u]["first_us"] < split_us
+        assert out[u]["last_us"] >= split_us
