@@ -44,6 +44,7 @@ _PRIORITY = [
     "salted_hot_key_join",
     "bucketed_colocated_join",
     "stream_user_session_stats",
+    "partitioned_fact_pruning",
 ]
 
 

@@ -85,6 +85,7 @@ HEADLINE = [
     "join_key_skew_report",
     "salted_hot_key_join",
     "bucketed_colocated_join",
+    "partitioned_fact_pruning",
     "stream_tumbling_counts",
     "stream_user_session_stats",
 ]

@@ -511,6 +511,86 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Partitioned fact + partition pruning: the other half of the warehouse
+# layout story (bucketing kills join shuffles; date partitioning kills
+# scan volume). write_table already supports partition_by — this runs it
+# end-to-end and proves the year predicate prunes at the SOURCE
+# (PartitionFilters on the scan, asserted in tests), which at 100 TB is
+# the difference between reading one year and reading the whole fact.
+# ---------------------------------------------------------------------------
+
+PRUNE_YEAR = 1997
+
+
+def _partitioned_fact(spark: SparkSession, sf_dir: str, db: str) -> DataFrame:
+    """Write the order-dated fact partitioned by order_year, read it back
+    filtered to one year. The filter must land in the scan's
+    PartitionFilters (directory-level pruning — non-matching years are
+    never listed, let alone read)."""
+    from ..sources import writers as W
+
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    fact = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_extendedprice",
+            "l_discount",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+    )
+    W.write_table(fact, "fact_dated", database=db, partition_by=("order_year",))
+    return W.read_table(spark, "fact_dated", db).filter(
+        F.col("order_year") == PRUNE_YEAR
+    )
+
+
+def _partitioned_fact_agg(spark: SparkSession, sf_dir: str, db: str) -> DataFrame:
+    return (
+        _partitioned_fact(spark, sf_dir, db)
+        .groupBy(F.month("order_date").cast("int").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            stable_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+    )
+
+
+def partitioned_fact_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing wrapper: per-invocation namespace, materialize, drop.
+    Partitioning is layout-only, so the plain filtered-join oracle gates
+    the semantics; the pruning itself is asserted on the plan in
+    tests/test_warehouse_oracle.py."""
+    import uuid
+
+    db = f"prune_demo_{uuid.uuid4().hex[:12]}"
+    try:
+        out = _partitioned_fact_agg(spark, sf_dir, db).localCheckpoint(
+            eager=True
+        )
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    return out
+
+
+PARTITIONED_FACT_PRUNING_ORACLE = f"""
+SELECT CAST(month(CAST(o_orderdate AS DATE)) AS INTEGER) AS month,
+       count(*) AS n_items,
+       {sql_stable_sum("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) = {PRUNE_YEAR}
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "dim_date_calendar": dim_date_calendar,
     "dim_customer_scd2_init": dim_customer_scd2_init,
@@ -520,6 +600,7 @@ QUERIES = {
     "mart_category_analysis": mart_category_analysis,
     "dashboard_extract": dashboard_extract,
     "bucketed_colocated_join": bucketed_colocated_join,
+    "partitioned_fact_pruning": partitioned_fact_pruning,
 }
 
 ORACLES = {
@@ -531,4 +612,5 @@ ORACLES = {
     "mart_category_analysis": MART_CATEGORY_ANALYSIS_ORACLE,
     "dashboard_extract": DASHBOARD_EXTRACT_ORACLE,
     "bucketed_colocated_join": BUCKETED_COLOCATED_JOIN_ORACLE,
+    "partitioned_fact_pruning": PARTITIONED_FACT_PRUNING_ORACLE,
 }

@@ -40,3 +40,31 @@ def test_bucketed_join_plan_has_no_exchange(spark):
         assert "Bucketed: true" in plan
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_partitioned_fact_prunes_at_source(spark):
+    """The year predicate must reach the scan as a PartitionFilter
+    (directory-level pruning), not a post-scan Filter — at 100 TB that is
+    the difference between reading one year and the whole fact."""
+    import contextlib
+    import io
+    import re
+    import uuid
+
+    db = f"prune_plan_{uuid.uuid4().hex[:12]}"
+    try:
+        df = warehouse._partitioned_fact(spark, SF_SMOKE, db)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m, plan
+        assert "order_year" in m.group(1)
+        assert str(warehouse.PRUNE_YEAR) in m.group(1)
+        # the partition column must NOT appear as a post-scan filter
+        data_filters = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+        if data_filters:
+            assert "order_year" not in data_filters.group(1)
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
