@@ -45,6 +45,7 @@ _PRIORITY = [
     "bucketed_colocated_join",
     "stream_user_session_stats",
     "partitioned_fact_pruning",
+    "events_rolling_anomaly",
 ]
 
 

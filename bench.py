@@ -77,6 +77,7 @@ HEADLINE = [
     "events_funnel",
     "events_retention_cohorts",
     "events_gapfill_10m",
+    "events_rolling_anomaly",
     "doc_quality_filter",
     "embedding_kmeans",
     "customer_revenue_deciles",

@@ -469,6 +469,122 @@ FROM s LEFT JOIN c USING (bucket_start)
 """
 
 
+# ---------------------------------------------------------------------------
+# Rolling-window anomaly scoring (ROWS-frame window aggregates)
+# ---------------------------------------------------------------------------
+
+ANOMALY_LOOKBACK = 12  # trailing 10-min windows (2 hours of history)
+ANOMALY_Z_MIN = 2.5
+
+_DEC = "decimal(27,6)"
+_DEC_SQ = "decimal(38,6)"  # squares need more integer headroom
+
+
+def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windows whose total value deviates >= ``ANOMALY_Z_MIN`` standard
+    deviations from the trailing ``ANOMALY_LOOKBACK``-window baseline,
+    per event type — the streaming-ops monitoring query (value spikes /
+    drops), and the engine's ROWS-frame window surface: rolling
+    sum/count/sum-of-squares over ``ROWS BETWEEN 12 PRECEDING AND 1
+    PRECEDING`` (the lag-based W1-W4 queries only exercise offset
+    frames).
+
+    Scale shape: one 10-minute hash aggregation (map-side partial), then
+    one window pass partitioned by event_type — |types| partitions of
+    |windows| rows each, never event-cardinality.
+
+    Float parity: per-window totals and BOTH rolling moments accumulate
+    in decimal (exact, associative — ``functions/parity.py``), because a
+    double rolling sum's fold order inside a frame is engine-internal
+    (running accumulation vs segment tree). The square is taken in
+    DOUBLE (identical IEEE multiply on identical inputs) and converted
+    back to decimal for the exact rolling fold; every derived double
+    (mean, variance, z) then starts from bit-identical operands in both
+    engines.
+    """
+    ev = _events(spark, sf_dir)
+    agg = (
+        ev.groupBy("event_type", F.window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).alias("v_dec"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "v_dec",
+            F.col("v_dec").cast("double").alias("v_dbl"),
+        )
+        .withColumn("sq_dec", (F.col("v_dbl") * F.col("v_dbl")).cast(_DEC_SQ))
+    )
+    k = ANOMALY_LOOKBACK
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(-k, -1)
+    )
+    return (
+        agg.withColumn("n_prev", F.count("v_dec").over(win))
+        .withColumn("rsum", F.sum("v_dec").over(win).cast("double"))
+        .withColumn("rsumsq", F.sum("sq_dec").over(win).cast("double"))
+        .filter(F.col("n_prev") == k)
+        .withColumn("mean", F.col("rsum") / k)
+        .withColumn(
+            "var",
+            (F.col("rsumsq") - F.col("rsum") * F.col("rsum") / k) / (k - 1),
+        )
+        .filter(F.col("var") > 0)
+        .withColumn("z", (F.col("v_dbl") - F.col("mean")) / F.sqrt(F.col("var")))
+        .filter(F.abs(F.col("z")) >= ANOMALY_Z_MIN)
+        .select(
+            "event_type",
+            "window_start",
+            "n_events",
+            F.round("v_dbl", 4).alias("window_value"),
+            F.round("z", 4).alias("z_score"),
+        )
+    )
+
+
+EVENTS_ROLLING_ANOMALY_ORACLE = f"""
+WITH agg AS (
+  SELECT event_type,
+         make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 600) * 600
+                        AS BIGINT) * 1000000) AS window_start,
+         count(*) AS n_events,
+         sum(CAST(value AS DECIMAL(27,6))) AS v_dec
+  FROM events GROUP BY 1, 2
+),
+enriched AS (
+  SELECT *, CAST(v_dec AS DOUBLE) AS v_dbl,
+         CAST(CAST(v_dec AS DOUBLE) * CAST(v_dec AS DOUBLE)
+              AS DECIMAL(38,6)) AS sq_dec
+  FROM agg
+),
+rolled AS (
+  SELECT event_type, window_start, n_events, v_dbl,
+         count(v_dec) OVER w AS n_prev,
+         CAST(sum(v_dec) OVER w AS DOUBLE) AS rsum,
+         CAST(sum(sq_dec) OVER w AS DOUBLE) AS rsumsq
+  FROM enriched
+  WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+               ROWS BETWEEN {ANOMALY_LOOKBACK} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, window_start, n_events,
+       round(v_dbl, 4) AS window_value,
+       round((v_dbl - rsum / {ANOMALY_LOOKBACK})
+             / sqrt((rsumsq - rsum * rsum / {ANOMALY_LOOKBACK})
+                    / {ANOMALY_LOOKBACK - 1}), 4) AS z_score
+FROM rolled
+WHERE n_prev = {ANOMALY_LOOKBACK}
+  AND (rsumsq - rsum * rsum / {ANOMALY_LOOKBACK}) / {ANOMALY_LOOKBACK - 1} > 0
+  AND abs((v_dbl - rsum / {ANOMALY_LOOKBACK})
+          / sqrt((rsumsq - rsum * rsum / {ANOMALY_LOOKBACK})
+                 / {ANOMALY_LOOKBACK - 1})) >= {ANOMALY_Z_MIN}
+"""
+
+
 QUERIES = {
     "events_tumbling_10m": events_tumbling_10m,
     "events_sliding_10m_5m": events_sliding_10m_5m,
@@ -480,6 +596,7 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_retention_cohorts": events_retention_cohorts,
     "events_gapfill_10m": events_gapfill_10m,
+    "events_rolling_anomaly": events_rolling_anomaly,
 }
 
 ORACLES = {
@@ -493,4 +610,5 @@ ORACLES = {
     "events_sessionization": EVENTS_SESSION_ORACLE,
     "events_json_flatten": EVENTS_JSON_ORACLE,
     "events_first_per_user_type": EVENTS_FIRST_ORACLE,
+    "events_rolling_anomaly": EVENTS_ROLLING_ANOMALY_ORACLE,
 }

@@ -101,6 +101,12 @@ AUDITED = {
         "expect": ["BroadcastHashJoin", "Window"],
         "forbid_pattern": r"CartesianProduct",
     },
+    "events_rolling_anomaly": {
+        # one partial-agg'd hash aggregation to 10-min windows, then a
+        # single ROWS-frame window pass partitioned by event_type
+        "expect": ["HashAggregate", "Window"],
+        "forbid_pattern": r"CartesianProduct|BroadcastNestedLoopJoin",
+    },
     "salted_hot_key_join": {
         # the (key, salt) equi-join must stay a hash join — salting is
         # pointless if the planner degrades to nested-loop; the hot-key
