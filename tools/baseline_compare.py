@@ -43,6 +43,21 @@ def main() -> None:
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     names = [n for n in HEADLINE if n in qs and n in osql]
 
+    # Queries whose Spark side performs work the batch-SQL oracle does
+    # not — checkpointed streaming replays (stream machinery, state
+    # store, two availableNow runs) and layout demos that include
+    # warehouse table WRITES (bucketed / partitioned). Their oracles
+    # verify SEMANTICS (same answer from a plain batch join), not
+    # equivalent work, so a wall-clock ratio is not engine-vs-engine.
+    # They are still measured below, in their own table, but excluded
+    # from the gate total.
+    WORK_ASYMMETRIC = {
+        "stream_tumbling_counts",
+        "stream_user_session_stats",
+        "bucketed_colocated_join",
+        "partitioned_fact_pruning",
+    }
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -65,8 +80,10 @@ def main() -> None:
         rows.append((name, t_spark, t_duck))
         print(f"{name}: spark={t_spark:.2f}s duckdb={t_duck:.2f}s")
 
-    total_s = sum(r[1] for r in rows)
-    total_d = sum(r[2] for r in rows)
+    gated = [r for r in rows if r[0] not in WORK_ASYMMETRIC]
+    extra = [r for r in rows if r[0] in WORK_ASYMMETRIC]
+    total_s = sum(r[1] for r in gated)
+    total_d = sum(r[2] for r in gated)
     lines = [
         "# BASELINE_COMPARE — Spark engine vs DuckDB oracle (warm, same data)",
         "",
@@ -75,13 +92,26 @@ def main() -> None:
         "| query | spark (s) | duckdb (s) | ratio spark/duckdb |",
         "|---|---|---|---|",
     ]
-    for name, ts, td in rows:
+    for name, ts, td in gated:
         ratio = ts / td if td > 0 else float("inf")
         lines.append(f"| {name} | {ts:.2f} | {td:.2f} | {ratio:.2f} |")
     lines.append(
         f"| **total** | **{total_s:.2f}** | **{total_d:.2f}** | "
         f"**{total_s / total_d:.2f}** |"
     )
+    lines += [
+        "",
+        "Work-asymmetric queries (measured, excluded from the gate total):",
+        "the Spark side runs checkpointed streaming replays or warehouse",
+        "table writes that the batch-SQL oracle does not — the oracle",
+        "verifies the ANSWER, not equivalent work, so these ratios compare",
+        "a pipeline against a query and say nothing about engine speed.",
+        "",
+        "| query | spark (s) | duckdb oracle (s) |",
+        "|---|---|---|",
+    ]
+    for name, ts, td in extra:
+        lines.append(f"| {name} | {ts:.2f} | {td:.2f} |")
     lines += [
         "",
         "Methodology: both engines deliver results over their Arrow",
