@@ -78,14 +78,12 @@ SESSION_STATS_SCHEMA = (
 _SESSION_STATE_SCHEMA = "n_events long, n_sessions long, first_us long, last_us long"
 
 
-def user_session_stats(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
-    """Running (n_events, n_sessions, first_us, last_us) per user over a
-    stream of events; emits each user's updated totals every micro-batch
-    that touches the user (output mode: update — the LAST emission per
-    user is the lifetime answer, and every emitted column is monotone, so
-    late readers can fold sinks with max()).
-    """
-    gap_us = gap_seconds * 1_000_000
+def session_transition(gap_us: int):
+    """Build the per-group state-transition kernel used by
+    ``user_session_stats``. Module-level (not a closure) so the property
+    tests can drive it directly against a fake GroupState with arbitrary
+    batch splits — the trickiest logic here is the cross-batch fold, and
+    spinning a real stream per hypothesis example is infeasible."""
 
     def transition(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -118,6 +116,18 @@ def user_session_stats(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
                 "last_us": [last_us],
             }
         )
+
+    return transition
+
+
+def user_session_stats(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Running (n_events, n_sessions, first_us, last_us) per user over a
+    stream of events; emits each user's updated totals every micro-batch
+    that touches the user (output mode: update — the LAST emission per
+    user is the lifetime answer, and every emitted column is monotone, so
+    late readers can fold sinks with max()).
+    """
+    transition = session_transition(gap_seconds * 1_000_000)
 
     prepped = events.select(
         "user_id", F.unix_micros(F.col("ts")).alias("__us")

@@ -135,3 +135,100 @@ def test_session_stats_state_crosses_checkpointed_runs(spark):
     for u in cross:
         assert out[u]["first_us"] < split_us
         assert out[u]["last_us"] >= split_us
+
+
+# ---------------------------------------------------------------------------
+# Property: the cross-batch session fold equals the batch computation for
+# ANY time-ordered batch split (the streaming determinism contract), on
+# timestamps that deliberately include exact-gap boundaries and ties.
+# ---------------------------------------------------------------------------
+
+
+class _FakeState:
+    """Minimal GroupState stand-in: exists/get/update only (all the
+    transition kernel touches)."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+def _batch_reference(all_us, gap_us):
+    """Independent reference: sessions over globally sorted timestamps."""
+    xs = sorted(all_us)
+    n_sessions = 0
+    prev = None
+    for u in xs:
+        if prev is None or u - prev > gap_us:
+            n_sessions += 1
+        prev = u
+    return len(xs), n_sessions, xs[0], xs[-1]
+
+
+def test_session_kernel_matches_batch_for_any_ordered_split():
+    import itertools
+
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datafoundation_multi_source_retail_data_integration_hub_spark.streaming.stateful import (
+        session_transition,
+    )
+
+    GAP = 1000  # small gap in us so generated data straddles it often
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        # timestamps drawn near multiples of GAP so exact-boundary gaps
+        # (== GAP, merged) and just-over gaps (> GAP, split) both occur,
+        # plus duplicates
+        st.lists(
+            st.integers(min_value=0, max_value=20).flatmap(
+                lambda k: st.integers(min_value=k * GAP - 1, max_value=k * GAP + 1)
+            ),
+            min_size=1,
+            max_size=30,
+        ),
+        st.integers(min_value=1, max_value=4),  # number of batches
+        st.randoms(use_true_random=False),
+    )
+    def check(us, n_batches, rnd):
+        xs = sorted(us)
+        # any ORDERED split: batch i's timestamps all <= batch i+1's
+        cuts = sorted(rnd.choices(range(len(xs) + 1), k=n_batches - 1))
+        pieces = []
+        lo = 0
+        for c in [*cuts, len(xs)]:
+            pieces.append(xs[lo:c])
+            lo = c
+        state = _FakeState()
+        fn = session_transition(GAP)
+        out = None
+        for piece in pieces:
+            if not piece and state._v is None:
+                continue  # stream wouldn't invoke the group w/o rows/state
+            # shuffle within the batch: kernel must sort internally
+            shuffled = list(piece)
+            rnd.shuffle(shuffled)
+            frames = iter([pd.DataFrame({"__us": pd.Series(shuffled, dtype="int64")})])
+            out = list(fn((7,), frames, state))[-1]
+        got = (
+            int(out["n_events"].iloc[0]),
+            int(out["n_sessions"].iloc[0]),
+            int(out["first_us"].iloc[0]),
+            int(out["last_us"].iloc[0]),
+        )
+        assert got == _batch_reference(xs, GAP)
+
+    check()
