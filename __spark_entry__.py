@@ -46,6 +46,7 @@ _PRIORITY = [
     "stream_user_session_stats",
     "partitioned_fact_pruning",
     "events_rolling_anomaly",
+    "doc_minhash_accuracy",
 ]
 
 

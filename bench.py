@@ -52,6 +52,7 @@ HEADLINE = [
     "doc_exact_dedup",
     "doc_ngram_jaccard_pairs",
     "doc_minhash_lsh_pairs",
+    "doc_minhash_accuracy",
     "doc_simhash",
     "doc_winnowing_pairs",
     "doc_incremental_dedup",

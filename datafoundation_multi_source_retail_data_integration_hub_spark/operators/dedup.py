@@ -329,28 +329,13 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    n: int = 3,
-    k: int = 16,
-    bands: int = 4,
-    threshold: float = 0.2,
-) -> DataFrame:
-    """Verified near-dup pairs via banded MinHash-LSH.
+def _lsh_candidates(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """Distinct (id1 < id2) candidate pairs sharing any band signature.
 
-    rows-per-band r = k/bands; docs sharing any band signature become
-    candidates; candidates are verified with exact Jaccard over the
-    shingle sets (so precision is exact; LSH only affects recall).
-    """
-    assert k % bands == 0
+    One (band, bsig) row per band via a single explode — NOT a bands-way
+    union, which scans the cached signature frame ``bands`` times per
+    join side (2*bands cache scans; measured slower at sf0.1)."""
     r = k // bands
-    docs = _persist(_shingled(df, text_col, id_col, n))
-    sig = _persist(minhash_signatures(df, text_col, id_col, n, k, shingled=docs))
-    # one (band, bsig) row per band via a single explode — NOT a
-    # bands-way union, which scans the cached signature frame ``bands``
-    # times per join side (2*bands cache scans; measured slower at sf0.1)
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -368,16 +353,98 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("__bb"),
-    ).select("doc_id", F.col("__bb.band").alias("band"), F.col("__bb.bsig").alias("bsig"))
-    cand = (
+    ).select(
+        "doc_id", F.col("__bb.band").alias("band"), F.col("__bb.bsig").alias("bsig")
+    )
+    return (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bsig"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("id1"), F.col("y.doc_id").alias("id2")
-        )
+        .select(F.col("x.doc_id").alias("id1"), F.col("y.doc_id").alias("id2"))
         .distinct()
     )
+
+
+def exact_jaccard(sh1: Column, sh2: Column) -> Column:
+    """|A ∩ B| / |A ∪ B| over shingle-set array columns (exact)."""
+    return F.size(F.array_intersect(sh1, sh2)).cast("double") / F.size(
+        F.array_union(sh1, sh2)
+    )
+
+
+def minhash_accuracy_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Sketch-quality diagnostic: every LSH candidate pair with its
+    MinHash Jaccard ESTIMATE (fraction of agreeing signature positions,
+    the standard unbiased estimator) next to the EXACT shingle Jaccard
+    and the absolute error — the "is k big enough / are the bands too
+    loose" report a corpus owner reads before trusting the dedup pass at
+    full scale. No threshold filter: LSH false positives are exactly
+    what this surfaces.
+
+    Same plan shape as ``minhash_lsh_pairs`` (banded equi-join candidate
+    generation, never all-pairs) plus one k-column signature join per
+    side — signature frames are docs x k longs, dimension-bounded.
+    """
+    assert k % bands == 0
+    docs = _persist(_shingled(df, text_col, id_col, n))
+    sig = _persist(minhash_signatures(df, text_col, id_col, n, k, shingled=docs))
+    cand = _lsh_candidates(sig, k, bands)
+    sx = sig.select(
+        F.col("doc_id").alias("id1"),
+        *[F.col(f"m{i}").alias(f"x{i}") for i in range(k)],
+    )
+    sy = sig.select(
+        F.col("doc_id").alias("id2"),
+        *[F.col(f"m{i}").alias(f"y{i}") for i in range(k)],
+    )
+    agree = sum(
+        (F.col(f"x{i}") == F.col(f"y{i}")).cast("int") for i in range(k)
+    )
+    return (
+        cand.join(sx, "id1")
+        .join(sy, "id2")
+        .withColumn("est_jaccard", agree.cast("double") / k)
+        .join(docs.withColumnRenamed("doc_id", "id1").withColumnRenamed("sh", "sh1"), "id1")
+        .join(docs.withColumnRenamed("doc_id", "id2").withColumnRenamed("sh", "sh2"), "id2")
+        .withColumn("jaccard", exact_jaccard(F.col("sh1"), F.col("sh2")))
+        .select(
+            "id1",
+            "id2",
+            F.round("est_jaccard", 4).alias("est_jaccard"),
+            F.round("jaccard", 4).alias("jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 4).alias(
+                "abs_err"
+            ),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Verified near-dup pairs via banded MinHash-LSH.
+
+    rows-per-band r = k/bands; docs sharing any band signature become
+    candidates; candidates are verified with exact Jaccard over the
+    shingle sets (so precision is exact; LSH only affects recall).
+    """
+    assert k % bands == 0
+    docs = _persist(_shingled(df, text_col, id_col, n))
+    sig = _persist(minhash_signatures(df, text_col, id_col, n, k, shingled=docs))
+    cand = _lsh_candidates(sig, k, bands)
     return (
         cand.join(docs.withColumnRenamed("doc_id", "id1").withColumnRenamed("sh", "sh1"), "id1")
         .join(docs.withColumnRenamed("doc_id", "id2").withColumnRenamed("sh", "sh2"), "id2")

@@ -204,16 +204,19 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash_oracle() -> str:
+def _sql_minhash_prefix() -> str:
+    """Shared CTE chain through ``cand`` (signatures -> bands ->
+    candidate pairs) for the LSH-pairs and accuracy oracles.
+
+    Map-side signature mirror of operators.dedup.minhash_signatures:
+    one md5 per shingle, a/b = 60-bit ints of hex chars [1,15]/[16,30],
+    m_i = list_min over the affine transform — staged through
+    MATERIALIZED CTEs (DuckDB re-evaluates lambda-inlined expressions
+    per element otherwise)."""
     from ..operators.dedup import MINHASH_PRIME as P
 
     k, bands = MINHASH_K, MINHASH_BANDS
     r = k // bands
-    # map-side signature mirror of operators.dedup.minhash_signatures:
-    # one md5 per shingle, a/b = 60-bit ints of hex chars [1,15]/[16,30],
-    # m_i = list_min over the affine transform — staged through
-    # MATERIALIZED CTEs (DuckDB re-evaluates lambda-inlined expressions
-    # per element otherwise)
     min_cols = ",\n       ".join(
         f"list_min(list_transform(generate_series(1, len(al)), "
         f"j -> (al[j] + {i} * bl[j]) % {P})) AS m{i}"
@@ -236,14 +239,18 @@ abx AS MATERIALIZED (
     list_transform(hsl, h -> CAST(('0x' || substr(h, 1, 15)) AS BIGINT) % {P}) AS al,
     list_transform(hsl, h -> CAST(('0x' || substr(h, 16, 15)) AS BIGINT) % {P}) AS bl
   FROM hsx),
-sig AS (SELECT doc_id,
+sig AS MATERIALIZED (SELECT doc_id,
        {min_cols}
        FROM abx),
 bands AS ({band_selects}),
 cand AS (
   SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
   FROM bands x JOIN bands y USING (band, bsig) WHERE x.doc_id < y.doc_id
-)
+)"""
+
+
+def _sql_minhash_oracle() -> str:
+    return f"""{_sql_minhash_prefix()}
 SELECT id1, id2,
        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
@@ -252,6 +259,39 @@ JOIN dd a ON id1 = a.doc_id
 JOIN dd b ON id2 = b.doc_id
 WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         / len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_TAU}
+"""
+
+
+def doc_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_accuracy_pairs(
+        _docs(spark, sf_dir),
+        "text",
+        "doc_id",
+        n=N_SHINGLE,
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+    )
+
+
+def _sql_minhash_accuracy_oracle() -> str:
+    k = MINHASH_K
+    agree = " + ".join(
+        f"CASE WHEN sx.m{i} = sy.m{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    exact = (
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(a.sh, b.sh)))"
+    )
+    return f"""{_sql_minhash_prefix()}
+SELECT id1, id2,
+       round(CAST({agree} AS DOUBLE) / {k}, 4) AS est_jaccard,
+       round({exact}, 4) AS jaccard,
+       round(abs(CAST({agree} AS DOUBLE) / {k} - {exact}), 4) AS abs_err
+FROM cand
+JOIN sig sx ON id1 = sx.doc_id
+JOIN sig sy ON id2 = sy.doc_id
+JOIN dd a ON id1 = a.doc_id
+JOIN dd b ON id2 = b.doc_id
 """
 
 
@@ -666,6 +706,7 @@ QUERIES = {
     "doc_dedup_keep_first": doc_dedup_keep_first,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
+    "doc_minhash_accuracy": doc_minhash_accuracy,
     "doc_simhash": doc_simhash,
     "doc_simhash_pairs": doc_simhash_pairs,
 }
@@ -686,6 +727,7 @@ ORACLES = {
     "doc_dedup_keep_first": DOC_DEDUP_KEEP_FIRST_ORACLE,
     "doc_ngram_jaccard_pairs": DOC_NGRAM_JACCARD_ORACLE,
     "doc_minhash_lsh_pairs": _sql_minhash_oracle(),
+    "doc_minhash_accuracy": _sql_minhash_accuracy_oracle(),
     "doc_simhash": DOC_SIMHASH_ORACLE,
     "doc_simhash_pairs": _sql_simhash_pairs(),
 }
