@@ -47,6 +47,7 @@ _PRIORITY = [
     "partitioned_fact_pruning",
     "events_rolling_anomaly",
     "doc_minhash_accuracy",
+    "fk_integrity_audit",
 ]
 
 

@@ -73,12 +73,94 @@ FROM orders
 """
 
 
+# (child table, child FK col, parent table, parent PK col) — every edge of
+# the star/snowflake. Declared once so the Spark build and the SQL oracle
+# iterate the same list.
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the schema: child
+    row count, orphan rows (no matching parent key — NULL FKs count as
+    orphans), and distinct orphan key values. The load-gate a warehouse
+    runs after ingest and before publishing (reference P13 validation,
+    promoted from per-column rules to cross-table rules).
+
+    Scale shape: one left join per edge against the DISTINCT parent key
+    set — parent keys are dimension-sized for every edge except
+    lineitem->orders (where the join is the same orderkey co-shuffle the
+    fact build already pays, eliminable via the bucketed layout); the
+    per-edge result is a single aggregated row, so the union is 7 rows.
+    """
+    from functools import reduce
+
+    tables = {t for edge in _FK_EDGES for t in (edge[0], edge[2])}
+    t = load_tables(spark, sf_dir, *sorted(tables))
+    frames = []
+    for child, ck, parent, pk in _FK_EDGES:
+        joined = (
+            t[child]
+            .select(F.col(ck).alias("k"))
+            .join(
+                t[parent]
+                .select(F.col(pk).alias("pk"))
+                .distinct()
+                .withColumn("__hit", F.lit(1)),
+                F.col("k") == F.col("pk"),
+                "left",
+            )
+        )
+        frames.append(
+            joined.agg(
+                F.count(F.lit(1)).alias("n_child_rows"),
+                F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias(
+                    "n_orphan_rows"
+                ),
+                F.countDistinct(
+                    F.when(F.col("__hit").isNull(), F.col("k"))
+                ).alias("n_orphan_keys"),
+            ).select(
+                F.lit(f"{child}.{ck}->{parent}").alias("relationship"),
+                "n_child_rows",
+                "n_orphan_rows",
+                "n_orphan_keys",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def _sql_fk_audit_oracle() -> str:
+    parts = []
+    for child, ck, parent, pk in _FK_EDGES:
+        parts.append(
+            f"""
+SELECT '{child}.{ck}->{parent}' AS relationship,
+       count(*) AS n_child_rows,
+       CAST(sum(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphan_rows,
+       count(DISTINCT CASE WHEN p.pk IS NULL THEN c.k END) AS n_orphan_keys
+FROM (SELECT {ck} AS k FROM {child}) c
+LEFT JOIN (SELECT DISTINCT {pk} AS pk FROM {parent}) p ON c.k = p.pk"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES = {
     "lineitem_validation_summary": lineitem_validation_summary,
     "order_price_percentiles": order_price_percentiles,
+    "fk_integrity_audit": fk_integrity_audit,
 }
 
 ORACLES = {
     "lineitem_validation_summary": LINEITEM_VALIDATION_ORACLE,
     "order_price_percentiles": ORDER_PERCENTILES_ORACLE,
+    "fk_integrity_audit": _sql_fk_audit_oracle(),
 }
