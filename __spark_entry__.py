@@ -48,6 +48,7 @@ _PRIORITY = [
     "events_rolling_anomaly",
     "doc_minhash_accuracy",
     "fk_integrity_audit",
+    "scd2_change_feed",
 ]
 
 

@@ -205,6 +205,46 @@ FROM new_rows
 """
 
 
+def scd2_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC extract of the second batch's merge: every dimension row the
+    D1 load TOUCHED, labeled with its change kind — ``expire`` (old
+    version closed), ``insert_changed`` (new version of an existing
+    member) or ``insert_new`` (brand-new member). The change feed a
+    warehouse publishes downstream after each merge so consumers update
+    incrementally instead of re-reading the dimension (the incremental
+    complement of the reference's full-replace loads).
+
+    Derived from the merged dimension itself — rows are touched iff
+    ``expiry_date = D1`` or ``effective_date = D1`` — so it stays correct
+    for ANY merge the engine performs; keys above 1,000,000 are the
+    deterministic batch-2 new members (see ``_customer_batch2``).
+    """
+    dim = scd2_customer_two_batch(spark, sf_dir)
+    d1 = F.lit(D1).cast("date")
+    return dim.filter(
+        (F.col("expiry_date") == d1) | (F.col("effective_date") == d1)
+    ).select(
+        "c_custkey",
+        "customer_key",
+        "c_acctbal",
+        F.when(F.col("expiry_date") == d1, F.lit("expire"))
+        .when(F.col("c_custkey") >= 1000000, F.lit("insert_new"))
+        .otherwise(F.lit("insert_changed"))
+        .alias("change_kind"),
+    )
+
+
+SCD2_CHANGE_FEED_ORACLE = f"""
+WITH dim AS ({SCD2_TWO_BATCH_ORACLE})
+SELECT c_custkey, customer_key, c_acctbal,
+       CASE WHEN expiry_date = DATE '{D1}' THEN 'expire'
+            WHEN c_custkey >= 1000000 THEN 'insert_new'
+            ELSE 'insert_changed' END AS change_kind
+FROM dim
+WHERE expiry_date = DATE '{D1}' OR effective_date = DATE '{D1}'
+"""
+
+
 # ---------------------------------------------------------------------------
 # Fact build: FK resolution against current dim rows (J1) + int date key
 # ---------------------------------------------------------------------------
@@ -595,6 +635,7 @@ QUERIES = {
     "dim_date_calendar": dim_date_calendar,
     "dim_customer_scd2_init": dim_customer_scd2_init,
     "scd2_customer_two_batch": scd2_customer_two_batch,
+    "scd2_change_feed": scd2_change_feed,
     "fact_sales_resolution": fact_sales_resolution,
     "mart_sales_performance": mart_sales_performance,
     "mart_category_analysis": mart_category_analysis,
@@ -607,6 +648,7 @@ ORACLES = {
     "dim_date_calendar": DIM_DATE_ORACLE,
     "dim_customer_scd2_init": DIM_CUSTOMER_INIT_ORACLE,
     "scd2_customer_two_batch": SCD2_TWO_BATCH_ORACLE,
+    "scd2_change_feed": SCD2_CHANGE_FEED_ORACLE,
     "fact_sales_resolution": FACT_RESOLUTION_ORACLE,
     "mart_sales_performance": MART_SALES_PERFORMANCE_ORACLE,
     "mart_category_analysis": MART_CATEGORY_ANALYSIS_ORACLE,
