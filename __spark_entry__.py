@@ -24,48 +24,79 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.relational.flagship_star_revenue(spark, "/root/testdata/sf0.001")
 
 
-# Round-4 rotation: the correctness run has a global budget that covers
-# ~50 of the 89 queries, so ordering decides which families get rows.
-# _PRIORITY pins the individual queries that MUST record this round:
-# the six that have never had any CORRECTNESS row (marts, dashboard
-# extract, int8 quantization, PQ-ADC ANN, hybrid RRF) and the two whose
-# oracles were fixed this round (BIGINT casts on sum(n_chars)).
+# Round-5 rotation: the correctness run has a global budget that covers
+# ~50 of the 97 queries, so ordering decides which families get rows.
+# _PRIORITY pins (a) embedding_quantize_int8 — r04's only red row (the
+# codes column is now a sortable string) — and (b) every query whose
+# last green row is r03: after r05 records, the staleness window becomes
+# r04+r05, so all 47 r03-only names must sit inside the driver budget.
+# The list is exactly `sorted(all_queries - CORRECTNESS_r04.keys())`,
+# grouped by family (48 names total; driver budget ~50).
 _PRIORITY = [
-    "mart_sales_performance",
-    "mart_category_analysis",
-    "dashboard_extract",
     "embedding_quantize_int8",
-    "embedding_ann_pq",
-    "doc_hybrid_search_rrf",
-    "doc_source_stats",
-    "doc_length_histogram",
-    # new this round: the salting + bucketing demos and the stateful
-    # session-stats stream must record first rows
-    "salted_hot_key_join",
-    "bucketed_colocated_join",
-    "stream_user_session_stats",
-    "partitioned_fact_pruning",
-    "events_rolling_anomaly",
-    "doc_minhash_accuracy",
-    "fk_integrity_audit",
-    "scd2_change_feed",
+    # streaming (r03-only)
+    "stream_tumbling_counts",
+    "stream_dedup_count",
+    "stream_session_windows",
+    "stream_scd2_upsert",
+    # eventops batch twins (r03-only)
+    "events_tumbling_10m",
+    "events_sliding_10m_5m",
+    "events_sessionization",
+    "events_json_flatten",
+    "events_first_per_user_type",
+    "events_purchase_attribution",
+    "events_close_pairs",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_gapfill_10m",
+    # multimodal (r03-only)
+    "doc_binary_stats",
+    "doc_media_sampled",
+    # textops / dedup family (r03-only)
+    "doc_quality_filter",
+    "doc_repetition_stats",
+    "doc_incremental_dedup",
+    "doc_winnowing_pairs",
+    "doc_text_stats",
+    "doc_winnowing_fingerprints",
+    "doc_neardup_clusters",
+    "doc_lang_id",
+    "doc_fingerprint",
+    "doc_exact_dedup",
+    "doc_dedup_keep_first",
+    "doc_ngram_jaccard_pairs",
+    "doc_minhash_lsh_pairs",
+    "doc_simhash",
+    "doc_simhash_pairs",
+    # curation (r03-only)
+    "doc_segment_dedup",
+    "doc_unigram_familiarity",
+    "doc_cluster_best",
+    "customer_pii_masked",
+    # profiling tail (r03-only)
+    "customer_revenue_deciles",
+    "order_grouping_sets",
+    "lineitem_stats_profile",
+    "join_key_skew_report",
+    # llmops (r03-only)
+    "doc_hash_sample",
+    "doc_chunk_windows",
+    "doc_stratified_sample",
+    "doc_train_split",
+    "vocab_top_tokens",
+    "doc_tfidf_top_terms",
+    "doc_pack_sequences",
+    "doc_contamination",
 ]
 
 
 def _modules():
-    # After the pinned names, families ordered by staleness: warehouse /
-    # vectors / relational / relational_ext / quality got no r03 row
-    # (last green r01/r02 — two rounds stale if skipped again), so they
-    # run next; the families recorded green in r03 (streaming, eventops,
-    # multimodal, textops, curation, profiling, llmops) run last and may
-    # be cut off by the budget — they are only one round stale then, and
-    # the r05 rotation must front-load them in turn.
+    # After the pinned names: the r03-only families first (so any name
+    # the list above misses still lands early), then the families fully
+    # re-recorded in r04 (warehouse, vectors, relational, quality) last —
+    # they are one round stale at worst and rotate to the front in r06.
     return [
-        q.warehouse,
-        q.vectors,
-        q.relational,
-        q.relational_ext,
-        q.quality,
         streaming_pipelines,
         q.eventops,
         q.multimodalops,
@@ -73,6 +104,11 @@ def _modules():
         q.curation,
         q.profiling,
         q.llmops,
+        q.warehouse,
+        q.vectors,
+        q.relational,
+        q.relational_ext,
+        q.quality,
     ]
 
 

@@ -396,7 +396,15 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda r, y: (r - y) * (r - y),
     )
     mse = F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e) / DIM
-    return v.select("vec_id", codes.alias("codes"), mse.alias("mse"))
+    # codes are delivered as one comma-joined string per vector: the
+    # driver's canonicalizer sorts output columns in pandas, which cannot
+    # factorize list cells (r04: TypeError unhashable type 'list'); a
+    # scalar string is byte-identical across engines and sortable.
+    return v.select(
+        "vec_id",
+        F.concat_ws(",", codes.cast("array<string>")).alias("codes"),
+        mse.alias("mse"),
+    )
 
 
 def _sql_quantize_oracle() -> str:
@@ -421,8 +429,9 @@ sl AS (
   SELECT list(mn ORDER BY i) AS mnl, list(mx - mn ORDER BY i) AS sl FROM st
 )
 SELECT vec_id,
-       list_transform(generate_series(1, {DIM}),
-                      i -> CAST({code} AS INTEGER)) AS codes,
+       array_to_string(list_transform(generate_series(1, {DIM}),
+                                      i -> CAST({code} AS INTEGER)),
+                       ',') AS codes,
        list_sum(list_transform(generate_series(1, {DIM}),
                                i -> {err} * {err})) / {DIM} AS mse
 FROM v CROSS JOIN sl

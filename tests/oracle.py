@@ -40,8 +40,17 @@ def _norm_cell(v):
         if math.isnan(v):
             return "NaN"
         return f"{v:.9g}"
-    if isinstance(v, list):
-        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, (list, tuple)):
+        # The grading driver canonicalizes with pandas sort_values over
+        # every column, which cannot factorize list cells (r04:
+        # embedding_quantize_int8 died with 'unhashable type: list').
+        # Mirror that limitation here so an array-valued output column
+        # fails in pytest before it fails at the driver.
+        raise AssertionError(
+            "oracle-compared queries must not emit array columns — "
+            "join to a string or digest (driver canonicalizer cannot "
+            f"sort list cells); got {v!r}"
+        )
     return v
 
 
