@@ -216,21 +216,32 @@ def scd2_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Derived from the merged dimension itself — rows are touched iff
     ``expiry_date = D1`` or ``effective_date = D1`` — so it stays correct
-    for ANY merge the engine performs; keys above 1,000,000 are the
-    deterministic batch-2 new members (see ``_customer_batch2``).
+    for ANY merge the engine performs. ``insert_new`` is decided by
+    anti-membership in the initial load's natural-key set (key absent
+    from D0), not by any magic key threshold: TPC-H customer keys reach
+    150000*sf, so at large sf a real customer key could cross any fixed
+    constant the synthetic batch-2 uses.
     """
     dim = scd2_customer_two_batch(spark, sf_dir)
+    d0_keys = (
+        load_tables(spark, sf_dir, "customer")["customer"]
+        .select("c_custkey")
+        .distinct()
+        .withColumn("__in_d0", F.lit(True))
+    )
     d1 = F.lit(D1).cast("date")
-    return dim.filter(
-        (F.col("expiry_date") == d1) | (F.col("effective_date") == d1)
-    ).select(
-        "c_custkey",
-        "customer_key",
-        "c_acctbal",
-        F.when(F.col("expiry_date") == d1, F.lit("expire"))
-        .when(F.col("c_custkey") >= 1000000, F.lit("insert_new"))
-        .otherwise(F.lit("insert_changed"))
-        .alias("change_kind"),
+    return (
+        dim.filter((F.col("expiry_date") == d1) | (F.col("effective_date") == d1))
+        .join(d0_keys, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            "customer_key",
+            "c_acctbal",
+            F.when(F.col("expiry_date") == d1, F.lit("expire"))
+            .when(F.col("__in_d0").isNull(), F.lit("insert_new"))
+            .otherwise(F.lit("insert_changed"))
+            .alias("change_kind"),
+        )
     )
 
 
@@ -238,7 +249,8 @@ SCD2_CHANGE_FEED_ORACLE = f"""
 WITH dim AS ({SCD2_TWO_BATCH_ORACLE})
 SELECT c_custkey, customer_key, c_acctbal,
        CASE WHEN expiry_date = DATE '{D1}' THEN 'expire'
-            WHEN c_custkey >= 1000000 THEN 'insert_new'
+            WHEN c_custkey NOT IN (SELECT c_custkey FROM customer)
+              THEN 'insert_new'
             ELSE 'insert_changed' END AS change_kind
 FROM dim
 WHERE expiry_date = DATE '{D1}' OR effective_date = DATE '{D1}'

@@ -20,8 +20,10 @@ instead.
 
 Determinism contract for ``user_session_stats``: the transition assumes
 micro-batches arrive in non-decreasing event-time order per user (the
-time-split replay guarantees it). Within a batch the kernel sorts by
-timestamp, so intra-batch file order never matters. Session rule matches
+time-split replay guarantees it). Within a batch the kernel concatenates
+every Arrow chunk of the group and sorts the whole batch by timestamp
+once, so intra-batch file/chunk order never matters — the pdfs iterator
+delivers multiple chunks per group in arrival order, not time order. Session rule matches
 ``operators/sessionize.py``: a gap strictly greater than ``gap_seconds``
 starts a new session; equal-timestamp events always share a session, so
 ties cannot affect any output column.
@@ -92,10 +94,14 @@ def session_transition(gap_us: int):
             n_events, n_sessions, first_us, last_us = state.get
         else:
             n_events, n_sessions, first_us, last_us = 0, 0, None, None
-        for pdf in pdfs:
-            us = pdf["__us"].sort_values().reset_index(drop=True)
-            if us.empty:
-                continue
+        # A group's micro-batch rows arrive as MULTIPLE Arrow chunks (the
+        # iterator yields one pdf per ~arrow.maxRecordsPerBatch rows) in
+        # partition/file order, NOT time order — sorting within each
+        # chunk alone miscounts sessions for any user with more rows than
+        # one chunk. Materialize the whole batch, sort once, fold once.
+        chunks = [pdf["__us"] for pdf in pdfs if len(pdf)]
+        if chunks:
+            us = pd.concat(chunks).sort_values().reset_index(drop=True)
             n_events += len(us)
             if first_us is None:
                 first_us = int(us.iloc[0])

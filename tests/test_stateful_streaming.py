@@ -218,10 +218,26 @@ def test_session_kernel_matches_batch_for_any_ordered_split():
         for piece in pieces:
             if not piece and state._v is None:
                 continue  # stream wouldn't invoke the group w/o rows/state
-            # shuffle within the batch: kernel must sort internally
+            # shuffle within the batch AND split it into several Arrow-like
+            # chunks in arbitrary order: applyInPandasWithState delivers a
+            # group's batch as multiple pdfs (one per Arrow chunk) in
+            # partition/file order, so the kernel must sort ACROSS chunks,
+            # not just within each
             shuffled = list(piece)
             rnd.shuffle(shuffled)
-            frames = iter([pd.DataFrame({"__us": pd.Series(shuffled, dtype="int64")})])
+            chunk_cuts = sorted(
+                rnd.choices(range(len(shuffled) + 1), k=rnd.randint(0, 3))
+            )
+            chunks, lo2 = [], 0
+            for c in [*chunk_cuts, len(shuffled)]:
+                chunks.append(shuffled[lo2:c])
+                lo2 = c
+            frames = iter(
+                [
+                    pd.DataFrame({"__us": pd.Series(ch, dtype="int64")})
+                    for ch in chunks
+                ]
+            )
             out = list(fn((7,), frames, state))[-1]
         got = (
             int(out["n_events"].iloc[0]),
