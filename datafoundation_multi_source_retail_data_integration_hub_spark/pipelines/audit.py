@@ -11,11 +11,14 @@ scale the table stays a cheap audit trail partition-prunable by run date.
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ..sources import writers as W
 from ..sources.writers import DEFAULT_DATABASE, read_table, write_table
 
 RUN_LOG_TABLE = "etl_run_log"
@@ -93,6 +96,59 @@ def logged_write(
     if status == "failed":
         raise RuntimeError(f"write of {table} failed (run {run_id}): {msg}")
     return n
+
+
+def logged_stream_sink(
+    inner: Callable[[DataFrame, int], None],
+    table: str,
+    stream_id: str,
+    started_at: datetime,
+    finished_at: datetime,
+    database: str = DEFAULT_DATABASE,
+) -> Callable[[DataFrame, int], None]:
+    """Wrap a ``foreachBatch`` handler with batchId-idempotent audit
+    logging — ``logged_write`` for the incremental path (the reference's
+    ``etl_run_log`` intent, ``README.md:74-79``, on streaming ingestion).
+
+    ``foreachBatch`` delivers at-least-once: after a crash between the
+    sink commit and the checkpoint commit, the SAME (stream, batch_id)
+    replays. The inner sink must already be idempotent (overwrite /
+    MERGE / batchId-named files); the audit table is append-only, so a
+    replay would double-append without a guard. The wrapper keys each
+    row by ``run_id = f"{stream_id}#{batch_id}"`` and appends only when
+    that (run_id, table) row is absent — the inner sink still re-runs on
+    replay (it must, to converge), but the audit trail records each
+    micro-batch exactly once.
+
+    Timestamps are caller-injected, as everywhere in this module: no
+    ``current_timestamp()`` inside a plan, so replays are deterministic.
+    """
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        n = batch.count()
+        inner(batch, batch_id)
+        run_id = f"{stream_id}#{batch_id}"
+        W.ensure_database(spark, database)
+        if W.table_exists(spark, RUN_LOG_TABLE, database):
+            seen = (
+                read_table(spark, RUN_LOG_TABLE, database=database)
+                .filter(
+                    (F.col("run_id") == run_id)
+                    & (F.col("table_name") == table)
+                )
+                .limit(1)
+                .count()
+            )
+            if seen:
+                return
+        log_run(
+            spark,
+            RunLogEntry(run_id, table, n, "success", started_at, finished_at),
+            database=database,
+        )
+
+    return handle
 
 
 def run_history(

@@ -16,18 +16,50 @@ from ..operators.similarity import (
     hyperplanes,
     ivf_ann_topk,
     lsh_ann_topk,
+    planes_for_corpus,
 )
 from ..sources.tables import load_tables
 
 N_QUERIES = 10
 TOP_K = 5
+# Floor of the corpus-derived plane count (see _n_planes); also the exact
+# value the static oracles embed — valid because every corpus up to
+# LSH_TARGET_BUCKET_ROWS * 2**N_PLANES (~6.4M) vectors derives this floor.
 N_PLANES = 6
+LSH_TARGET_BUCKET_ROWS = 100_000
 DIM = 64
 NEARDUP_TAU = 0.3  # random-embedding corpus: top pair cosines sit ~0.3-0.4
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir, "embeddings")["embeddings"]
+
+
+_N_PLANES_CACHE: dict[tuple, int] = {}
+
+
+def _n_planes(spark: SparkSession, sf_dir: str) -> int:
+    """LSH plane count derived from a cheap corpus count (parquet
+    row-count metadata — no column scan), memoized per corpus dir.
+
+    This is the live scale gate: a fixed plane count makes the bucketed
+    self-join degenerate toward all-pairs as the corpus grows
+    (``planes_for_corpus`` docstring). At every test SF (<= ~6.4M
+    vectors) the derivation lands on the ``N_PLANES`` floor — exactly
+    what the static DuckDB oracles embed (pinned by
+    tests/test_vectors_oracle.py::test_plane_count_derivation) — while
+    1e9 vectors derive 14 planes with no code change.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _N_PLANES_CACHE.get(key)
+    if got is None:
+        got = planes_for_corpus(
+            _emb(spark, sf_dir).count(),
+            target_bucket_rows=LSH_TARGET_BUCKET_ROWS,
+            min_planes=N_PLANES,
+        )
+        _N_PLANES_CACHE[key] = got
+    return got
 
 
 def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,7 +104,9 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return lsh_ann_topk(emb, queries, TOP_K, n_planes=N_PLANES, dim=DIM)
+    return lsh_ann_topk(
+        emb, queries, TOP_K, n_planes=_n_planes(spark, sf_dir), dim=DIM
+    )
 
 
 def _sql_plane_literal(plane: list[float]) -> str:
@@ -187,7 +221,10 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(
-        _emb(spark, sf_dir), NEARDUP_TAU, n_planes=N_PLANES, dim=DIM
+        _emb(spark, sf_dir),
+        NEARDUP_TAU,
+        n_planes=_n_planes(spark, sf_dir),
+        dim=DIM,
     )
 
 

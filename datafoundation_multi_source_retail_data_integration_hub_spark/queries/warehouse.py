@@ -222,19 +222,23 @@ def scd2_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     150000*sf, so at large sf a real customer key could cross any fixed
     constant the synthetic batch-2 uses.
     """
-    dim = scd2_customer_two_batch(spark, sf_dir)
+    # the dim derives from the same customer scan as the key set (one
+    # memoized plan object — sources.tables), so the join must use
+    # qualified aliases to be an unambiguous self-join
+    dim = scd2_customer_two_batch(spark, sf_dir).alias("dim")
     d0_keys = (
         load_tables(spark, sf_dir, "customer")["customer"]
         .select("c_custkey")
         .distinct()
         .withColumn("__in_d0", F.lit(True))
+        .alias("d0")
     )
     d1 = F.lit(D1).cast("date")
     return (
         dim.filter((F.col("expiry_date") == d1) | (F.col("effective_date") == d1))
-        .join(d0_keys, "c_custkey", "left")
+        .join(d0_keys, F.col("dim.c_custkey") == F.col("d0.c_custkey"), "left")
         .select(
-            "c_custkey",
+            F.col("dim.c_custkey").alias("c_custkey"),
             "customer_key",
             "c_acctbal",
             F.when(F.col("expiry_date") == d1, F.lit("expire"))

@@ -49,8 +49,25 @@ def _normalize_event_time(df: DataFrame, col: str) -> DataFrame:
     return df
 
 
+# DataFrame-object memo: `spark.read.parquet` resolves the schema eagerly
+# (driver-side file listing + footer read, ~50-80 ms per call). A corpus
+# table's logical plan is immutable and the testdata paths never change
+# within a session, so the resolved relation is reused — every consumer
+# still gets an identical declarative plan (pushdown/pruning unaffected;
+# this caches the PLAN object, not data). Each call returns a fresh
+# ``toDF`` re-projection so every caller sees NEW attribute exprIds, as
+# two independent reads would produce — otherwise two branches of one
+# query (e.g. an SCD2 merge joining a dim and a batch both derived from
+# customer) share ids and trip Spark's ambiguous-self-join check.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one corpus table. Lazy — nothing is read until an action."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    got = _TABLE_CACHE.get(key)
+    if got is not None:
+        return got.toDF(*got.columns)
     # Runtime-settable confs applied here (not only in the session factory)
     # because the driver harness builds its own SparkSession.
     # inferTimestampNTZ=false makes plain-micros parquet timestamps (no UTC
@@ -64,7 +81,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _EVENT_TIME_COLS.get(name, ()):
         df = _normalize_event_time(df, col)
-    return df
+    _TABLE_CACHE[key] = df
+    return df.toDF(*df.columns)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

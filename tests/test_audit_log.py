@@ -61,3 +61,60 @@ def test_logged_write_records_count_and_status(spark, clean_db):
         42,
         "success",
     )
+
+
+def test_stream_sink_replayed_batch_logs_once(spark, clean_db, tmp_path):
+    """Exactly-once audit on the incremental path: drive a real
+    availableNow stream through a logged_stream_sink-wrapped foreachBatch,
+    then replay a batch handler invocation with the same batchId (what a
+    crash between sink commit and checkpoint commit produces) — the sink
+    re-runs (idempotence is its own contract) but the audit table must
+    hold exactly one row per (stream, batchId)."""
+    from datafoundation_multi_source_retail_data_integration_hub_spark.pipelines.audit import (
+        logged_stream_sink,
+    )
+
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "sunk")
+    spark.range(0, 25).select(F.col("id").alias("k")).write.parquet(src)
+
+    sunk = []
+
+    def inner(batch, batch_id):
+        # batchId-named output dir: naturally idempotent under replay
+        batch.write.mode("overwrite").parquet(f"{out}/b{batch_id}")
+        sunk.append(batch_id)
+
+    t = datetime(2026, 3, 1, 0, 0, 0)
+    handle = logged_stream_sink(inner, "dim_target", "stream-A", t, t, database=DB)
+
+    q = (
+        spark.readStream.schema("k long")
+        .parquet(src)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    log = read_table(spark, RUN_LOG_TABLE, database=DB)
+    assert log.count() == len(sunk) == 1
+    row = log.first()
+    assert (row["run_id"], row["table_name"], row["n_rows"], row["status"]) == (
+        "stream-A#0",
+        "dim_target",
+        25,
+        "success",
+    )
+
+    # replay batch 0 (at-least-once delivery after a crash): the inner
+    # sink runs again, the audit row does not duplicate
+    handle(spark.read.parquet(src), 0)
+    assert sunk == [0, 0]
+    assert read_table(spark, RUN_LOG_TABLE, database=DB).count() == 1
+    # a genuinely new batch still logs
+    handle(spark.read.parquet(src).limit(3), 1)
+    log = read_table(spark, RUN_LOG_TABLE, database=DB)
+    assert log.count() == 2
+    assert {r["run_id"] for r in log.collect()} == {"stream-A#0", "stream-A#1"}

@@ -91,3 +91,34 @@ def test_planes_for_corpus_scaling():
     assert planes_for_corpus(1_000) == 4  # floor
     assert planes_for_corpus(10**9, target_bucket_rows=100_000) == 14
     assert planes_for_corpus(10**12) == 24  # ceiling
+
+
+def test_plane_count_derivation(spark):
+    """The headline LSH queries derive their plane count from the corpus
+    (vectors._n_planes) while the static DuckDB oracles embed N_PLANES.
+    They agree exactly when the corpus is small enough that the
+    derivation lands on the floor — pin that for every test SF, and pin
+    that the same derivation grows past the floor at production scale."""
+    import os
+
+    from datafoundation_multi_source_retail_data_integration_hub_spark.operators.similarity import (
+        planes_for_corpus,
+    )
+    from datafoundation_multi_source_retail_data_integration_hub_spark.queries.vectors import (
+        LSH_TARGET_BUCKET_ROWS,
+        N_PLANES,
+        _n_planes,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        if not os.path.isdir(sf_dir):
+            continue
+        assert _n_planes(spark, sf_dir) == N_PLANES, sf_dir
+    assert (
+        planes_for_corpus(
+            10**9,
+            target_bucket_rows=LSH_TARGET_BUCKET_ROWS,
+            min_planes=N_PLANES,
+        )
+        > N_PLANES
+    )

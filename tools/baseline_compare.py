@@ -112,7 +112,20 @@ def main() -> None:
     ]
     for name, ts, td in extra:
         lines.append(f"| {name} | {ts:.2f} | {td:.2f} |")
+    # The gate basis changed in round 4 (Arrow fetch on both engines;
+    # work-asymmetric queries split out). Keep the trend line honest by
+    # also printing the total on the OLD inclusion basis — every measured
+    # query, streaming replays and table-writes included — so rounds
+    # before and after the rebase remain comparable.
+    all_s = sum(r[1] for r in rows)
+    all_d = sum(r[2] for r in rows)
     lines += [
+        "",
+        f"All-queries total (pre-r04 inclusion basis, Arrow fetch): "
+        f"Spark {all_s:.2f} s vs DuckDB {all_d:.2f} s = "
+        f"{all_s / all_d:.2f}x. The headline gate total above excludes "
+        "the work-asymmetric set (an r04 basis change); this line keeps "
+        "the old inclusion rule for cross-round comparability.",
         "",
         "Methodology: both engines deliver results over their Arrow",
         "bulk-transfer path (Spark `toPandas()`, DuckDB `.arrow()`) — the",
