@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.parity import stable_sum
+from ..functions.parity import fixed_sum
 
 
 def sessionize(
@@ -51,5 +51,6 @@ def session_stats(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
         F.count("*").alias("n_events"),
-        stable_sum(F.col(value_col)).alias("total_value"),
+        # event values are 2-decimal money (corpus contract) — long fast path
+        fixed_sum(F.col(value_col), 2).alias("total_value"),
     )

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.parity import stable_sum
+from ..functions.parity import fixed_sum, stable_sum
 from ..plans.star_schema import DimensionSpec, FactSpec, StarSchema, build_star_schema
 from ..sources.readers import read_csv
 
@@ -114,19 +114,28 @@ def run_etl(
 # --- marts (README.md:82-85, 248-249) --------------------------------------
 
 
-def mart_sales_performance(star: StarSchema) -> DataFrame:
+def _measure_sum(c: F.Column, dp: int | None) -> F.Column:
+    """Mart measure aggregation: the fixed-point long fast path when the
+    caller asserts the measures' true decimal scale (both known fact
+    sources — the Superstore-style CSV and the corpus star — carry
+    price*(1-discount)-shaped measures, exact at 4 decimals), else the
+    decimal path (``dp=None``) for measures of unknown scale."""
+    return fixed_sum(c, dp) if dp is not None else stable_sum(c)
+
+
+def mart_sales_performance(star: StarSchema, measure_dp: int | None = 4) -> DataFrame:
     """Daily sales/profit mart over the resolved fact."""
     return (
         star.fact.groupBy("order_date")
         .agg(
-            stable_sum(F.col("sales")).alias("total_sales"),
-            stable_sum(F.col("profit")).alias("total_profit"),
+            _measure_sum(F.col("sales"), measure_dp).alias("total_sales"),
+            _measure_sum(F.col("profit"), measure_dp).alias("total_profit"),
             F.count("*").alias("n_rows"),
         )
     )
 
 
-def mart_category_analysis(star: StarSchema) -> DataFrame:
+def mart_category_analysis(star: StarSchema, measure_dp: int | None = 4) -> DataFrame:
     """Category mart: join fact back to current product dim rows."""
     # product dim scales with the catalog — no hard broadcast() hint
     # (policy: queries/relational.py module doc); AQE decides.
@@ -135,8 +144,8 @@ def mart_category_analysis(star: StarSchema) -> DataFrame:
         star.fact.join(prod.select("product_key", "category"), "product_key")
         .groupBy("category")
         .agg(
-            stable_sum(F.col("sales")).alias("total_sales"),
-            stable_sum(F.col("profit")).alias("total_profit"),
+            _measure_sum(F.col("sales"), measure_dp).alias("total_sales"),
+            _measure_sum(F.col("profit"), measure_dp).alias("total_profit"),
             F.count("*").alias("n_rows"),
         )
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.parity import stable_avg, stable_sum, sql_stable_avg, sql_stable_sum
+from ..functions.parity import fixed_avg, fixed_sum, fixed_sum_dec, sql_stable_avg, sql_stable_sum
 from ..operators.asof import asof_join
 from ..operators.rangejoin import time_window_pairs
 from ..operators.sessionize import session_stats
@@ -37,7 +37,7 @@ def events_tumbling_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            stable_sum(F.col("value")).alias("total_value"),
+            fixed_sum(F.col("value"), 2).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -77,7 +77,7 @@ def events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            stable_avg(F.col("value")).alias("avg_value"),
+            fixed_avg(F.col("value"), 2).alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -476,7 +476,6 @@ FROM s LEFT JOIN c USING (bucket_start)
 ANOMALY_LOOKBACK = 12  # trailing 10-min windows (2 hours of history)
 ANOMALY_Z_MIN = 2.5
 
-_DEC = "decimal(27,6)"
 _DEC_SQ = "decimal(38,6)"  # squares need more integer headroom
 
 
@@ -507,7 +506,7 @@ def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type", F.window("ts", "10 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(_DEC)).alias("v_dec"),
+            fixed_sum_dec(F.col("value"), 2).alias("v_dec"),
         )
         .select(
             "event_type",

@@ -30,9 +30,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.parity import (
-    DEC,
-    stable_sum,
-    stable_sum_raw,
+    fixed_sum,
+    fixed_sum_raw,
+    fixed_sum_units_raw,
+    fixed_units,
     sql_stable_sum,
     sql_stable_sum_raw,
 )
@@ -41,7 +42,6 @@ from ..operators.skew import salted_join
 from ..sources.tables import load_tables
 
 N_DECILES = 10
-DEC_SQ = "decimal(38,6)"  # square/product sums need more integer headroom
 
 
 def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,7 +49,7 @@ def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decile 0 = top spenders. Exact (rank-based), not approximate."""
     orders = load_tables(spark, sf_dir, "orders")["orders"]
     rev = orders.groupBy("o_custkey").agg(
-        stable_sum_raw(F.col("o_totalprice")).alias("revenue")
+        fixed_sum_raw(F.col("o_totalprice"), 2).alias("revenue")
     )
     # descending rank via ascending key on the negated (exact) double
     numbered = with_global_row_number(
@@ -67,7 +67,9 @@ def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),
-            stable_sum(F.col("revenue")).alias("total_revenue"),
+            # per-customer revenue is an exact 2-decimal double (a sum
+            # of 2-decimal prices), so the fast path stays exact here too
+            fixed_sum(F.col("revenue"), 2).alias("total_revenue"),
             F.min("revenue").alias("min_revenue"),
             F.max("revenue").alias("max_revenue"),
         )
@@ -109,7 +111,7 @@ def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("l_returnflag").cast("int").alias("g_flag"),
             F.grouping("l_linestatus").cast("int").alias("g_status"),
             F.count("*").alias("n_items"),
-            stable_sum(F.col("l_extendedprice")).alias("total_price"),
+            fixed_sum(F.col("l_extendedprice"), 2).alias("total_price"),
         )
         .select(
             "l_returnflag",
@@ -136,19 +138,25 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 def lineitem_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """describe()-grade moment statistics in ONE scan: count, mean,
     sample stddev of quantity, and the quantity-price Pearson
-    correlation. Raw moments are exact DECIMAL sums; the closed-form
-    variance/correlation arithmetic runs on the resulting (identical)
-    doubles in a fixed expression order on both engines."""
+    correlation. Raw moments are exact fixed-point sums (the limb fast
+    path — see functions.parity): quantity and price are exact 2-decimal
+    values, so their unit products are exact 4-decimal longs, and the
+    sums match the DECIMAL oracle bit-for-bit without any per-row
+    BigDecimal work. The closed-form variance/correlation arithmetic
+    then runs on the resulting (identical) doubles in a fixed expression
+    order on both engines."""
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
-    x = F.col("l_quantity")
-    y = F.col("l_extendedprice")
-    m = li.agg(
+    ux = fixed_units(F.col("l_quantity"), 2)
+    uy = fixed_units(F.col("l_extendedprice"), 2)
+    m = li.select(
+        ux.alias("ux"), uy.alias("uy")
+    ).agg(
         F.count("*").alias("n"),
-        F.sum(x.cast(DEC)).cast("double").alias("sx"),
-        F.sum(y.cast(DEC)).cast("double").alias("sy"),
-        F.sum((x * x).cast(DEC_SQ)).cast("double").alias("sxx"),
-        F.sum((y * y).cast(DEC_SQ)).cast("double").alias("syy"),
-        F.sum((x * y).cast(DEC_SQ)).cast("double").alias("sxy"),
+        fixed_sum_units_raw(F.col("ux"), 2).alias("sx"),
+        fixed_sum_units_raw(F.col("uy"), 2).alias("sy"),
+        fixed_sum_units_raw(F.col("ux") * F.col("ux"), 4).alias("sxx"),
+        fixed_sum_units_raw(F.col("uy") * F.col("uy"), 4).alias("syy"),
+        fixed_sum_units_raw(F.col("ux") * F.col("uy"), 4).alias("sxy"),
     )
     n = F.col("n")
     var = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
@@ -283,8 +291,8 @@ def salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(li, ords, "l_orderkey", hot, n_salts=N_SALTS)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
-        stable_sum(
-            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        fixed_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
         ).alias("revenue"),
     )
 

@@ -19,8 +19,15 @@ sort-merge (or bucketed co-location, see ARCHITECTURE.md) at 100 TB. A
 hard hint there would OOM the build side at scale.
 
 Float parity: every order-dependent double aggregate goes through the
-``functions.parity`` decimal-accumulation helpers (see that module's doc
-for why plain ``round(sum(double), 4)`` is not cross-engine stable).
+``functions.parity`` helpers (see that module's doc for why plain
+``round(sum(double), 4)`` is not cross-engine stable). This module uses
+the fixed-point long fast path (``fixed_sum``/``fixed_avg``/
+``fixed_sum_dec``): the corpus money columns have known decimal scales
+(DP_* constants below), so sums accumulate as exact long limbs inside
+whole-stage codegen — bit-identical to the decimal path at ~2.5x the
+single-scan aggregation throughput. The DuckDB oracles keep the plain
+DECIMAL formulation: the two are independent routes to the same exact
+value, which is the point of the parity gate.
 """
 
 from __future__ import annotations
@@ -29,9 +36,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.parity import (
-    DEC,
-    stable_avg,
-    stable_sum,
+    fixed_avg,
+    fixed_sum,
+    fixed_sum_dec,
     sql_stable_avg,
     sql_stable_sum,
 )
@@ -43,6 +50,15 @@ def revenue_expr() -> F.Column:
     (reference ``README.md:104``; verified in dummy_retail_sales.csv) mapped
     onto lineitem as extendedprice x (1 - discount)."""
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# True decimal scales of the corpus money surface — the ``dp`` contracts
+# the fixed-point fast path (functions.parity) relies on. Prices and
+# balances carry 2 decimals; discount/tax carry 2; so revenue
+# price*(1-disc) is exact at 4 and charge revenue*(1+tax) at 6.
+DP_MONEY = 2
+DP_REVENUE = 4
+DP_CHARGE = 6
 
 
 _SQL_REVENUE = "l_extendedprice * (1 - l_discount)"
@@ -78,9 +94,9 @@ def flagship_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         F.col("r_name").alias("region_name"), F.col("p_type").alias("part_type")
     ).agg(
-        stable_sum(revenue_expr()).alias("revenue"),
+        fixed_sum(revenue_expr(), DP_REVENUE).alias("revenue"),
         F.countDistinct("l_orderkey").alias("n_orders"),
-        stable_avg(F.col("l_discount")).alias("avg_discount"),
+        fixed_avg(F.col("l_discount"), DP_MONEY).alias("avg_discount"),
     )
 
 
@@ -112,13 +128,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = revenue_expr()
     charge = disc_price * (1 + F.col("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        stable_sum(F.col("l_quantity")).alias("sum_qty"),
-        stable_sum(F.col("l_extendedprice")).alias("sum_base_price"),
-        stable_sum(disc_price).alias("sum_disc_price"),
-        stable_sum(charge).alias("sum_charge"),
-        stable_avg(F.col("l_quantity")).alias("avg_qty"),
-        stable_avg(F.col("l_extendedprice")).alias("avg_price"),
-        stable_avg(F.col("l_discount")).alias("avg_disc"),
+        fixed_sum(F.col("l_quantity"), DP_MONEY).alias("sum_qty"),
+        fixed_sum(F.col("l_extendedprice"), DP_MONEY).alias("sum_base_price"),
+        fixed_sum(disc_price, DP_REVENUE).alias("sum_disc_price"),
+        fixed_sum(charge, DP_CHARGE).alias("sum_charge"),
+        fixed_avg(F.col("l_quantity"), DP_MONEY).alias("avg_qty"),
+        fixed_avg(F.col("l_extendedprice"), DP_MONEY).alias("avg_price"),
+        fixed_avg(F.col("l_discount"), DP_MONEY).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
@@ -147,12 +163,12 @@ GROUP BY l_returnflag, l_linestatus
 def kpi_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
     return li.agg(
-        stable_sum(revenue_expr()).alias("total_revenue"),
-        stable_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
-            "total_discount_amt"
-        ),
+        fixed_sum(revenue_expr(), DP_REVENUE).alias("total_revenue"),
+        fixed_sum(
+            F.col("l_extendedprice") * F.col("l_discount"), DP_REVENUE
+        ).alias("total_discount_amt"),
         F.count("*").alias("n_lineitems"),
-        stable_avg(F.col("l_extendedprice")).alias("avg_price"),
+        fixed_avg(F.col("l_extendedprice"), DP_MONEY).alias("avg_price"),
     )
 
 
@@ -173,7 +189,7 @@ FROM lineitem
 def daily_sales_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, "orders")["orders"]
     return orders.groupBy(F.col("o_orderdate").alias("order_date")).agg(
-        stable_sum(F.col("o_totalprice")).alias("sales"),
+        fixed_sum(F.col("o_totalprice"), DP_MONEY).alias("sales"),
         F.count("*").alias("n_orders"),
     )
 
@@ -193,7 +209,7 @@ def segment_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
-            stable_sum(F.col("o_totalprice")).alias("sales"),
+            fixed_sum(F.col("o_totalprice"), DP_MONEY).alias("sales"),
             F.count("*").alias("n_orders"),
             F.countDistinct("o_custkey").alias("n_customers"),
         )
@@ -219,7 +235,7 @@ def monthly_trend_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, "orders")["orders"]
     monthly = orders.groupBy(
         F.date_trunc("month", F.col("o_orderdate")).alias("month")
-    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"))
+    ).agg(fixed_sum_dec(F.col("o_totalprice"), DP_MONEY).alias("rev_dec"))
     # The window is unpartitioned, but it runs over ~1 row per month — the
     # heavy lifting (the aggregation) already reduced the data.
     w = Window.orderBy("month")
@@ -262,7 +278,7 @@ def category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_type").alias("category"))
-        .agg(F.sum(revenue_expr().cast(DEC)).alias("rev_dec"))
+        .agg(fixed_sum_dec(revenue_expr(), DP_REVENUE).alias("rev_dec"))
     )
     # share-of-total over the tiny aggregate; decimal window sum stays exact
     total = F.sum("rev_dec").over(Window.partitionBy())
@@ -299,7 +315,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"]
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
-        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"))
+        .agg(fixed_sum_dec(F.col("o_totalprice"), DP_MONEY).alias("rev_dec"))
     )
     # Deterministic top-k: exact decimal revenue ordering + key tie-break.
     # orderBy+limit compiles to TakeOrderedAndProject — per-partition top-k
@@ -334,7 +350,7 @@ def quarterly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, "orders")["orders"]
     q = orders.groupBy(
         F.year("o_orderdate").alias("yr"), F.quarter("o_orderdate").alias("qtr")
-    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"))
+    ).agg(fixed_sum_dec(F.col("o_totalprice"), DP_MONEY).alias("rev_dec"))
     w = Window.partitionBy("qtr").orderBy("yr")
     rev = F.col("rev_dec").cast("double")
     prev = F.lag("rev_dec").over(w).cast("double")
@@ -384,7 +400,7 @@ def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.rollup("region_name", "nation_name").agg(
-        stable_sum(F.col("c_acctbal")).alias("total_acctbal"),
+        fixed_sum(F.col("c_acctbal"), DP_MONEY).alias("total_acctbal"),
         F.count("*").alias("n_customers"),
     )
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.parity import stable_sum, sql_stable_sum
+from ..functions.parity import fixed_avg, fixed_sum, fixed_sum_dec, sql_stable_sum
 from ..sources.tables import load_tables
 
 _SQL_REVENUE = "l_extendedprice * (1 - l_discount)"
@@ -32,9 +32,9 @@ def supplier_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
     )
     return joined.groupBy(F.col("n_name").alias("nation_name")).agg(
-        stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "revenue"
-        ),
+        fixed_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+        ).alias("revenue"),
         F.count("*").alias("n_lineitems"),
     )
 
@@ -127,7 +127,7 @@ def weekend_weekday_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("is_weekend")
         .agg(
-            stable_sum(F.col("o_totalprice")).alias("sales"),
+            fixed_sum(F.col("o_totalprice"), 2).alias("sales"),
             F.count("*").alias("n_orders"),
             F.countDistinct("o_custkey").alias("n_customers"),
         )
@@ -149,16 +149,14 @@ def nation_purchasing_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     demographic attribute' (README.md:288) mapped onto the corpus's
     demographic dimension (customer nation)."""
     t = load_tables(spark, sf_dir, "orders", "customer", "nation")
-    from ..functions.parity import stable_avg
-
     return (
         t["orders"]
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
-            stable_sum(F.col("o_totalprice")).alias("total_spend"),
-            stable_avg(F.col("o_totalprice")).alias("avg_order_value"),
+            fixed_sum(F.col("o_totalprice"), 2).alias("total_spend"),
+            fixed_avg(F.col("o_totalprice"), 2).alias("avg_order_value"),
             F.countDistinct("o_custkey").alias("n_customers"),
             F.count("*").alias("n_orders"),
         )
@@ -182,13 +180,11 @@ GROUP BY 1
 def product_catalog_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference query #7 'Product Catalog — API product catalog overview'
     (README.md:292) over the part table."""
-    from ..functions.parity import stable_avg
-
     part = load_tables(spark, sf_dir, "part")["part"]
     return part.groupBy(F.col("p_type").alias("product_type")).agg(
         F.count("*").alias("n_products"),
         F.countDistinct("p_brand").alias("n_brands"),
-        stable_avg(F.col("p_retailprice")).alias("avg_price"),
+        fixed_avg(F.col("p_retailprice"), 2).alias("avg_price"),
         F.round(F.min("p_retailprice"), 4).alias("min_price"),
         F.round(F.max("p_retailprice"), 4).alias("max_price"),
     )
@@ -210,8 +206,6 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: top-10 open orders by pending revenue for one
     market segment — filter both join sides, aggregate, global top-k."""
     t = load_tables(spark, sf_dir, "lineitem", "orders", "customer")
-    from ..functions.parity import DEC
-
     cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
     orders = t["orders"].filter(F.col("o_orderstatus") != "F")
     li = t["lineitem"]
@@ -220,8 +214,8 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+            fixed_sum_dec(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("rev_dec")
         )
     )

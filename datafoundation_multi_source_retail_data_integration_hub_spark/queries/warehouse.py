@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.dates import build_calendar, date_key
-from ..functions.parity import sql_stable_sum, stable_sum
+from ..functions.parity import fixed_sum, sql_stable_sum
 from ..operators.scd2 import SCD2Config, current_key_map, scd2_initial_load, scd2_merge
 from ..pipelines import retail
 from ..plans.star_schema import StarSchema
@@ -537,9 +537,9 @@ def _bucketed_join_agg(spark: SparkSession, sf_dir: str, db: str) -> DataFrame:
     joined = _bucketed_join(spark, sf_dir, db)
     return joined.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_items"),
-        stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "revenue"
-        ),
+        fixed_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+        ).alias("revenue"),
     )
 
 
@@ -613,8 +613,8 @@ def _partitioned_fact_agg(spark: SparkSession, sf_dir: str, db: str) -> DataFram
         .groupBy(F.month("order_date").cast("int").alias("month"))
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            stable_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            fixed_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue"),
         )
     )

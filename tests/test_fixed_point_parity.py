@@ -1,0 +1,129 @@
+"""fixed_sum (long limb fast path) must be bit-identical to stable_sum
+(decimal path) — the whole point is a drop-in swap on hot aggregations
+without moving the oracle-parity goalposts.
+
+Adversarial surface: 4-decimal rounding midpoints (the exact case the
+decimal path exists for), negative units (mixed-sign limb sums), NULLs,
+grouped aggregation, and hypothesis-fuzzed 2-decimal money values.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from datafoundation_multi_source_retail_data_integration_hub_spark.functions.parity import (
+    fixed_avg,
+    fixed_sum,
+    fixed_sum_raw,
+    fixed_units,
+    fixed_sum_units_raw,
+    stable_avg,
+    stable_sum,
+    stable_sum_raw,
+)
+
+
+def _both(spark, values, dp):
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    row = df.agg(
+        stable_sum(F.col("x")).alias("dec_sum"),
+        fixed_sum(F.col("x"), dp).alias("fix_sum"),
+        stable_sum_raw(F.col("x")).alias("dec_raw"),
+        fixed_sum_raw(F.col("x"), dp).alias("fix_raw"),
+        stable_avg(F.col("x")).alias("dec_avg"),
+        fixed_avg(F.col("x"), dp).alias("fix_avg"),
+    ).first()
+    return row
+
+
+def _assert_equal(row):
+    for a, b in (("dec_sum", "fix_sum"), ("dec_raw", "fix_raw"), ("dec_avg", "fix_avg")):
+        x, y = row[a], row[b]
+        if x is None or y is None:
+            assert x is y, (a, x, y)
+        else:
+            # bit-identical doubles, not approx
+            assert math.isnan(x) and math.isnan(y) or x == y, (a, x, y)
+
+
+def test_rounding_midpoint_exact(spark):
+    # sums land exactly on a 4-decimal HALF_UP midpoint: 0.00005,
+    # 12.33335, and a negative midpoint — the decimal path's raison
+    # d'etre. Built from 2-decimal-ish addends.
+    cases = [
+        [0.00005],
+        [0.0001, -0.00005],
+        [12.3333, 0.00005],
+        [-12.3333, -0.00005],
+        [1e9, 0.00005, -1e9],  # midpoint after cancellation of big units
+    ]
+    for vals in cases:
+        _assert_equal(_both(spark, vals, dp=6))
+
+
+def test_mixed_sign_and_null(spark):
+    vals = [123.45, -999.99, 0.0, -0.01, 777777.77, None, -123456.78]
+    _assert_equal(_both(spark, vals, dp=2))
+    # all-NULL group: both paths yield NULL sums
+    row = _both(spark, [None, None], dp=2)
+    assert row["dec_raw"] is None and row["fix_raw"] is None
+
+
+def test_grouped_matches_decimal_path(spark):
+    random.seed(7)
+    rows = [
+        (i % 13, round(random.uniform(-1e5, 1e5), 2)) for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "k int, x double")
+    got = (
+        df.groupBy("k")
+        .agg(
+            stable_sum(F.col("x")).alias("dec"),
+            fixed_sum(F.col("x"), 2).alias("fix"),
+            stable_sum_raw(F.col("x")).alias("dec_raw"),
+            fixed_sum_raw(F.col("x"), 2).alias("fix_raw"),
+        )
+        .collect()
+    )
+    assert len(got) == 13
+    for r in got:
+        assert r["dec"] == r["fix"] and r["dec_raw"] == r["fix_raw"], r
+
+
+def test_units_products_sum_exact(spark):
+    # the DEC_SQ replacement shape: sum(x*y) where x,y are 2-decimal
+    # money — exact as long unit products at dp=4
+    random.seed(11)
+    rows = [
+        (round(random.uniform(0, 1e5), 2), round(random.uniform(0, 50), 0))
+        for _ in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "p double, q double")
+    up = fixed_units(F.col("p"), 2) * fixed_units(F.col("q"), 2)
+    row = df.agg(
+        F.sum((F.col("p") * F.col("q")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("dec"),
+        fixed_sum_units_raw(up, 4).alias("fix"),
+    ).first()
+    assert row["dec"] == row["fix"]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.decimals(
+            min_value=-9_999_999, max_value=9_999_999, places=2, allow_nan=False
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_fuzz_money_sums(spark, xs):
+    vals = [float(x) for x in xs]
+    _assert_equal(_both(spark, vals, dp=2))
