@@ -19,6 +19,15 @@ Two paths:
 
 All arithmetic is done in float64 after casting the float32 inputs, with
 a left-fold accumulation order that DuckDB's ``list_sum`` reproduces.
+
+MEASURED DEAD END (do not retry): unrolling the dim-64 fold into an
+explicit left-associative expression chain (``0.0 + a[0]*b[0] + ...``)
+to escape the higher-order functions' CodegenFallback made every vector
+query 3-5x SLOWER at sf0.1 (ivf 1.4 -> 5.5 s steady-state): the
+generated straight-line method exceeds HotSpot's JIT method budget, so
+the "codegen" path runs as interpreted bytecode, while the fold
+evaluates as a tight pre-compiled Scala loop over the array. The fold
+IS the fast expression form for wide vectors.
 """
 
 from __future__ import annotations
@@ -66,15 +75,26 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, cosine, rank), rank 1..k per query,
     ties broken by neighbor id; self-matches excluded.
     """
+    # norms are hoisted to one fold per SIDE row: the pair scan then does
+    # a single dot fold instead of three — identical IEEE operand values
+    # (a vector's norm does not depend on the pair), so scores are
+    # bit-equal to the inline form
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("__cn"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "cosine",
+            dot(F.col("qvec"), F.col("cvec")) / (F.col("__qn") * F.col("__cn")),
+        )
         # narrow the exchange rows: vectors are dead weight past this point
         .select("query_id", "neighbor_id", "cosine")
     )
@@ -281,9 +301,12 @@ def lsh_ann_topk(
     side), so the corpus is still hashed exactly once.
     """
     planes = hyperplanes(n_planes, dim)
+    # norms hoisted to one fold per side (bit-equal scores — see
+    # brute_force_topk); the corpus is hashed AND normed exactly once
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("__qn"),
         bucket_id(F.col(vec_col), planes).alias("bucket"),
     )
     if probe_radius >= 1:
@@ -291,20 +314,25 @@ def lsh_ann_topk(
         probes = F.explode(
             F.array(F.lit(0), *[F.lit(1 << p) for p in range(n_planes)])
         ).alias("flip")
-        q = q.select("query_id", "qvec", "bucket", probes).select(
+        q = q.select("query_id", "qvec", "__qn", "bucket", probes).select(
             "query_id",
             "qvec",
+            "__qn",
             F.col("bucket").bitwiseXOR(F.col("flip")).alias("bucket"),
         )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("__cn"),
         bucket_id(F.col(vec_col), planes).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "cosine",
+            dot(F.col("qvec"), F.col("cvec")) / (F.col("__qn") * F.col("__cn")),
+        )
         .select("query_id", "neighbor_id", "cosine")
     )
     return exact_topk_per_query(scored, k)
@@ -349,6 +377,11 @@ def ivf_ann_topk(
         cents = corpus.filter((F.col(id_col) % centroid_stride) == 0).select(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("centv")
         )
+    # norms hoisted to one fold per side (centroid norms fold once per
+    # centroid INSIDE the broadcast build, not once per corpus x C pair) —
+    # identical IEEE operand values, bit-equal csim/cosine (see
+    # brute_force_topk)
+    cents = cents.withColumn("__cen", norm(F.col("centv")))
     # tie rule: highest cosine, then LOWEST centroid id -> max_by on the
     # (csim, -cid) pair, mirrored by arg_max(cid, [csim, -cid]) in DuckDB
     ckey = F.struct(
@@ -356,22 +389,33 @@ def ivf_ann_topk(
     )
     corpus_cells = (
         corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            norm(F.col(vec_col)).alias("__cn"),
         )
         .crossJoin(F.broadcast(cents))
-        .withColumn("csim", cosine(F.col("cvec"), F.col("centv")))
+        .withColumn(
+            "csim",
+            dot(F.col("cvec"), F.col("centv")) / (F.col("__cn") * F.col("__cen")),
+        )
         .groupBy("neighbor_id")
         .agg(
             F.max_by("cid", ckey).alias("cid"),
             F.first("cvec").alias("cvec"),
+            F.first("__cn").alias("__cn"),
         )
     )
     qscored = (
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            norm(F.col(vec_col)).alias("__qn"),
         )
         .crossJoin(F.broadcast(cents))
-        .withColumn("csim", cosine(F.col("qvec"), F.col("centv")))
+        .withColumn(
+            "csim",
+            dot(F.col("qvec"), F.col("centv")) / (F.col("__qn") * F.col("__cen")),
+        )
     )
     qw = Window.partitionBy("query_id").orderBy(
         F.col("csim").desc(), F.col("cid")
@@ -379,12 +423,15 @@ def ivf_ann_topk(
     probes = (
         qscored.withColumn("__pr", F.row_number().over(qw))
         .filter(F.col("__pr") <= nprobe)
-        .select("query_id", "qvec", "cid")
+        .select("query_id", "qvec", "__qn", "cid")
     )
     scored = (
         corpus_cells.join(F.broadcast(probes), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "cosine",
+            dot(F.col("qvec"), F.col("cvec")) / (F.col("__qn") * F.col("__cn")),
+        )
         .select("query_id", "neighbor_id", "cosine")
     )
     return exact_topk_per_query(scored, k)
