@@ -74,3 +74,26 @@ def test_oracle_sql_parses_and_runs_on_empty_tables(empty_con, name):
     a typo'd oracle otherwise only surfaces inside the driver's budgeted
     run. Empty tables make this a millisecond check."""
     empty_con.execute(entry.oracle_sql()[name]).fetchall()
+
+
+def test_all_query_outputs_canonicalizable(spark):
+    """The driver's correctness canonicalizer sorts every output column
+    in pandas; an array/map/struct column raises `TypeError: unhashable
+    type` there and the query records a red row WITHOUT ever being
+    value-compared (exactly what buried embedding_quantize_int8 in one
+    round). Pin flat output schemas for every declared query. Schema
+    resolution is lazy — no query executes."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    sf = "/root/testdata/sf0.001"
+    nested = []
+    for name, fn in entry.queries().items():
+        schema = fn(spark, sf).schema
+        cols = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if cols:
+            nested.append((name, cols))
+    assert not nested, f"non-canonicalizable output columns: {nested}"

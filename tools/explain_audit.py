@@ -26,8 +26,12 @@ AUDITED = {
         "forbid_pattern": None,
     },
     "pricing_summary": {
+        # forbid decimal(27,6): the per-row decimal-cast accumulation is
+        # the slow path this query's sums left behind (functions/parity
+        # fixed_sum limbs) — a regression to it would show as
+        # sum(cast(x as decimal(27,6))) in the aggregate expressions
         "expect": ["PushedFilters", "HashAggregate", "codegen id"],
-        "forbid_pattern": None,
+        "forbid_pattern": r"decimal\(27,6\)",
     },
     "fact_sales_resolution": {
         "expect": ["BroadcastHashJoin"],
