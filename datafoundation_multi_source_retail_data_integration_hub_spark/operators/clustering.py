@@ -182,6 +182,7 @@ def kmeans_fit(
     dim: int | None = None,
     pre_cast: bool = False,
     cache_key: tuple | None = None,
+    train_mod: int | None = None,
 ) -> Centroids:
     """Run ``n_iter`` Lloyd's updates from the deterministic seeds and
     return the fitted centroids. Empty clusters drop out (their id simply
@@ -194,21 +195,36 @@ def kmeans_fit(
 
     ``cache_key``: a tuple naming the input corpus (e.g. the sf_dir) —
     when given, the fitted centroids are memoized per
-    (cache_key, k, n_iter) in ``_FIT_CACHE`` and the training jobs are
-    skipped on repeat invocations in the same session.
+    (cache_key, k, n_iter, train_mod) in ``_FIT_CACHE`` and the training
+    jobs are skipped on repeat invocations in the same session.
+
+    ``train_mod``: sampled Lloyd's — seeds and update iterations run on
+    the deterministic subset ``md5_long(id) % train_mod == 0`` (~1/mod
+    of the corpus) instead of every vector; the caller still assigns the
+    FULL corpus with the returned centroids. This is the standard
+    training regime at corpus scale (SemDeDup itself clusters on a
+    subset): centroid quality needs a representative sample, not every
+    row, and the hash predicate is a pure function of the data, so the
+    whole pipeline stays engine-reproducible (the SQL oracles apply the
+    identical predicate). ``None`` = train on everything.
     """
     full_key = None
     if cache_key is not None:
-        full_key = (cache_key, k, n_iter)
+        full_key = (cache_key, k, n_iter, train_mod)
         if full_key in _FIT_CACHE:
             return _FIT_CACHE[full_key]
     prep = df if pre_cast else prepare_vectors(df, vec_col, id_col)
     vcol = vec_col if pre_cast else "__dvec"
     if dim is None:
         dim = prep.select(F.size(F.col(vcol))).limit(1).collect()[0][0]
-    centroids = seed_centroids(prep, k, vcol, id_col, pre_cast=True)
+    train = prep
+    if train_mod is not None:
+        train = prep.filter(
+            md5_long(F.col(id_col).cast("string")) % train_mod == 0
+        )
+    centroids = seed_centroids(train, k, vcol, id_col, pre_cast=True)
     for _ in range(n_iter):
-        assigned = assign_clusters(prep, centroids, vcol, pre_cast=True)
+        assigned = assign_clusters(train, centroids, vcol, pre_cast=True)
         # NARROW mean aggregation: posexplode to (cluster, pos, val) and
         # hash-agg k x dim decimal sums. Numerically identical to a wide
         # 64-column aggregate (decimal addition is exact and associative;

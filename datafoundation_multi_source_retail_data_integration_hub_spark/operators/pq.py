@@ -45,6 +45,7 @@ def train_codebooks(
     vec_col: str = "__dvec",
     id_col: str = "vec_id",
     cache_key: tuple | None = None,
+    train_mod: int | None = None,
 ) -> list[Centroids]:
     """One deterministic k-means codebook per subspace. ``prep`` is a
     ``prepare_vectors`` frame (already double-cast + persisted).
@@ -76,6 +77,7 @@ def train_codebooks(
             dim=sub,
             pre_cast=True,
             cache_key=(*cache_key, "pq_sub", s, sub) if cache_key else None,
+            train_mod=train_mod,
         )
 
     with ThreadPoolExecutor(max_workers=m) as pool:

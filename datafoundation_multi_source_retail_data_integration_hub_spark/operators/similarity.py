@@ -27,7 +27,10 @@ query 3-5x SLOWER at sf0.1 (ivf 1.4 -> 5.5 s steady-state): the
 generated straight-line method exceeds HotSpot's JIT method budget, so
 the "codegen" path runs as interpreted bytecode, while the fold
 evaluates as a tight pre-compiled Scala loop over the array. The fold
-IS the fast expression form for wide vectors.
+IS the fast expression form for wide vectors. Re-measured at subspace
+scale too (PQ, 16-term chains, 8 centroids per output column):
+still 4.5x slower (1.5 -> 7 s) — per-getItem expression nodes never
+beat the fold's specialized array loop, at any width tried.
 """
 
 from __future__ import annotations

@@ -247,6 +247,11 @@ WHERE a.vid < b.vid
 
 KMEANS_K = 8
 KMEANS_ITER = 2
+# Sampled Lloyd's: train on the deterministic md5(vec_id) % MOD == 0
+# subset (~25% of the corpus), assign everything — the corpus-scale
+# training regime (see clustering.kmeans_fit), mirrored verbatim in the
+# unrolled SQL oracles so centroids stay engine-identical.
+KMEANS_TRAIN_MOD = 4
 
 
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,7 +269,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep = prepare_vectors(emb)
     cents = kmeans_fit(
         prep, k=KMEANS_K, n_iter=KMEANS_ITER, vec_col="__dvec", dim=DIM,
-        pre_cast=True, cache_key=(sf_dir, DIM),
+        pre_cast=True, cache_key=(sf_dir, DIM), train_mod=KMEANS_TRAIN_MOD,
     )
     return (
         assign_clusters(prep, cents, "__dvec", pre_cast=True)
@@ -285,11 +290,17 @@ _SQL_V_CTE = """v AS (
 
 def _sql_kmeans_assign() -> str:
     """Unrolled deterministic k-means as a subquery: seeds from the
-    smallest md5-hashed ids, KMEANS_ITER assign+update rounds, final
-    assignment. Columns: vec_id, vec, cluster_id, dist. Expects the
-    ``v`` CTE (``_SQL_V_CTE``) in scope. Shared by the kmeans census
-    and semantic-dedup oracles."""
+    smallest md5-hashed ids WITHIN the training subset
+    (md5(vec_id) % KMEANS_TRAIN_MOD = 0 — sampled Lloyd's, matching
+    clustering.kmeans_fit), KMEANS_ITER assign+update rounds over that
+    subset, then the final assignment of the FULL corpus. Columns:
+    vec_id, vec, cluster_id, dist. Expects the ``v`` CTE
+    (``_SQL_V_CTE``) in scope. Shared by the kmeans census and
+    semantic-dedup oracles."""
     from ..functions.text import sql_md5_long
+
+    hash_expr = sql_md5_long("CAST(vec_id AS VARCHAR)")
+    train = f"(SELECT * FROM v WHERE {hash_expr} % {KMEANS_TRAIN_MOD} = 0)"
 
     def sqd(v: str, c: str) -> str:
         return (
@@ -297,13 +308,13 @@ def _sql_kmeans_assign() -> str:
             f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
         )
 
-    def assign(cents: str) -> str:
+    def assign(cents: str, source: str) -> str:
         return f"""(
   SELECT vec_id, vec, cid AS cluster_id, dist FROM (
     SELECT *, row_number() OVER (
         PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM (
-      SELECT v.vec_id, v.vec, s.cid, {sqd("v.vec", "s.vec")} AS dist
-      FROM v CROSS JOIN {cents} s
+      SELECT t.vec_id, t.vec, s.cid, {sqd("t.vec", "s.vec")} AS dist
+      FROM {source} t CROSS JOIN {cents} s
     )
   ) WHERE rn = 1
 )"""
@@ -322,14 +333,14 @@ def _sql_kmeans_assign() -> str:
     seeds = f"""(
   SELECT CAST(rn - 1 AS INTEGER) AS cid, vec FROM (
     SELECT vec, row_number() OVER (
-      ORDER BY {sql_md5_long("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
-    FROM v
+      ORDER BY {hash_expr}, vec_id) AS rn
+    FROM {train} v
   ) WHERE rn <= {KMEANS_K}
 )"""
     cents = seeds
     for _ in range(KMEANS_ITER):
-        cents = update(assign(cents))
-    return assign(cents)
+        cents = update(assign(cents, train))
+    return assign(cents, "v")
 
 
 def _sql_kmeans_oracle() -> str:
@@ -360,7 +371,7 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fit memoized per corpus dir — shared with embedding_kmeans
     cents = kmeans_fit(
         prep, k=KMEANS_K, n_iter=KMEANS_ITER, vec_col="__dvec", dim=DIM,
-        pre_cast=True, cache_key=(sf_dir, DIM),
+        pre_cast=True, cache_key=(sf_dir, DIM), train_mod=KMEANS_TRAIN_MOD,
     )
     return semantic_dedup(prep, cents, tau=SEMDEDUP_TAU, vec_col="__dvec", pre_cast=True)
 
@@ -498,18 +509,28 @@ def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the PQ_M subspace fits are memoized per corpus dir — repeat
     # invocations (bench warm+timed, driver) skip the training jobs
     books = train_codebooks(
-        prep, PQ_M, PQ_SUB, k=PQ_K, n_iter=PQ_ITER, cache_key=(sf_dir,)
+        prep, PQ_M, PQ_SUB, k=PQ_K, n_iter=PQ_ITER, cache_key=(sf_dir,),
+        train_mod=KMEANS_TRAIN_MOD,
     )
     codes = encode(prep, books, PQ_SUB)
     queries = prep.filter(F.col("vec_id") < N_QUERIES)
     return adc_topk(codes, queries, books, PQ_SUB, TOP_K)
 
 
-def _sql_unrolled_kmeans(cte: str, dim: int, k: int, iters: int) -> tuple[str, str]:
+def _sql_unrolled_kmeans(
+    cte: str, dim: int, k: int, iters: int, train_mod: int | None = None
+) -> tuple[str, str]:
     """Generalized unrolled Lloyd's: (final_centroids_sql, assign_sql)
     over a CTE exposing (vec_id, vec) — the per-subspace reuse of the
-    ``_sql_kmeans_assign`` construction."""
+    ``_sql_kmeans_assign`` construction. ``train_mod`` mirrors the
+    sampled-training predicate (seeds + iterations over the
+    md5(vec_id) % mod = 0 subset; final assign over the full CTE)."""
     from ..functions.text import sql_md5_long
+
+    hash_expr = sql_md5_long("CAST(vec_id AS VARCHAR)")
+    train = cte
+    if train_mod is not None:
+        train = f"(SELECT * FROM {cte} WHERE {hash_expr} % {train_mod} = 0)"
 
     def sqd(a: str, b: str) -> str:
         return (
@@ -517,13 +538,13 @@ def _sql_unrolled_kmeans(cte: str, dim: int, k: int, iters: int) -> tuple[str, s
             f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
         )
 
-    def assign(cents: str) -> str:
+    def assign(cents: str, source: str) -> str:
         return f"""(
   SELECT vec_id, vec, cid AS cluster_id, dist FROM (
     SELECT *, row_number() OVER (
         PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM (
       SELECT t.vec_id, t.vec, s.cid, {sqd("t.vec", "s.vec")} AS dist
-      FROM {cte} t CROSS JOIN {cents} s
+      FROM {source} t CROSS JOIN {cents} s
     )
   ) WHERE rn = 1
 )"""
@@ -542,14 +563,14 @@ def _sql_unrolled_kmeans(cte: str, dim: int, k: int, iters: int) -> tuple[str, s
     seeds = f"""(
   SELECT CAST(rn - 1 AS INTEGER) AS cid, vec FROM (
     SELECT vec, row_number() OVER (
-      ORDER BY {sql_md5_long("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
-    FROM {cte}
+      ORDER BY {hash_expr}, vec_id) AS rn
+    FROM {train} v
   ) WHERE rn <= {k}
 )"""
     cents = seeds
     for _ in range(iters):
-        cents = update(assign(cents))
-    return cents, assign(cents)
+        cents = update(assign(cents, train))
+    return cents, assign(cents, cte)
 
 
 def _sql_pq_oracle() -> str:
@@ -563,7 +584,9 @@ def _sql_pq_oracle() -> str:
     for s in range(PQ_M):
         lo, hi = s * PQ_SUB + 1, (s + 1) * PQ_SUB
         sub_ctes.append(f"v{s} AS MATERIALIZED (SELECT vec_id, vec[{lo}:{hi}] AS vec FROM v)")
-        cents, assign = _sql_unrolled_kmeans(f"v{s}", PQ_SUB, PQ_K, PQ_ITER)
+        cents, assign = _sql_unrolled_kmeans(
+            f"v{s}", PQ_SUB, PQ_K, PQ_ITER, train_mod=KMEANS_TRAIN_MOD
+        )
         cents_ctes.append(f"cents{s} AS MATERIALIZED ({cents})")
         cents_ctes.append(
             f"e{s} AS MATERIALIZED (SELECT vec_id, cluster_id AS c{s} FROM {assign})"
