@@ -111,6 +111,15 @@ def main() -> None:
         "doc_ngram_jaccard_pairs",
         "doc_simhash",
         "embedding_topk_bruteforce",
+        "embedding_ann_lsh",
+        "embedding_ann_ivf",
+        "embedding_ann_pq",
+        "embedding_semantic_dedup",
+        "embedding_cosine_neardup",
+        "mart_sales_performance",
+        "dashboard_extract",
+        "events_rolling_anomaly",
+        "salted_hot_key_join",
         "scd2_customer_two_batch",
         "stream_tumbling_counts",
     ):
