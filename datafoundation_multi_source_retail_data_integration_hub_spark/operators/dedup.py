@@ -465,29 +465,55 @@ def minhash_lsh_pairs(
 SIMHASH_BITS = 60  # md5_long yields 60 usable bits
 
 
+# SWAR lane packing for the per-bit majority counts: bits {g, g+21,
+# g+42} of each token hash ride one long in three 21-bit lanes, so the
+# per-document aggregation is 21 plain long sums instead of 60 ±1 sums.
+# Identical signatures (oracle-checked); end-to-end the win is modest at
+# sf0.1 (~0.1-0.3 s — per-token md5 hashing dominates doc_simhash), but
+# the aggregation's per-row work drops ~4x, which is what scales with
+# token volume. Lane capacity bounds the contract: < 2^21 (~2M) tokens
+# per document before a lane carries into its neighbor — generous for
+# any real document (book-length text is ~1e5 tokens).
+_SIMHASH_LANE_BITS = 21
+_SIMHASH_LANE_MASK = (1 << _SIMHASH_LANE_BITS) - 1
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """60-bit SimHash per document over whitespace tokens (with
     multiplicity): bit j of the signature is 1 iff the sum over tokens of
-    (2*bit_j(hash(token)) - 1) is positive."""
+    (2*bit_j(hash(token)) - 1) is positive — equivalently, iff bit j is
+    set in strictly more than half the token hashes (``2*S_j > n``; the
+    integer majority form the lane-packed aggregation below computes)."""
     from ..functions.text import ws_tokens, normalized_text
 
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(ws_tokens(normalized_text(F.col(text_col)))).alias("t"),
     ).withColumn("h", md5_long(F.col("t")))
-    sums = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
-            ).alias(f"s{j}")
-            for j in range(SIMHASH_BITS)
-        ]
-    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for g in range(_SIMHASH_LANE_BITS):
+        mask = 0
+        for k in range(3):
+            if g + _SIMHASH_LANE_BITS * k < SIMHASH_BITS:
+                mask |= 1 << (_SIMHASH_LANE_BITS * k)
+        aggs.append(
+            F.sum(F.shiftright(F.col("h"), g).bitwiseAND(F.lit(mask))).alias(
+                f"g{g}"
+            )
+        )
+    sums = toks.groupBy("doc_id").agg(*aggs)
+
+    def bit_count(j: int) -> F.Column:
+        g, k = j % _SIMHASH_LANE_BITS, j // _SIMHASH_LANE_BITS
+        return F.shiftright(
+            F.col(f"g{g}"), _SIMHASH_LANE_BITS * k
+        ).bitwiseAND(F.lit(_SIMHASH_LANE_MASK))
+
     sig = reduce(
         lambda acc, j: acc
-        + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ),
+        + F.when(
+            bit_count(j) * 2 > F.col("__n"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
         range(SIMHASH_BITS),
         F.lit(0).cast("long"),
     )
