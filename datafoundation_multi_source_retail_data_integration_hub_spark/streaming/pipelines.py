@@ -150,6 +150,89 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTRIBUTION_WINDOW_MIN = 10
+
+
+def interval_click_join(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Watermarked stream-stream interval join kernel: purchases
+    ``(purchase_id, user_id, purchase_ts)`` x clicks ``(click_id,
+    click_user, click_ts)`` -> one row per (purchase, same-user click
+    within the ``ATTRIBUTION_WINDOW_MIN``-minute window at-or-before it),
+    with the exact integer-microsecond gap. Both watermarks bound the
+    join state store: clicks older than (watermark - interval) and
+    purchases older than the watermark are evicted."""
+    joined = purchases.withWatermark("purchase_ts", "30 minutes").join(
+        clicks.withWatermark("click_ts", "30 minutes"),
+        (F.col("user_id") == F.col("click_user"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts")
+            - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES")
+        )
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+
+
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: every purchase joined to the same
+    user's clicks in the ``ATTRIBUTION_WINDOW_MIN`` minutes at-or-before
+    it — the streaming counterpart of the batch as-of/range-join family
+    (``queries.eventops.events_purchase_attribution``).
+
+    Both sides carry a watermark, so the join state store holds only
+    clicks newer than (watermark - interval) and purchases newer than
+    the watermark: state is bounded by event-rate x window, not corpus
+    size — the property that lets this run forever on a production
+    click firehose. Output mode is append: an inner interval join emits
+    each qualifying pair exactly once, when both sides have arrived.
+    Replayed to completion over the finite corpus, the result equals
+    the batch range join, which is the oracle.
+    """
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    return run_to_memory(interval_click_join(purchases, clicks), mode="append")
+
+
+# The finite replay emits exactly the batch interval join's pairs; the
+# integer-microsecond gap avoids float time arithmetic on both engines.
+STREAM_CLICK_ATTRIBUTION_ORACLE = f"""
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       c.event_id AS click_id,
+       epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP))
+         AS gap_us
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND CAST(c.ts AS TIMESTAMP)
+       BETWEEN CAST(p.ts AS TIMESTAMP) - INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTE
+           AND CAST(p.ts AS TIMESTAMP)
+"""
+
+
 def stream_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental staging ingestion end-to-end (§2.9): replay the
     warehouse two-batch SCD2 scenario as TWO ``availableNow`` streaming
@@ -359,6 +442,7 @@ QUERIES = {
     "stream_session_windows": stream_session_windows,
     "stream_scd2_upsert": stream_scd2_upsert,
     "stream_user_session_stats": stream_user_session_stats,
+    "stream_click_attribution": stream_click_attribution,
 }
 
 
@@ -380,4 +464,5 @@ ORACLES = {
     "stream_session_windows": STREAM_SESSION_ORACLE,
     "stream_scd2_upsert": _scd2_two_batch_oracle(),
     "stream_user_session_stats": STREAM_USER_SESSION_STATS_ORACLE,
+    "stream_click_attribution": STREAM_CLICK_ATTRIBUTION_ORACLE,
 }

@@ -59,3 +59,19 @@ def test_stats_profile_matches_native_aggregates(spark):
     assert math.isclose(got["mean_qty"], ref[0], rel_tol=1e-4)
     assert math.isclose(got["stddev_qty"], ref[1], rel_tol=1e-4)
     assert math.isclose(got["corr_qty_price"], ref[2], rel_tol=1e-3, abs_tol=1e-4)
+
+
+def test_sketch_bounds_hold_at_bench_scale(spark):
+    """The sketch queries' contract is the error bound (the oracle checks
+    the booleans at sf0.001/sf0.01); verify the bound also holds at the
+    bench scale, where group cardinalities are 100x larger and HLL++
+    register saturation would first show."""
+    from datafoundation_multi_source_retail_data_integration_hub_spark.queries import (
+        profiling as P,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    hll = P.orders_approx_distinct_sketch(spark, sf).collect()
+    assert hll and all(r["hll_within_bound"] for r in hll)
+    qs = P.lineitem_quantile_sketch(spark, sf).collect()
+    assert qs and all(r["p50_sketch_ok"] and r["p95_sketch_ok"] for r in qs)

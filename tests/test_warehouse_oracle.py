@@ -68,3 +68,25 @@ def test_partitioned_fact_prunes_at_source(spark):
             assert "order_year" not in data_filters.group(1)
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_dpp_injects_runtime_partition_filter(spark):
+    """Dynamic partition pruning: the selective predicate sits on the year
+    DIM's attribute, never on the fact — only Catalyst's DPP can prune the
+    fact's year partitions, by injecting a runtime subquery filter into
+    the scan's PartitionFilters. Assert the injection happened; the
+    values themselves are gated by the parametrized oracle test."""
+    import re
+    import uuid
+
+    db = f"dpp_plan_{uuid.uuid4().hex[:12]}"
+    try:
+        df = warehouse._dpp_filtered_sales(spark, SF_SMOKE, db)
+        # DPP is decided during (adaptive) physical planning — read the
+        # executed plan, not explain(), so AQE re-optimization is included
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m, plan
+        assert "dynamicpruning" in m.group(1), m.group(1)
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

@@ -54,8 +54,10 @@ def main() -> None:
     WORK_ASYMMETRIC = {
         "stream_tumbling_counts",
         "stream_user_session_stats",
+        "stream_click_attribution",
         "bucketed_colocated_join",
         "partitioned_fact_pruning",
+        "dpp_dim_filtered_sales",
     }
 
     con = duckdb.connect()
