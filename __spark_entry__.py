@@ -25,16 +25,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Round-5 rotation: the correctness run has a global budget that covers
-# ~50 of the 97 queries, so ordering decides which families get rows.
+# ~50 of the 105 queries, so ordering decides which families get rows.
 # _PRIORITY pins (a) embedding_quantize_int8 — r04's only red row (the
-# codes column is now a sortable string), (b) the four queries NEW in
-# r05 (stream-stream join, HLL/quantile sketches, DPP) which have no
-# row at all yet, and (c) every query whose last green row is r03:
-# after r05 records, the staleness window becomes r04+r05, so the 47
-# r03-only names must sit inside the driver budget. That makes 52 names
-# against a ~50-row budget — the llmops tail (doc_pack_sequences,
-# doc_contamination) may slide out of r05 and MUST rotate to the front
-# of r06's list (tests/test_rotation_staleness.py enforces it).
+# codes column is now a sortable string), (b) the eight queries NEW in
+# r05 (stream-stream + stream-static joins, HLL/KLL/theta/GK sketches,
+# DPP, runtime bloom join) which have no row at all yet, and (c) every
+# query whose last green row is r03: after r05 records, the staleness
+# window becomes r04+r05, so the 47 r03-only names must sit inside the
+# driver budget. That makes 56 names against a ~50-row budget — the
+# llmops tail (vocab_top_tokens onward) may slide out of r05 and MUST
+# rotate to the front of r06's list
+# (tests/test_rotation_staleness.py enforces it).
 _PRIORITY = [
     "embedding_quantize_int8",
     # new in r05 (no CORRECTNESS row exists yet)
@@ -42,6 +43,10 @@ _PRIORITY = [
     "orders_approx_distinct_sketch",
     "lineitem_quantile_sketch",
     "dpp_dim_filtered_sales",
+    "events_sketch_rollup",
+    "events_user_overlap_theta",
+    "bloom_pruned_fact_join",
+    "stream_static_enrichment",
     # streaming (r03-only)
     "stream_tumbling_counts",
     "stream_dedup_count",

@@ -88,12 +88,16 @@ HEADLINE = [
     "salted_hot_key_join",
     "orders_approx_distinct_sketch",
     "lineitem_quantile_sketch",
+    "events_sketch_rollup",
+    "events_user_overlap_theta",
     "bucketed_colocated_join",
     "partitioned_fact_pruning",
     "dpp_dim_filtered_sales",
+    "bloom_pruned_fact_join",
     "stream_tumbling_counts",
     "stream_user_session_stats",
     "stream_click_attribution",
+    "stream_static_enrichment",
 ]
 
 

@@ -717,6 +717,78 @@ def dpp_dim_filtered_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Runtime bloom-filter join pruning: DPP (above) prunes PARTITIONS when the
+# join key is the partition column; when it is not, Catalyst's
+# InjectRuntimeFilter plants a bloom filter built from the filtered build
+# side as a semi-join predicate on the probe scan — probe rows whose key
+# cannot match are dropped MAP-SIDE, before the shuffle. At 100 TB with a
+# dim too large to broadcast, that is the difference between shuffling the
+# whole fact and shuffling the ~20% that survives the filter. Injection
+# requires a shuffle join and a large probe scan, so the demo scopes two
+# confs to reproduce the at-scale plan shape on the toy corpus: broadcast
+# off (a 100 TB dim does not broadcast) and the probe-scan size floor
+# lowered (the sf0.1 fact is far below the 10 GiB default). The rewrite is
+# semantics-free, so the plain filtered-join oracle gates the values; the
+# might_contain predicate itself is plan-asserted in
+# tests/test_warehouse_oracle.py.
+# ---------------------------------------------------------------------------
+
+BLOOM_PRIORITY = "1-URGENT"
+
+BLOOM_JOIN_CONFS = {
+    # a corpus-scale dim is not broadcastable — force the shuffle-join
+    # plan shape that injection targets (both planning-time and AQE)
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    # the toy fact scan is below the 10 GiB injection floor
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+}
+
+
+def _bloom_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy join+agg; execute while ``BLOOM_JOIN_CONFS`` is in force for
+    the bloom filter to be injected (Catalyst reads confs at optimization
+    time)."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    li = t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount")
+    urgent = (
+        t["orders"]
+        .filter(F.col("o_orderpriority") == BLOOM_PRIORITY)
+        .select("o_orderkey", "o_orderdate")
+    )
+    return (
+        li.join(urgent, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.month("o_orderdate").cast("int").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            fixed_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+def bloom_pruned_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing wrapper: materialize under the scoped at-scale confs
+    (restored on exit), so the executed plan carries the injected
+    bloom-filter predicate on the lineitem scan."""
+    from ..session import scoped_confs
+
+    with scoped_confs(spark, BLOOM_JOIN_CONFS):
+        return _bloom_fact_join(spark, sf_dir).localCheckpoint(eager=True)
+
+
+BLOOM_PRUNED_FACT_JOIN_ORACLE = f"""
+SELECT CAST(month(CAST(o_orderdate AS DATE)) AS INTEGER) AS month,
+       count(*) AS n_items,
+       {sql_stable_sum("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '{BLOOM_PRIORITY}'
+GROUP BY 1
+"""
+
+
 DPP_DIM_FILTERED_SALES_ORACLE = f"""
 WITH dim_year AS (
   SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS order_year,
@@ -749,6 +821,7 @@ QUERIES = {
     "bucketed_colocated_join": bucketed_colocated_join,
     "partitioned_fact_pruning": partitioned_fact_pruning,
     "dpp_dim_filtered_sales": dpp_dim_filtered_sales,
+    "bloom_pruned_fact_join": bloom_pruned_fact_join,
 }
 
 ORACLES = {
@@ -763,4 +836,5 @@ ORACLES = {
     "bucketed_colocated_join": BUCKETED_COLOCATED_JOIN_ORACLE,
     "partitioned_fact_pruning": PARTITIONED_FACT_PRUNING_ORACLE,
     "dpp_dim_filtered_sales": DPP_DIM_FILTERED_SALES_ORACLE,
+    "bloom_pruned_fact_join": BLOOM_PRUNED_FACT_JOIN_ORACLE,
 }

@@ -11,7 +11,9 @@ engines (the DuckDB oracle is UTC-naive).
 
 from __future__ import annotations
 
+import contextlib
 import os
+from collections.abc import Iterator
 
 from pyspark.sql import SparkSession
 
@@ -61,3 +63,27 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+@contextlib.contextmanager
+def scoped_confs(spark: SparkSession, confs: dict[str, str]) -> Iterator[None]:
+    """Set session confs for the duration of a block, restoring each to
+    its prior value (or unsetting it) on exit. Catalyst reads confs at
+    OPTIMIZATION time, not DataFrame-construction time, so any plan that
+    depends on the scoped values must be *executed* (e.g. via
+    ``localCheckpoint(eager=True)``) inside the block."""
+    saved: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)

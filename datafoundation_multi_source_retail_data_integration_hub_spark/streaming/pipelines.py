@@ -233,6 +233,60 @@ FROM events p JOIN events c
 """
 
 
+def static_dim_enrichment(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join kernel: every micro-batch probes the static
+    dimension — STATELESS (no state store, no watermark needed for the
+    join itself; the dim is re-resolvable per batch, which is how a
+    slowly-refreshed warehouse dim binds to a live stream). Contrast
+    with the stream-stream interval join above, whose both sides hold
+    watermark-bounded state."""
+    return stream.join(dim, stream["user_id"] == dim["c_custkey"], "inner")
+
+
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment end-to-end: the purchase stream joined to
+    the static customer dimension, then watermarked daily revenue per
+    market segment. The join is stateless; only the windowed aggregation
+    carries (bounded) state. Replayed to completion, the result equals
+    the batch join+agg — the oracle."""
+    from ..sources.tables import load_table
+
+    purchases = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    agg = (
+        static_dim_enrichment(purchases, dim)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 day").alias("w"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            stable_sum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_mktsegment",
+            "n_purchases",
+            "total_value",
+        )
+    )
+    return run_to_memory(agg)
+
+
+STREAM_STATIC_ENRICHMENT_ORACLE = f"""
+SELECT make_timestamp(CAST(floor(epoch(e.ts) / 86400) * 86400 AS BIGINT)
+         * 1000000) AS window_start,
+       c.c_mktsegment,
+       count(*) AS n_purchases,
+       {sql_stable_sum("e.value")} AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+GROUP BY 1, 2
+"""
+
+
 def stream_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental staging ingestion end-to-end (§2.9): replay the
     warehouse two-batch SCD2 scenario as TWO ``availableNow`` streaming
@@ -443,6 +497,7 @@ QUERIES = {
     "stream_scd2_upsert": stream_scd2_upsert,
     "stream_user_session_stats": stream_user_session_stats,
     "stream_click_attribution": stream_click_attribution,
+    "stream_static_enrichment": stream_static_enrichment,
 }
 
 
@@ -465,4 +520,5 @@ ORACLES = {
     "stream_scd2_upsert": _scd2_two_batch_oracle(),
     "stream_user_session_stats": STREAM_USER_SESSION_STATS_ORACLE,
     "stream_click_attribution": STREAM_CLICK_ATTRIBUTION_ORACLE,
+    "stream_static_enrichment": STREAM_STATIC_ENRICHMENT_ORACLE,
 }

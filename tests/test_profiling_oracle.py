@@ -75,3 +75,67 @@ def test_sketch_bounds_hold_at_bench_scale(spark):
     assert hll and all(r["hll_within_bound"] for r in hll)
     qs = P.lineitem_quantile_sketch(spark, sf).collect()
     assert qs and all(r["p50_sketch_ok"] and r["p95_sketch_ok"] for r in qs)
+
+
+def test_sketch_rollup_merge_equals_direct_sketch(spark):
+    """Mergeability invariant behind events_sketch_rollup's ALL row: the
+    union of per-type HLL sketches estimates the SAME cardinality as one
+    sketch built directly over the corpus (DataSketches HLL union is
+    lossless at equal lgK), and the merged KLL quantile lands within the
+    documented bound of the direct sketch's."""
+    from pyspark.sql import functions as F
+
+    from datafoundation_multi_source_retail_data_integration_hub_spark.sources.tables import (
+        load_tables,
+    )
+
+    ev = load_tables(spark, SF_SMOKE, "events")["events"]
+    merged = (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_agg("user_id", profiling.HLL_LG_K).alias("h"),
+            F.kll_sketch_agg_double("value", profiling.KLL_K).alias("k"),
+        )
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg("h", F.lit(True))
+            ).alias("users"),
+            F.kll_sketch_get_quantile_double(
+                F.kll_merge_agg_double("k"), F.lit(0.5)
+            ).alias("p50"),
+        )
+        .collect()[0]
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", profiling.HLL_LG_K)
+        ).alias("users"),
+        F.kll_sketch_get_quantile_double(
+            F.kll_sketch_agg_double("value", profiling.KLL_K), F.lit(0.5)
+        ).alias("p50"),
+    ).collect()[0]
+    assert merged["users"] == direct["users"]
+    # the merged KLL holds 5x200 values > k=800, so it compacts (a
+    # RANDOMIZED process — no exact equality); assert both sketch
+    # medians land inside a generous exact rank envelope instead
+    lo, hi = (
+        ev.agg(
+            F.percentile("value", 0.4).alias("lo"),
+            F.percentile("value", 0.6).alias("hi"),
+        ).collect()[0]
+    )
+    for v in (merged["p50"], direct["p50"]):
+        assert lo <= v <= hi, (v, lo, hi)
+
+
+def test_theta_set_algebra_is_consistent(spark):
+    """|A∩B| + |A\\B| must equal |A| when the theta sketches are in exact
+    mode (corpus user cardinality is far below the 4096 nominal
+    entries), and every bound boolean must hold."""
+    row = profiling.events_user_overlap_theta(spark, SF_SMOKE).collect()[0]
+    assert row["both_users"] + row["purchase_only_users"] == row["purchase_users"]
+    assert row["either_users"] == (
+        row["purchase_users"] + row["click_users"] - row["both_users"]
+    )
+    for c in ("a_ok", "b_ok", "intersect_ok", "union_ok", "difference_ok"):
+        assert row[c] is True

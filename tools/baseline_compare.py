@@ -55,9 +55,13 @@ def main() -> None:
         "stream_tumbling_counts",
         "stream_user_session_stats",
         "stream_click_attribution",
+        "stream_static_enrichment",
         "bucketed_colocated_join",
         "partitioned_fact_pruning",
         "dpp_dim_filtered_sales",
+        # runs a deliberately broadcast-disabled plan to demonstrate the
+        # at-scale bloom-injection shape — not Spark's best local plan
+        "bloom_pruned_fact_join",
     }
 
     con = duckdb.connect()
