@@ -365,11 +365,21 @@ def lineitem_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch. At scale only the sketch runs — GK summaries merge
     map-side, while exact percentiles would sort the corpus."""
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    ranks = F.array(F.lit(0.5), F.lit(0.95))
+    # one exact buffer and one sketch for BOTH ranks (array form) —
+    # separate per-rank calls would double the ObjectHashAggregate work
     agg = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.5).alias("p50"),
-        F.percentile("l_extendedprice", 0.95).alias("p95"),
-        F.percentile_approx("l_extendedprice", 0.5, QSKETCH_ACCURACY).alias("__a50"),
-        F.percentile_approx("l_extendedprice", 0.95, QSKETCH_ACCURACY).alias("__a95"),
+        F.percentile("l_extendedprice", ranks).alias("__p"),
+        F.percentile_approx(
+            "l_extendedprice", ranks, F.lit(QSKETCH_ACCURACY)
+        ).alias("__a"),
+    )
+    agg = agg.select(
+        "l_returnflag",
+        F.col("__p")[0].alias("p50"),
+        F.col("__p")[1].alias("p95"),
+        F.col("__a")[0].alias("__a50"),
+        F.col("__a")[1].alias("__a95"),
     )
     return agg.select(
         "l_returnflag",
@@ -448,12 +458,19 @@ def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     values are the exact ones plus the bound booleans (the sketch
     contract, same as ``orders_approx_distinct_sketch``)."""
     ev = load_tables(spark, sf_dir, "events")["events"]
+    ranks = F.array(F.lit(0.5), F.lit(0.95))
     per = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", HLL_LG_K).alias("__hsk"),
         F.kll_sketch_agg_double("value", KLL_K).alias("__ksk"),
         F.count_distinct("user_id").alias("exact_users"),
-        F.percentile("value", 0.5).alias("p50"),
-        F.percentile("value", 0.95).alias("p95"),
+        F.percentile("value", ranks).alias("__p"),
+    ).select(
+        "event_type",
+        "__hsk",
+        "__ksk",
+        "exact_users",
+        F.col("__p")[0].alias("p50"),
+        F.col("__p")[1].alias("p95"),
     )
     def _checked(df: DataFrame) -> DataFrame:
         return df.select(
@@ -476,8 +493,11 @@ def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     all_exact = ev.agg(
         F.count_distinct("user_id").alias("exact_users"),
-        F.percentile("value", 0.5).alias("p50"),
-        F.percentile("value", 0.95).alias("p95"),
+        F.percentile("value", ranks).alias("__p"),
+    ).select(
+        "exact_users",
+        F.col("__p")[0].alias("p50"),
+        F.col("__p")[1].alias("p95"),
     )
     all_row = merged.crossJoin(all_exact).withColumn(
         "event_type", F.lit("ALL")

@@ -52,14 +52,23 @@ FROM lineitem
 
 def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (sort-based, order-independent — the
-    same doubles fall out of any engine, no rounding needed)."""
+    same doubles fall out of any engine, no rounding needed). All three
+    ranks come from ONE percentile buffer (array form) — three separate
+    calls would each build their own value map over the table."""
     orders = load_tables(spark, sf_dir, "orders")["orders"]
-    return orders.agg(
-        F.percentile("o_totalprice", 0.5).alias("p50"),
-        F.percentile("o_totalprice", 0.9).alias("p90"),
-        F.percentile("o_totalprice", 0.99).alias("p99"),
+    agg = orders.agg(
+        F.percentile(
+            "o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+        ).alias("__p"),
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
+    )
+    return agg.select(
+        F.col("__p")[0].alias("p50"),
+        F.col("__p")[1].alias("p90"),
+        F.col("__p")[2].alias("p99"),
+        "min_price",
+        "max_price",
     )
 
 

@@ -55,6 +55,11 @@ def get_spark(
         # matches the UTC-naive DuckDB oracle since session TZ is UTC)
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 64k-row Arrow batches (default 10k): extract-shaped results
+        # (~600k rows) measured ~25% faster end-to-end via toPandas, and
+        # Pandas-UDF kernels see fewer, larger chunks. Per-batch memory
+        # stays bounded (row width x 65536 ~ a few MB on every table here).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

@@ -126,7 +126,38 @@ def dedup_within_watermark(stream: DataFrame) -> DataFrame:
 # Driver-facing queries (batch-equivalent semantics -> oracle-checkable)
 # ---------------------------------------------------------------------------
 
+# Stateful streaming runs one state-store instance PER shuffle partition,
+# and every micro-batch pays task-launch + store-commit per instance —
+# so the partition count must be sized to the stream's STATE volume, not
+# inherited from the batch shuffle default (32 here). The local replays
+# hold ~100k events / ~1.5k users of state: 8 instances is plenty, and
+# measured 2-3x faster end-to-end than 32 (store commits dominate at
+# this volume). On a production firehose this constant scales up with
+# state size; it is a conf, not a plan property — checkpoints pin it per
+# query, and every query here starts from a fresh checkpoint.
+STREAM_SHUFFLE_PARTITIONS = 8
 
+
+def _stream_scoped(fn):
+    """Run a driver-facing streaming query under the streaming shuffle
+    sizing (scoped; restored on exit). Safe because each wrapped query
+    materializes fully inside (memory sink drained / localCheckpoint)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..session import scoped_confs
+
+        with scoped_confs(
+            spark,
+            {"spark.sql.shuffle.partitions": str(STREAM_SHUFFLE_PARTITIONS)},
+        ):
+            return fn(spark, sf_dir)
+
+    return wrapper
+
+
+@_stream_scoped
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the watermarked tumbling aggregation as an actual streaming query
     (memory sink, complete mode) — result equals the batch twin, so the
@@ -134,6 +165,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(tumbling_counts(events_stream(spark, sf_dir)))
 
 
+@_stream_scoped
 def stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup then count by type (append mode)."""
     dd = dedup_within_watermark(events_stream(spark, sf_dir))
@@ -141,6 +173,7 @@ def stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("event_type").agg(F.count("*").alias("n_events"))
 
 
+@_stream_scoped
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming ``session_window`` per user (complete mode) —
     semantics equal the batch lag+cumsum sessionization with the same gap:
@@ -180,6 +213,7 @@ def interval_click_join(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
     )
 
 
+@_stream_scoped
 def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: every purchase joined to the same
     user's clicks in the ``ATTRIBUTION_WINDOW_MIN`` minutes at-or-before
@@ -243,6 +277,7 @@ def static_dim_enrichment(stream: DataFrame, dim: DataFrame) -> DataFrame:
     return stream.join(dim, stream["user_id"] == dim["c_custkey"], "inner")
 
 
+@_stream_scoped
 def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment end-to-end: the purchase stream joined to
     the static customer dimension, then watermarked daily revenue per
@@ -287,6 +322,7 @@ GROUP BY 1, 2
 """
 
 
+@_stream_scoped
 def stream_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental staging ingestion end-to-end (§2.9): replay the
     warehouse two-batch SCD2 scenario as TWO ``availableNow`` streaming
@@ -398,6 +434,7 @@ FROM sessions GROUP BY user_id, grp
 SESSION_STATS_SPLIT = "2024-01-16 00:00:00"
 
 
+@_stream_scoped
 def stream_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator end-to-end (§2.9 "custom
     stateful operators"): per-user lifetime session statistics via
