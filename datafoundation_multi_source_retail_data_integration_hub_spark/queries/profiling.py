@@ -330,12 +330,22 @@ QSKETCH_BOUND = 0.01  # value-error bound; measured max 0.27% on corpus
 def orders_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer reach per order priority via HyperLogLog++: exact
     ``count_distinct`` beside ``approx_count_distinct(rsd=HLL_RSD)``, and
-    the sketch is verified to land within ``HLL_BOUND`` of exact. One
-    hash aggregation produces both; at scale the exact column is dropped
-    and the HLL registers (constant size per group) are all that moves."""
+    the sketch is verified to land within ``HLL_BOUND`` of exact.
+
+    Plan shape: dedup THEN aggregate, not one mixed aggregation. Mixing
+    a distinct agg with a non-distinct agg makes Catalyst Expand every
+    row and carry the partial HLL buffer per (priority, custkey) group —
+    one multi-KB register array per DISTINCT KEY in the partial hash
+    aggregate (measured 3x slower here, and an OOM shape at corpus
+    key counts). HLL is duplicate-insensitive, so sketching the
+    deduplicated pairs gives the identical estimate while both final
+    aggregates run plain (5 groups); at scale the exact column is
+    dropped and the dedup shuffle with it — the sketch alone needs no
+    distinct at all."""
     orders = load_tables(spark, sf_dir, "orders")["orders"]
-    agg = orders.groupBy("o_orderpriority").agg(
-        F.count_distinct("o_custkey").alias("exact_customers"),
+    pairs = orders.select("o_orderpriority", "o_custkey").distinct()
+    agg = pairs.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("exact_customers"),
         F.approx_count_distinct("o_custkey", HLL_RSD).alias("__approx"),
     )
     return agg.select(
@@ -459,19 +469,27 @@ def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract, same as ``orders_approx_distinct_sketch``)."""
     ev = load_tables(spark, sf_dir, "events")["events"]
     ranks = F.array(F.lit(0.5), F.lit(0.95))
-    per = ev.groupBy("event_type").agg(
+    # distinct-user metrics from DEDUPED pairs, value metrics from raw
+    # rows, joined per type (5 rows, broadcast) — mixing the distinct agg
+    # into the sketch aggregation would Expand every row and carry a
+    # partial sketch buffer per (type, user) group (see
+    # orders_approx_distinct_sketch); HLL is duplicate-insensitive, so
+    # the deduped build yields the identical sketch.
+    pairs = ev.select("event_type", "user_id").distinct()
+    users = pairs.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", HLL_LG_K).alias("__hsk"),
+        F.count(F.lit(1)).alias("exact_users"),
+    )
+    values = ev.groupBy("event_type").agg(
         F.kll_sketch_agg_double("value", KLL_K).alias("__ksk"),
-        F.count_distinct("user_id").alias("exact_users"),
         F.percentile("value", ranks).alias("__p"),
     ).select(
         "event_type",
-        "__hsk",
         "__ksk",
-        "exact_users",
         F.col("__p")[0].alias("p50"),
         F.col("__p")[1].alias("p95"),
     )
+    per = values.join(users, "event_type")
     def _checked(df: DataFrame) -> DataFrame:
         return df.select(
             "event_type",
@@ -491,13 +509,16 @@ def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_union_agg("__hsk", F.lit(True)).alias("__hsk"),
         F.kll_merge_agg_double("__ksk").alias("__ksk"),
     )
-    all_exact = ev.agg(
-        F.count_distinct("user_id").alias("exact_users"),
-        F.percentile("value", ranks).alias("__p"),
-    ).select(
-        "exact_users",
-        F.col("__p")[0].alias("p50"),
-        F.col("__p")[1].alias("p95"),
+    all_exact = (
+        pairs.select("user_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("exact_users"))
+        .crossJoin(
+            ev.agg(F.percentile("value", ranks).alias("__p")).select(
+                F.col("__p")[0].alias("p50"),
+                F.col("__p")[1].alias("p95"),
+            )
+        )
     )
     all_row = merged.crossJoin(all_exact).withColumn(
         "event_type", F.lit("ALL")
