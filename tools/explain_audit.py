@@ -124,6 +124,33 @@ AUDITED = {
         "expect": ["BroadcastHashJoin"],
         "forbid_pattern": r"CartesianProduct|BroadcastNestedLoopJoin",
     },
+    "orders_approx_distinct_sketch": {
+        # dedup-then-aggregate: mixing the distinct agg with the HLL
+        # would Expand every row and carry a partial register array per
+        # distinct key (the plan shape this query exists to avoid)
+        "expect": ["HashAggregate"],
+        "forbid_pattern": r"\bExpand\b",
+    },
+    "events_sketch_rollup": {
+        # same contract: deduped-user branch + raw-value branch joined,
+        # never one Expand-mixed aggregation; sketches ride
+        # ObjectHashAggregate
+        "expect": ["ObjectHashAggregate"],
+        "forbid_pattern": r"\bExpand\b",
+    },
+    "lineitem_quantile_sketch": {
+        # one percentile buffer + one KLL-style sketch per group (array
+        # ranks); no distinct agg anywhere, so no Expand
+        "expect": ["ObjectHashAggregate"],
+        "forbid_pattern": r"\bExpand\b",
+    },
+    "events_user_overlap_theta": {
+        # two conditional theta sketches in ONE pass over events (the
+        # 1-row est x exact crossJoin is an intended BNLJ); the exact
+        # twin is a two-level plain aggregation
+        "expect": ["ObjectHashAggregate"],
+        "forbid_pattern": r"\bExpand\b|CartesianProduct",
+    },
 }
 
 
