@@ -151,3 +151,47 @@ def sql_stable_avg(expr: str) -> str:
         f"round(CAST(sum(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE)"
         f" / count({expr}), {ROUND})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated quantiles, sort-based.
+#
+# Spark's exact ``percentile`` aggregate is an ImperativeAggregate over a
+# per-group value map (ObjectHashAggregate, no codegen) — measured ~4.5x
+# slower than collecting the group into one array and sorting it
+# (600k rows / 3 groups: 1.35 s vs 0.30 s at sf0.1). Both hold the whole
+# group's values (exact quantiles inherently do — the SCALE path is the
+# GK / KLL sketch beside them); the array form just reaches the same
+# buffer through codegen'd collect_list + a single JVM array sort.
+#
+# ``quantile_interp`` reproduces the BIT-EXACT interpolation rule shared
+# by Spark's Percentile and DuckDB's quantile_cont (verified raw-equal
+# on corpus data): pos = p * (n - 1); return the element when pos is
+# integral, else the weighted form
+#   (ceil(pos) - pos) * lower + (pos - floor(pos)) * upper.
+# Both engines evaluate exactly this double expression (the subtractions
+# are Sterbenz-exact, the products/sum identically ordered), so the
+# replacement is indistinguishable from the aggregate it replaces —
+# the delta form lower + frac * (upper - lower) is NOT: it differs in
+# the last ulp and the driver hashes raw values.
+# ---------------------------------------------------------------------------
+
+
+def sorted_vals(c: Column) -> Column:
+    """Aggregate: the group's values as one ascending-sorted array
+    (nulls dropped by collect_list, matching percentile/quantile_cont)."""
+    return F.sort_array(F.collect_list(c))
+
+
+def quantile_interp(sorted_col: Column, p: float) -> Column:
+    """Exact interpolated p-quantile from a ``sorted_vals`` array."""
+    n = F.size(sorted_col)
+    pos = F.lit(float(p)) * (n - F.lit(1)).cast("double")
+    lo = F.floor(pos)
+    hi = F.ceil(pos)
+    base = F.element_at(sorted_col, lo.cast("int") + F.lit(1))
+    upper = F.element_at(sorted_col, hi.cast("int") + F.lit(1))
+    interp = (hi.cast("double") - pos) * base + (
+        pos - lo.cast("double")
+    ) * upper
+    return F.when(n > 0, F.when(hi == lo, base).otherwise(interp))

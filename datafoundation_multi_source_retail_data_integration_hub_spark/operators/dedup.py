@@ -496,28 +496,30 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         for k in range(3):
             if g + _SIMHASH_LANE_BITS * k < SIMHASH_BITS:
                 mask |= 1 << (_SIMHASH_LANE_BITS * k)
-        aggs.append(
-            F.sum(F.shiftright(F.col("h"), g).bitwiseAND(F.lit(mask))).alias(
-                f"g{g}"
-            )
-        )
+        # one parsed expr per lane (not a 4-node Column chain): keeps
+        # DataFrame construction off the py4j round-trip path
+        aggs.append(F.expr(f"sum(shiftright(h, {g}) & {mask})").alias(f"g{g}"))
     sums = toks.groupBy("doc_id").agg(*aggs)
 
-    def bit_count(j: int) -> F.Column:
+    # The 60-term signature is built as ONE SQL string parsed JVM-side.
+    # The previous Column-API reduce chained 60 when/add nodes through
+    # py4j — measured 1.3 s of pure driver time PER DATAFRAME
+    # CONSTRUCTION at any scale factor (bench constructs queries fresh
+    # each run, so that cost was billed every execution); the single
+    # F.expr parse is milliseconds for the identical expression tree.
+    def bit_count_sql(j: int) -> str:
         g, k = j % _SIMHASH_LANE_BITS, j // _SIMHASH_LANE_BITS
-        return F.shiftright(
-            F.col(f"g{g}"), _SIMHASH_LANE_BITS * k
-        ).bitwiseAND(F.lit(_SIMHASH_LANE_MASK))
+        return (
+            f"(shiftright(g{g}, {_SIMHASH_LANE_BITS * k})"
+            f" & {_SIMHASH_LANE_MASK})"
+        )
 
-    sig = reduce(
-        lambda acc, j: acc
-        + F.when(
-            bit_count(j) * 2 > F.col("__n"), F.lit(1 << j).cast("long")
-        ).otherwise(F.lit(0).cast("long")),
-        range(SIMHASH_BITS),
-        F.lit(0).cast("long"),
+    sig_sql = " + ".join(
+        f"(CASE WHEN {bit_count_sql(j)} * 2 > __n"
+        f" THEN {1 << j}L ELSE 0L END)"
+        for j in range(SIMHASH_BITS)
     )
-    return sums.select("doc_id", sig.alias("simhash"))
+    return sums.select("doc_id", F.expr(sig_sql).alias("simhash"))
 
 
 def simhash_pairs(

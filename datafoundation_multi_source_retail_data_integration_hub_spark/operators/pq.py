@@ -135,7 +135,9 @@ def adc_topk(
         # NB: the lambda must take exactly one parameter — a second one
         # would be bound to the array INDEX by the higher-order function
         return F.map_from_arrays(
-            F.array(*[F.lit(int(cid)) for cid, _ in cb]),
+            F.expr(
+                "array(" + ",".join(f"{int(cid)}L" for cid, _ in cb) + ")"
+            ),
             F.transform(
                 _centroid_literal(cb),
                 lambda c: sq_dist(qsub, c["cv"]),

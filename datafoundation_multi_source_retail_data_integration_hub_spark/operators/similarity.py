@@ -209,9 +209,11 @@ def planes_for_corpus(
 
 def bucket_id(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket: bit p = 1 iff dot(vec, plane_p) > 0."""
+    from .clustering import double_array_literal
+
     out = F.lit(0)
     for p, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(x) for x in plane])
+        plane_col = double_array_literal(plane)
         out = out + F.when(dot(vec, plane_col) > 0, F.lit(1 << p)).otherwise(0)
     return out
 

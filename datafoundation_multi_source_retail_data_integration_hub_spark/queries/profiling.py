@@ -34,6 +34,8 @@ from ..functions.parity import (
     fixed_sum_raw,
     fixed_sum_units_raw,
     fixed_units,
+    quantile_interp,
+    sorted_vals,
     sql_stable_sum,
     sql_stable_sum_raw,
 )
@@ -376,18 +378,20 @@ def lineitem_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side, while exact percentiles would sort the corpus."""
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
     ranks = F.array(F.lit(0.5), F.lit(0.95))
-    # one exact buffer and one sketch for BOTH ranks (array form) —
-    # separate per-rank calls would double the ObjectHashAggregate work
+    # exact side: one sorted-array buffer per group serving both ranks
+    # (parity.sorted_vals — measured ~4.5x faster than the
+    # ImperativeAggregate ``percentile``); sketch side: one GK buffer
+    # for both ranks (array form)
     agg = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", ranks).alias("__p"),
+        sorted_vals(F.col("l_extendedprice")).alias("__v"),
         F.percentile_approx(
             "l_extendedprice", ranks, F.lit(QSKETCH_ACCURACY)
         ).alias("__a"),
     )
     agg = agg.select(
         "l_returnflag",
-        F.col("__p")[0].alias("p50"),
-        F.col("__p")[1].alias("p95"),
+        quantile_interp(F.col("__v"), 0.5).alias("p50"),
+        quantile_interp(F.col("__v"), 0.95).alias("p95"),
         F.col("__a")[0].alias("__a50"),
         F.col("__a")[1].alias("__a95"),
     )
@@ -468,7 +472,6 @@ def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     values are the exact ones plus the bound booleans (the sketch
     contract, same as ``orders_approx_distinct_sketch``)."""
     ev = load_tables(spark, sf_dir, "events")["events"]
-    ranks = F.array(F.lit(0.5), F.lit(0.95))
     # distinct-user metrics from DEDUPED pairs, value metrics from raw
     # rows, joined per type (5 rows, broadcast) — mixing the distinct agg
     # into the sketch aggregation would Expand every row and carry a
@@ -482,12 +485,12 @@ def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     values = ev.groupBy("event_type").agg(
         F.kll_sketch_agg_double("value", KLL_K).alias("__ksk"),
-        F.percentile("value", ranks).alias("__p"),
+        sorted_vals(F.col("value")).alias("__v"),
     ).select(
         "event_type",
         "__ksk",
-        F.col("__p")[0].alias("p50"),
-        F.col("__p")[1].alias("p95"),
+        quantile_interp(F.col("__v"), 0.5).alias("p50"),
+        quantile_interp(F.col("__v"), 0.95).alias("p95"),
     )
     per = values.join(users, "event_type")
     def _checked(df: DataFrame) -> DataFrame:
@@ -514,9 +517,9 @@ def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .agg(F.count(F.lit(1)).alias("exact_users"))
         .crossJoin(
-            ev.agg(F.percentile("value", ranks).alias("__p")).select(
-                F.col("__p")[0].alias("p50"),
-                F.col("__p")[1].alias("p95"),
+            ev.agg(sorted_vals(F.col("value")).alias("__v")).select(
+                quantile_interp(F.col("__v"), 0.5).alias("p50"),
+                quantile_interp(F.col("__v"), 0.95).alias("p95"),
             )
         )
     )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.parity import quantile_interp, sorted_vals
 from ..sources.tables import load_tables
 
 
@@ -53,22 +54,18 @@ FROM lineitem
 def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (sort-based, order-independent — the
     same doubles fall out of any engine, no rounding needed). All three
-    ranks come from ONE percentile buffer (array form) — three separate
-    calls would each build their own value map over the table."""
+    ranks, min, and max come from ONE sorted-array buffer
+    (``parity.sorted_vals``; measured ~4.5x faster than Spark's
+    ImperativeAggregate ``percentile`` — see functions/parity.py)."""
     orders = load_tables(spark, sf_dir, "orders")["orders"]
-    agg = orders.agg(
-        F.percentile(
-            "o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
-        ).alias("__p"),
-        F.min("o_totalprice").alias("min_price"),
-        F.max("o_totalprice").alias("max_price"),
-    )
+    agg = orders.agg(sorted_vals(F.col("o_totalprice")).alias("__v"))
+    v = F.col("__v")
     return agg.select(
-        F.col("__p")[0].alias("p50"),
-        F.col("__p")[1].alias("p90"),
-        F.col("__p")[2].alias("p99"),
-        "min_price",
-        "max_price",
+        quantile_interp(v, 0.5).alias("p50"),
+        quantile_interp(v, 0.9).alias("p90"),
+        quantile_interp(v, 0.99).alias("p99"),
+        F.element_at(v, 1).alias("min_price"),
+        F.element_at(v, F.size(v)).alias("max_price"),
     )
 
 

@@ -424,9 +424,11 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
         .collect()
     }
-    mn = F.array(*[F.lit(float(stats[d][0])) for d in range(DIM)])
-    scale = F.array(
-        *[F.lit(float(stats[d][1]) - float(stats[d][0])) for d in range(DIM)]
+    from ..operators.clustering import double_array_literal
+
+    mn = double_array_literal(stats[d][0] for d in range(DIM))
+    scale = double_array_literal(
+        float(stats[d][1]) - float(stats[d][0]) for d in range(DIM)
     )
     # dq_d = x_d - mn_d; code_d = floor(dq*255/s + 0.5) (floor(+0.5): both
     # engines agree; round() half-rule differs between Spark and DuckDB)

@@ -127,3 +127,72 @@ def test_units_products_sum_exact(spark):
 def test_fuzz_money_sums(spark, xs):
     vals = [float(x) for x in xs]
     _assert_equal(_both(spark, vals, dp=2))
+
+
+# ---------------------------------------------------------------------------
+# quantile_interp (sort-based exact quantiles) must be bit-identical to
+# Spark's Percentile aggregate — it replaced F.percentile on the hot
+# profiling paths, and the driver hashes raw values, so "close" is not
+# equal. Percentile itself was verified raw-equal to DuckDB's
+# quantile_cont on corpus data; pinning to Percentile pins to both.
+# ---------------------------------------------------------------------------
+
+
+def _quantiles_both(spark, values, ps):
+    from datafoundation_multi_source_retail_data_integration_hub_spark.functions.parity import (
+        quantile_interp,
+        sorted_vals,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    ref = df.agg(
+        F.percentile("x", F.array(*[F.lit(p) for p in ps])).alias("__p")
+    ).first()["__p"]
+    got_row = df.agg(sorted_vals(F.col("x")).alias("__v")).select(
+        *[
+            quantile_interp(F.col("__v"), p).alias(f"q{i}")
+            for i, p in enumerate(ps)
+        ]
+    ).first()
+    return ref, [got_row[f"q{i}"] for i in range(len(ps))]
+
+
+def test_quantile_interp_bit_equals_percentile(spark):
+    ps = [0.0, 0.5, 0.9, 0.95, 0.99, 1.0]
+    random.seed(7)
+    values = [round(random.uniform(900.0, 600000.0), 2) for _ in range(4999)]
+    ref, got = _quantiles_both(spark, values, ps)
+    for p, a, b in zip(ps, ref, got):
+        assert a == b and math.copysign(1, a) == math.copysign(1, b), (p, a, b)
+
+
+def test_quantile_interp_integral_positions(spark):
+    # n chosen so p*(n-1) lands exactly on integers for every p — the
+    # branch that must return the element, not 0*lo + 0*hi
+    ps = [0.0, 0.25, 0.5, 0.75, 1.0]
+    values = [float(i) for i in range(101)]
+    ref, got = _quantiles_both(spark, values, ps)
+    assert ref == got == [0.0, 25.0, 50.0, 75.0, 100.0]
+
+
+def test_quantile_interp_single_value_group(spark):
+    ref, got = _quantiles_both(spark, [42.5], [0.0, 0.5, 1.0])
+    assert ref == got == [42.5, 42.5, 42.5]
+
+
+@given(
+    xs=st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_fuzz_quantile_interp(spark, xs):
+    ref, got = _quantiles_both(spark, xs, [0.1, 0.5, 0.9])
+    assert ref == got, (xs, ref, got)
