@@ -320,12 +320,14 @@ def minhash_signatures(
             (F.conv(F.substring("__h", 16, 15), 16, 10).cast("long") % p).alias("b"),
         )
     )
+    # k parsed exprs, not k 5-node Column chains (py4j round trips are
+    # driver time billed per DataFrame construction — see simhash)
     hashed = ex.select(
         "doc_id",
-        *[((F.col("a") + F.lit(i) * F.col("b")) % p).alias(f"h{i}") for i in range(k)],
+        *[F.expr(f"(a + {i} * b) % {p}").alias(f"h{i}") for i in range(k)],
     )
     return hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(k)]
+        *[F.expr(f"min(h{i})").alias(f"m{i}") for i in range(k)]
     )
 
 
@@ -396,16 +398,14 @@ def minhash_accuracy_pairs(
     docs = _persist(_shingled(df, text_col, id_col, n))
     sig = _persist(minhash_signatures(df, text_col, id_col, n, k, shingled=docs))
     cand = _lsh_candidates(sig, k, bands)
-    sx = sig.select(
-        F.col("doc_id").alias("id1"),
-        *[F.col(f"m{i}").alias(f"x{i}") for i in range(k)],
+    sx = sig.selectExpr(
+        "doc_id AS id1", *[f"m{i} AS x{i}" for i in range(k)]
     )
-    sy = sig.select(
-        F.col("doc_id").alias("id2"),
-        *[F.col(f"m{i}").alias(f"y{i}") for i in range(k)],
+    sy = sig.selectExpr(
+        "doc_id AS id2", *[f"m{i} AS y{i}" for i in range(k)]
     )
-    agree = sum(
-        (F.col(f"x{i}") == F.col(f"y{i}")).cast("int") for i in range(k)
+    agree = F.expr(
+        " + ".join(f"CAST(x{i} = y{i} AS INT)" for i in range(k))
     )
     return (
         cand.join(sx, "id1")

@@ -133,3 +133,33 @@ def test_pq_encode_and_adc_invariants(spark, emb):
         expect += sum((a - b) * (a - b) for a, b in zip(qs, cv))
     assert math.isclose(r0["approx_dist"], expect, rel_tol=1e-9)
     unpersist_all()
+
+
+def test_double_array_literal_bit_equals_flit(spark):
+    """The SQL-text literal path (one JVM parse) must produce the same
+    doubles as element-wise F.lit — repr() round-trips through the same
+    IEEE-754 nearest rule Double.parseDouble applies. Adversarial values:
+    subnormal-ish tiny, many digits, negatives, exponent forms."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from datafoundation_multi_source_retail_data_integration_hub_spark.operators.clustering import (
+        double_array_literal,
+    )
+
+    random.seed(11)
+    vals = (
+        [random.uniform(-1, 1) for _ in range(32)]
+        + [1e-300, -1e-300, 4.9e-324, 1.7976931348623157e308, 0.1, -0.0, 3.0]
+        + [random.uniform(-1e6, 1e6) for _ in range(32)]
+    )
+    row = spark.range(1).select(
+        double_array_literal(vals).alias("a"),
+        F.array(*[F.lit(float(x)) for x in vals]).alias("b"),
+    ).first()
+    import struct as _s
+
+    assert [
+        _s.pack("d", x) for x in row["a"]
+    ] == [_s.pack("d", x) for x in row["b"]]

@@ -139,8 +139,9 @@ AUDITED = {
         "forbid_pattern": r"\bExpand\b",
     },
     "lineitem_quantile_sketch": {
-        # one percentile buffer + one KLL-style sketch per group (array
-        # ranks); no distinct agg anywhere, so no Expand
+        # one sorted-array exact buffer (collect_list) + one GK sketch
+        # per group (array ranks) — both TypedImperativeAggregates, so
+        # ObjectHashAggregate; no distinct agg anywhere, so no Expand
         "expect": ["ObjectHashAggregate"],
         "forbid_pattern": r"\bExpand\b",
     },
