@@ -24,8 +24,6 @@ corpus; only verified candidates touch the full shingle sets again.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -538,20 +536,22 @@ def simhash_pairs(
     """
     width = SIMHASH_BITS // chunks
     mask = (1 << width) - 1
-    sig = simhash(df, text_col, id_col)
-    chunked = reduce(
-        lambda a, b: a.unionByName(b),
-        [
-            sig.select(
-                "doc_id",
-                "simhash",
-                F.lit(c).alias("chunk"),
-                F.shiftright(F.col("simhash"), c * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("cval"),
+    # persisted: the chunked frame feeds BOTH sides of the candidate
+    # self-join — unpersisted, each side re-runs the whole token-md5
+    # signature pipeline (two corpus scans); persisted, the corpus is
+    # hashed once and the join reads docs x chunks tiny rows
+    sig = _persist(simhash(df, text_col, id_col))
+    chunked = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"shiftright(simhash, {c * width}) & {mask}")
+                    for c in range(chunks)
+                ]
             )
-            for c in range(chunks)
-        ],
+        ).alias("chunk", "cval"),
     )
     cand = (
         chunked.alias("x")

@@ -199,6 +199,9 @@ FROM m
 
 
 SKEW_TOP = 10
+# hot-key discovery sample rate for the salted-join demo (discovery
+# steers performance only — see salted_hot_key_join)
+SKEW_SAMPLE_FRACTION = 0.125
 
 
 def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,9 +285,17 @@ def salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ords = t["orders"].select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
+    # Hot-key discovery runs on a SAMPLE (seeded, deterministic): skew
+    # statistics are what planners estimate from samples at scale — a
+    # genuinely hot key has so many rows that any fixed-rate sample
+    # surfaces it, and the hot SET only steers load balancing, never
+    # results (salting is semantics-preserving for ANY hot list,
+    # including an empty one: ``isin([])`` salts nothing and the join
+    # degrades to the plain equi-join the oracle runs).
     hot = [
         r["l_orderkey"]
-        for r in li.groupBy("l_orderkey")
+        for r in li.sample(False, SKEW_SAMPLE_FRACTION, seed=42)
+        .groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy(F.col("n_rows").desc(), "l_orderkey")
         .limit(SKEW_TOP)

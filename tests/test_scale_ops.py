@@ -72,6 +72,13 @@ def test_salted_join_preserves_semantics(spark):
     salted2 = salted_join(large2, small, "k", hot_keys=[57], how="left").count()
     assert plain2 == salted2
 
+    # empty hot list (reachable via the sampled hot-key discovery on a
+    # tiny corpus): must degrade to the plain equi-join, not salt or drop
+    salted3 = salted_join(large, small, "k", hot_keys=[], n_salts=8).agg(
+        F.count("*").alias("n"), F.sum("dim_val").alias("s")
+    ).first()
+    assert (plain["n"], plain["s"]) == (salted3["n"], salted3["s"])
+
 
 def test_jaccard_pairs_exact_under_10x_replication(spark):
     """Adversarial-duplication scale smoke: replicate the corpus 10x with
