@@ -164,16 +164,19 @@ def sql_stable_avg(expr: str) -> str:
 # GK / KLL sketch beside them); the array form just reaches the same
 # buffer through codegen'd collect_list + a single JVM array sort.
 #
-# ``quantile_interp`` reproduces the BIT-EXACT interpolation rule shared
-# by Spark's Percentile and DuckDB's quantile_cont (verified raw-equal
-# on corpus data): pos = p * (n - 1); return the element when pos is
-# integral, else the weighted form
+# ``quantile_interp`` reproduces DuckDB's quantile_cont BIT-EXACTLY —
+# the oracle the driver hashes raw values against: pos = p * (n - 1);
+# return the element when pos is integral, else the weighted form
 #   (ceil(pos) - pos) * lower + (pos - floor(pos)) * upper.
-# Both engines evaluate exactly this double expression (the subtractions
-# are Sterbenz-exact, the products/sum identically ordered), so the
-# replacement is indistinguishable from the aggregate it replaces —
-# the delta form lower + frac * (upper - lower) is NOT: it differs in
-# the last ulp and the driver hashes raw values.
+# DuckDB evaluates exactly this double expression (verified on corpus
+# data AND on adversarial inputs: equal subnormals interpolate to 0.0,
+# equal 0.1s drift one ulp at fractional positions — fuzz-pinned in
+# tests/test_fixed_point_parity.py). Two near-misses this replaces or
+# avoids: the delta form lower + frac * (upper - lower) differs from
+# the oracle in the last ulp on ordinary data, and Spark's own
+# Percentile aggregate short-circuits equal adjacent values to the
+# retained value where DuckDB still interpolates — so F.percentile is
+# itself a latent oracle mismatch on duplicate-heavy columns.
 # ---------------------------------------------------------------------------
 
 

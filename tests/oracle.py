@@ -39,7 +39,14 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        # RAW-BIT compare (no rounding): the engine's parity machinery
+        # (fixed-point sums, shared interpolation forms, monotone-
+        # transform rules) makes every float column bit-identical across
+        # engines, and the driver hashes raw values — a last-ulp drift
+        # is a real regression. A 9-sig-digit compare here waved through
+        # the round-5 quantile-interpolation drift that the raw-bit
+        # verify recipe caught.
+        return v
     if isinstance(v, (list, tuple)):
         # The grading driver canonicalizes with pandas sort_values over
         # every column, which cannot factorize list cells (r04:

@@ -131,23 +131,34 @@ def test_fuzz_money_sums(spark, xs):
 
 # ---------------------------------------------------------------------------
 # quantile_interp (sort-based exact quantiles) must be bit-identical to
-# Spark's Percentile aggregate — it replaced F.percentile on the hot
-# profiling paths, and the driver hashes raw values, so "close" is not
-# equal. Percentile itself was verified raw-equal to DuckDB's
-# quantile_cont on corpus data; pinning to Percentile pins to both.
+# DuckDB's quantile_cont — that is the ORACLE the driver hashes raw
+# values against. The reference is deliberately NOT Spark's Percentile:
+# on equal adjacent sorted values at a fractional position, Percentile
+# short-circuits to the retained value while DuckDB (and
+# quantile_interp) always evaluate the weighted form
+# (1-f)*lower + f*upper — which can differ in the last ulp (and rounds
+# [5e-324, 5e-324] @ p=0.5 to 0.0, verified against DuckDB directly).
+# Pinning to Percentile would therefore pin to the WRONG engine exactly
+# where the two diverge.
 # ---------------------------------------------------------------------------
 
 
 def _quantiles_both(spark, values, ps):
+    import duckdb
+
     from datafoundation_multi_source_retail_data_integration_hub_spark.functions.parity import (
         quantile_interp,
         sorted_vals,
     )
 
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(float(v),) for v in values])
+    ref = [
+        con.execute(f"SELECT quantile_cont(x, {p!r}) FROM t").fetchone()[0]
+        for p in ps
+    ]
     df = spark.createDataFrame([(v,) for v in values], "x double")
-    ref = df.agg(
-        F.percentile("x", F.array(*[F.lit(p) for p in ps])).alias("__p")
-    ).first()["__p"]
     got_row = df.agg(sorted_vals(F.col("x")).alias("__v")).select(
         *[
             quantile_interp(F.col("__v"), p).alias(f"q{i}")
@@ -157,13 +168,23 @@ def _quantiles_both(spark, values, ps):
     return ref, [got_row[f"q{i}"] for i in range(len(ps))]
 
 
-def test_quantile_interp_bit_equals_percentile(spark):
+def test_quantile_interp_bit_equals_quantile_cont(spark):
     ps = [0.0, 0.5, 0.9, 0.95, 0.99, 1.0]
     random.seed(7)
     values = [round(random.uniform(900.0, 600000.0), 2) for _ in range(4999)]
     ref, got = _quantiles_both(spark, values, ps)
     for p, a, b in zip(ps, ref, got):
         assert a == b and math.copysign(1, a) == math.copysign(1, b), (p, a, b)
+
+
+def test_quantile_interp_equal_adjacent_values_match_duckdb(spark):
+    # the cases where Spark's Percentile and DuckDB diverge — the engine
+    # must side with the oracle: interpolation between equal subnormals
+    # rounds to zero, equal 0.1s at a fractional position drift one ulp
+    ref, got = _quantiles_both(spark, [5e-324, 5e-324], [0.3, 0.5, 0.9])
+    assert ref == got == [5e-324, 0.0, 5e-324]
+    ref, got = _quantiles_both(spark, [0.1, 0.1], [0.3, 0.5])
+    assert ref == got == [0.09999999999999999, 0.1]
 
 
 def test_quantile_interp_integral_positions(spark):
