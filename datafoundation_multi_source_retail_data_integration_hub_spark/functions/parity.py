@@ -14,8 +14,11 @@ Fix: accumulate in ``DECIMAL(27,6)``.
   round-to-nearest has a unique answer in every engine.
 - decimal addition is exact and associative -> identical sums regardless
   of visit order.
-- the final cast back to double and round(…, 4) then operate on identical
-  inputs everywhere.
+- the final cast back to double then operates on identical inputs
+  everywhere; the 4-decimal rounding itself must use ``round_dp`` below —
+  the engines' builtin ``round(double, n)`` functions disagree on
+  identical inputs (Spark rounds the shortest decimal repr, DuckDB the
+  binary value; see ``round_dp``).
 
 Cost: decimal aggregation skips some codegen fast paths — use these only
 where a float aggregate feeds an oracle-compared (or order-sensitive)
@@ -47,9 +50,35 @@ _LIMB_BITS = 20
 _LIMB = 1 << _LIMB_BITS  # base-2^20 digit decomposition of the long units
 
 
+def round_dp(c: Column, dp: int = ROUND) -> Column:
+    """Cross-engine deterministic rounding of a double to ``dp`` decimals:
+    ``floor(x * 10^dp + 0.5) / 10^dp`` in pure IEEE double arithmetic —
+    the identical expression in Spark and DuckDB yields identical bits.
+
+    The builtin ``round(double, n)`` functions DISAGREE between the
+    engines even on identical inputs: Spark rounds the SHORTEST DECIMAL
+    REPRESENTATION (``BigDecimal.valueOf`` goes through
+    ``Double.toString``) while DuckDB rounds the binary value. Observed:
+    951.27/24 has shortest repr "39.63625" but exact binary value
+    39.636249999…, so Spark says 39.6363 and DuckDB 39.6362 — a raw-bit
+    oracle mismatch caught by the sf0.1 sweep (events_sliding_10m_5m).
+    The floor form's tie rule is half-toward-+inf on the double grid —
+    not decimal HALF_UP — but it is the SAME rule in both engines,
+    which is the whole parity contract. Domain: |x|*10^dp within 2^63
+    (floor casts long), far past every aggregate here."""
+    f = F.lit(float(10**dp))
+    return F.floor(c * f + F.lit(0.5)) / f
+
+
+def sql_round_dp(expr: str, dp: int = ROUND) -> str:
+    """DuckDB twin of ``round_dp`` — textually the same arithmetic."""
+    f = float(10**dp)
+    return f"floor(({expr}) * {f!r} + 0.5) / {f!r}"
+
+
 def stable_sum(c: Column) -> Column:
     """Order-independent sum of a double column, rounded to 4."""
-    return F.round(F.sum(c.cast(DEC)).cast("double"), ROUND)
+    return round_dp(F.sum(c.cast(DEC)).cast("double"))
 
 
 def stable_sum_raw(c: Column) -> Column:
@@ -60,7 +89,7 @@ def stable_sum_raw(c: Column) -> Column:
 
 def stable_avg(c: Column) -> Column:
     """Order-independent mean: exact decimal sum / non-null count."""
-    return F.round(F.sum(c.cast(DEC)).cast("double") / F.count(c), ROUND)
+    return round_dp(F.sum(c.cast(DEC)).cast("double") / F.count(c))
 
 
 def fixed_units(c: Column, dp: int) -> Column:
@@ -119,12 +148,12 @@ def fixed_sum_raw(c: Column, dp: int) -> Column:
 
 def fixed_sum(c: Column, dp: int) -> Column:
     """``stable_sum`` on the long fast path (see ``fixed_sum_raw``)."""
-    return F.round(fixed_sum_raw(c, dp), ROUND)
+    return round_dp(fixed_sum_raw(c, dp))
 
 
 def fixed_avg(c: Column, dp: int) -> Column:
     """``stable_avg`` on the long fast path (see ``fixed_sum_raw``)."""
-    return F.round(fixed_sum_raw(c, dp) / F.count(c), ROUND)
+    return round_dp(fixed_sum_raw(c, dp) / F.count(c))
 
 
 def fixed_sum_units_raw(u: Column, dp: int) -> Column:
@@ -139,7 +168,7 @@ def fixed_sum_units_raw(u: Column, dp: int) -> Column:
 
 
 def sql_stable_sum(expr: str) -> str:
-    return f"round(CAST(sum(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE), {ROUND})"
+    return sql_round_dp(f"CAST(sum(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE)")
 
 
 def sql_stable_sum_raw(expr: str) -> str:
@@ -147,9 +176,9 @@ def sql_stable_sum_raw(expr: str) -> str:
 
 
 def sql_stable_avg(expr: str) -> str:
-    return (
-        f"round(CAST(sum(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE)"
-        f" / count({expr}), {ROUND})"
+    return sql_round_dp(
+        f"CAST(sum(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE)"
+        f" / count({expr})"
     )
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.parity import round_dp
 from ..functions.text import (
     fingerprint,
     md5_long,
@@ -415,9 +416,9 @@ def minhash_accuracy_pairs(
         .select(
             "id1",
             "id2",
-            F.round("est_jaccard", 4).alias("est_jaccard"),
-            F.round("jaccard", 4).alias("jaccard"),
-            F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 4).alias(
+            round_dp(F.col("est_jaccard")).alias("est_jaccard"),
+            round_dp(F.col("jaccard")).alias("jaccard"),
+            round_dp(F.abs(F.col("est_jaccard") - F.col("jaccard"))).alias(
                 "abs_err"
             ),
         )

@@ -12,7 +12,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.parity import fixed_avg, fixed_sum, fixed_sum_dec, sql_stable_avg, sql_stable_sum
+from ..functions.parity import (
+    fixed_avg,
+    fixed_sum,
+    fixed_sum_dec,
+    round_dp,
+    sql_round_dp,
+    sql_stable_avg,
+    sql_stable_sum,
+)
 from ..operators.asof import asof_join
 from ..operators.rangejoin import time_window_pairs
 from ..operators.sessionize import session_stats
@@ -262,9 +270,8 @@ def events_close_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = time_window_pairs(ev, "ts", "event_id", PAIR_GAP_SECONDS)
     return pairs.groupBy("a_event_type", "b_event_type").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.round(
-            F.sum("gap_us").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0),
-            4,
+        round_dp(
+            F.sum("gap_us").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0)
         ).alias("avg_gap_sec"),
     )
 
@@ -295,8 +302,7 @@ probe AS (
 )
 SELECT a.event_type AS a_event_type, b.event_type AS b_event_type,
        count(*) AS n_pairs,
-       round(CAST(CAST(sum(abs(a.us - b.us)) AS BIGINT) AS DOUBLE)
-             / count(*) / 1000000.0, 4) AS avg_gap_sec
+       {sql_round_dp("CAST(CAST(sum(abs(a.us - b.us)) AS BIGINT) AS DOUBLE) / count(*) / 1000000.0")} AS avg_gap_sec
 FROM probe a JOIN e b ON a.probe_bkt = b.bkt
 WHERE a.event_id < b.event_id
   AND abs(a.us - b.us) <= {_PAIR_GAP_US}
@@ -540,8 +546,8 @@ def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "window_start",
             "n_events",
-            F.round("v_dbl", 4).alias("window_value"),
-            F.round("z", 4).alias("z_score"),
+            round_dp(F.col("v_dbl")).alias("window_value"),
+            round_dp(F.col("z")).alias("z_score"),
         )
     )
 
@@ -571,10 +577,8 @@ rolled AS (
                ROWS BETWEEN {ANOMALY_LOOKBACK} PRECEDING AND 1 PRECEDING)
 )
 SELECT event_type, window_start, n_events,
-       round(v_dbl, 4) AS window_value,
-       round((v_dbl - rsum / {ANOMALY_LOOKBACK})
-             / sqrt((rsumsq - rsum * rsum / {ANOMALY_LOOKBACK})
-                    / {ANOMALY_LOOKBACK - 1}), 4) AS z_score
+       {sql_round_dp("v_dbl")} AS window_value,
+       {sql_round_dp(f"(v_dbl - rsum / {ANOMALY_LOOKBACK}) / sqrt((rsumsq - rsum * rsum / {ANOMALY_LOOKBACK}) / {ANOMALY_LOOKBACK - 1})")} AS z_score
 FROM rolled
 WHERE n_prev = {ANOMALY_LOOKBACK}
   AND (rsumsq - rsum * rsum / {ANOMALY_LOOKBACK}) / {ANOMALY_LOOKBACK - 1} > 0

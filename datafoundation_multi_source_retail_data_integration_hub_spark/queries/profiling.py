@@ -35,7 +35,9 @@ from ..functions.parity import (
     fixed_sum_units_raw,
     fixed_units,
     quantile_interp,
+    round_dp,
     sorted_vals,
+    sql_round_dp,
     sql_stable_sum,
     sql_stable_sum_raw,
 )
@@ -169,9 +171,9 @@ def lineitem_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select(
         "n",
-        F.round(F.col("sx") / n, 4).alias("mean_qty"),
-        F.round(F.sqrt(var), 4).alias("stddev_qty"),
-        F.round(corr_num / corr_den, 6).alias("corr_qty_price"),
+        round_dp(F.col("sx") / n).alias("mean_qty"),
+        round_dp(F.sqrt(var)).alias("stddev_qty"),
+        round_dp(corr_num / corr_den, 6).alias("corr_qty_price"),
     )
 
 
@@ -189,10 +191,9 @@ WITH m AS (
   FROM lineitem
 )
 SELECT n,
-       round(sx / n, 4) AS mean_qty,
-       round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_qty,
-       round((n * sxy - sx * sy)
-             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+       {sql_round_dp("sx / n")} AS mean_qty,
+       {sql_round_dp("sqrt((sxx - sx * sx / n) / (n - 1))")} AS stddev_qty,
+       {sql_round_dp("(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)}
          AS corr_qty_price
 FROM m
 """
@@ -237,8 +238,8 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "n_rows",
             "n_keys",
-            F.round("mean_rows", 6).alias("mean_rows"),
-            F.round("skew_factor", 6).alias("skew_factor"),
+            round_dp(F.col("mean_rows"), 6).alias("mean_rows"),
+            round_dp(F.col("skew_factor"), 6).alias("skew_factor"),
         )
     )
 
@@ -254,8 +255,8 @@ gstats AS (
   FROM per_key
 )
 SELECT l_orderkey, n_rows, n_keys,
-       round(mean_rows, 6) AS mean_rows,
-       round(skew_factor, 6) AS skew_factor
+       {sql_round_dp("mean_rows", 6)} AS mean_rows,
+       {sql_round_dp("skew_factor", 6)} AS skew_factor
 FROM (SELECT * FROM per_key ORDER BY n_rows DESC, l_orderkey LIMIT {SKEW_TOP})
 CROSS JOIN gstats
 """

@@ -39,6 +39,8 @@ from ..functions.parity import (
     fixed_avg,
     fixed_sum,
     fixed_sum_dec,
+    round_dp,
+    sql_round_dp,
     sql_stable_avg,
     sql_stable_sum,
 )
@@ -243,13 +245,13 @@ def monthly_trend_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("rev_dec").over(w).cast("double")
     return monthly.select(
         "month",
-        F.round(rev, 4).alias("revenue"),
-        F.round(rev - prev, 4).alias("growth_abs"),
-        F.round((rev - prev) * 100 / prev, 4).alias("growth_pct"),
+        round_dp(rev).alias("revenue"),
+        round_dp(rev - prev).alias("growth_abs"),
+        round_dp((rev - prev) * 100 / prev).alias("growth_pct"),
     )
 
 
-MONTHLY_ORACLE = """
+MONTHLY_ORACLE = f"""
 WITH m AS (
   -- DuckDB's date_trunc returns DATE; cast to TIMESTAMP to match Spark
   SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
@@ -257,11 +259,10 @@ WITH m AS (
   FROM orders GROUP BY 1
 )
 SELECT month,
-       round(CAST(rev_dec AS DOUBLE), 4) AS revenue,
-       round(CAST(rev_dec AS DOUBLE) - CAST(lag(rev_dec) OVER (ORDER BY month) AS DOUBLE), 4)
+       {sql_round_dp("CAST(rev_dec AS DOUBLE)")} AS revenue,
+       {sql_round_dp("CAST(rev_dec AS DOUBLE) - CAST(lag(rev_dec) OVER (ORDER BY month) AS DOUBLE)")}
          AS growth_abs,
-       round((CAST(rev_dec AS DOUBLE) - CAST(lag(rev_dec) OVER (ORDER BY month) AS DOUBLE))
-             * 100 / CAST(lag(rev_dec) OVER (ORDER BY month) AS DOUBLE), 4)
+       {sql_round_dp("(CAST(rev_dec AS DOUBLE) - CAST(lag(rev_dec) OVER (ORDER BY month) AS DOUBLE)) * 100 / CAST(lag(rev_dec) OVER (ORDER BY month) AS DOUBLE)")}
          AS growth_pct
 FROM m
 """
@@ -285,8 +286,8 @@ def category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("rev_dec").cast("double")
     return cat.select(
         "category",
-        F.round(rev, 4).alias("revenue"),
-        F.round(rev * 100 / total.cast("double"), 4).alias("revenue_share_pct"),
+        round_dp(rev).alias("revenue"),
+        round_dp(rev * 100 / total.cast("double")).alias("revenue_share_pct"),
     )
 
 
@@ -297,9 +298,8 @@ WITH c AS (
   FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1
 )
 SELECT category,
-       round(CAST(rev_dec AS DOUBLE), 4) AS revenue,
-       round(CAST(rev_dec AS DOUBLE) * 100
-             / CAST(sum(rev_dec) OVER () AS DOUBLE), 4) AS revenue_share_pct
+       {sql_round_dp("CAST(rev_dec AS DOUBLE)")} AS revenue,
+       {sql_round_dp("CAST(rev_dec AS DOUBLE) * 100 / CAST(sum(rev_dec) OVER () AS DOUBLE)")} AS revenue_share_pct
 FROM c
 """
 
@@ -326,17 +326,17 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             "c_name",
-            F.round(F.col("rev_dec").cast("double"), 4).alias("revenue"),
+            round_dp(F.col("rev_dec").cast("double")).alias("revenue"),
         )
     )
 
 
-TOP_CUSTOMERS_ORACLE = """
+TOP_CUSTOMERS_ORACLE = f"""
 WITH c AS (
   SELECT c_custkey, c_name, sum(CAST(o_totalprice AS DECIMAL(27,6))) AS rev_dec
   FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2
 )
-SELECT c_custkey, c_name, round(CAST(rev_dec AS DOUBLE), 4) AS revenue
+SELECT c_custkey, c_name, {sql_round_dp("CAST(rev_dec AS DOUBLE)")} AS revenue
 FROM c ORDER BY rev_dec DESC, c_custkey LIMIT 10
 """
 
@@ -357,13 +357,13 @@ def quarterly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "yr",
         "qtr",
-        F.round(rev, 4).alias("revenue"),
-        F.round(prev, 4).alias("prev_year_revenue"),
-        F.round((rev - prev) * 100 / prev, 4).alias("yoy_pct"),
+        round_dp(rev).alias("revenue"),
+        round_dp(prev).alias("prev_year_revenue"),
+        round_dp((rev - prev) * 100 / prev).alias("yoy_pct"),
     )
 
 
-QUARTERLY_YOY_ORACLE = """
+QUARTERLY_YOY_ORACLE = f"""
 WITH q AS (
   SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
          CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
@@ -371,12 +371,10 @@ WITH q AS (
   FROM orders GROUP BY 1, 2
 )
 SELECT yr, qtr,
-       round(CAST(rev_dec AS DOUBLE), 4) AS revenue,
-       round(CAST(lag(rev_dec) OVER (PARTITION BY qtr ORDER BY yr) AS DOUBLE), 4)
+       {sql_round_dp("CAST(rev_dec AS DOUBLE)")} AS revenue,
+       {sql_round_dp("CAST(lag(rev_dec) OVER (PARTITION BY qtr ORDER BY yr) AS DOUBLE)")}
          AS prev_year_revenue,
-       round((CAST(rev_dec AS DOUBLE)
-              - CAST(lag(rev_dec) OVER (PARTITION BY qtr ORDER BY yr) AS DOUBLE))
-             * 100 / CAST(lag(rev_dec) OVER (PARTITION BY qtr ORDER BY yr) AS DOUBLE), 4)
+       {sql_round_dp("(CAST(rev_dec AS DOUBLE) - CAST(lag(rev_dec) OVER (PARTITION BY qtr ORDER BY yr) AS DOUBLE)) * 100 / CAST(lag(rev_dec) OVER (PARTITION BY qtr ORDER BY yr) AS DOUBLE)")}
          AS yoy_pct
 FROM q
 """

@@ -11,7 +11,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.parity import fixed_avg, fixed_sum, fixed_sum_dec, sql_stable_sum
+from ..functions.parity import (
+    fixed_avg,
+    fixed_sum,
+    fixed_sum_dec,
+    round_dp,
+    sql_round_dp,
+    sql_stable_avg,
+    sql_stable_sum,
+)
 from ..sources.tables import load_tables
 
 _SQL_REVENUE = "l_extendedprice * (1 - l_discount)"
@@ -166,8 +174,7 @@ def nation_purchasing_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
 NATION_PATTERNS_ORACLE = f"""
 SELECT n_name AS nation_name,
        {sql_stable_sum("o_totalprice")} AS total_spend,
-       round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
-             / count(o_totalprice), 4) AS avg_order_value,
+       {sql_stable_avg("o_totalprice")} AS avg_order_value,
        count(DISTINCT o_custkey) AS n_customers,
        count(*) AS n_orders
 FROM orders
@@ -185,19 +192,18 @@ def product_catalog_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_products"),
         F.countDistinct("p_brand").alias("n_brands"),
         fixed_avg(F.col("p_retailprice"), 2).alias("avg_price"),
-        F.round(F.min("p_retailprice"), 4).alias("min_price"),
-        F.round(F.max("p_retailprice"), 4).alias("max_price"),
+        round_dp(F.min("p_retailprice")).alias("min_price"),
+        round_dp(F.max("p_retailprice")).alias("max_price"),
     )
 
 
-CATALOG_ORACLE = """
+CATALOG_ORACLE = f"""
 SELECT p_type AS product_type,
        count(*) AS n_products,
        count(DISTINCT p_brand) AS n_brands,
-       round(CAST(sum(CAST(p_retailprice AS DECIMAL(27,6))) AS DOUBLE)
-             / count(p_retailprice), 4) AS avg_price,
-       round(min(p_retailprice), 4) AS min_price,
-       round(max(p_retailprice), 4) AS max_price
+       {sql_stable_avg("p_retailprice")} AS avg_price,
+       {sql_round_dp("min(p_retailprice)")} AS min_price,
+       {sql_round_dp("max(p_retailprice)")} AS max_price
 FROM part GROUP BY 1
 """
 
@@ -226,7 +232,7 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "o_orderdate",
             "o_orderpriority",
-            F.round(F.col("rev_dec").cast("double"), 4).alias("revenue"),
+            round_dp(F.col("rev_dec").cast("double")).alias("revenue"),
         )
     )
 
@@ -243,7 +249,7 @@ WITH agg AS (
   GROUP BY 1, 2, 3
 )
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       round(CAST(rev_dec AS DOUBLE), 4) AS revenue
+       {sql_round_dp("CAST(rev_dec AS DOUBLE)")} AS revenue
 FROM agg ORDER BY rev_dec DESC, l_orderkey LIMIT 10
 """
 
@@ -255,7 +261,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     big_orders = (
         t["lineitem"]
         .groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .agg(round_dp(F.sum("l_quantity")).alias("total_qty"))
         .filter(F.col("total_qty") > 150)
     )
     return (
@@ -267,10 +273,10 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LARGE_VOLUME_ORACLE = """
+LARGE_VOLUME_ORACLE = f"""
 WITH big AS (
-  SELECT l_orderkey, round(sum(l_quantity), 4) AS total_qty
-  FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 4) > 150
+  SELECT l_orderkey, {sql_round_dp("sum(l_quantity)")} AS total_qty
+  FROM lineitem GROUP BY 1 HAVING {sql_round_dp("sum(l_quantity)")} > 150
 )
 SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
 FROM big

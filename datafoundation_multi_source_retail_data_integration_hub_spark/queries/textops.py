@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..functions.parity import round_dp, sql_round_dp
 from ..operators import dedup as DD
 from ..sources.tables import load_tables
 
@@ -284,9 +285,9 @@ def _sql_minhash_accuracy_oracle() -> str:
     )
     return f"""{_sql_minhash_prefix()}
 SELECT id1, id2,
-       round(CAST({agree} AS DOUBLE) / {k}, 4) AS est_jaccard,
-       round({exact}, 4) AS jaccard,
-       round(abs(CAST({agree} AS DOUBLE) / {k} - {exact}), 4) AS abs_err
+       {sql_round_dp(f"CAST({agree} AS DOUBLE) / {k}")} AS est_jaccard,
+       {sql_round_dp(exact)} AS jaccard,
+       {sql_round_dp(f"abs(CAST({agree} AS DOUBLE) / {k} - {exact})")} AS abs_err
 FROM cand
 JOIN sig sx ON id1 = sx.doc_id
 JOIN sig sy ON id2 = sy.doc_id
@@ -448,7 +449,7 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = staged.select(
         "doc_id",
         n.alias("n_words"),
-        F.round(wl, 4).alias("mean_word_len"),
+        round_dp(wl).alias("mean_word_len"),
         (n < QF_MIN_WORDS).alias("too_short"),
         (n > QF_MAX_WORDS).alias("too_long"),
         ((wl < QF_WL_MIN) | (wl > QF_WL_MAX)).alias("bad_word_len"),
@@ -477,7 +478,7 @@ WITH s AS (
          {_SQL_PUNCT} AS punctr
   FROM documents
 )
-SELECT doc_id, n_words, round(wl, 4) AS mean_word_len,
+SELECT doc_id, n_words, {sql_round_dp("wl")} AS mean_word_len,
        n_words < {QF_MIN_WORDS} AS too_short,
        n_words > {QF_MAX_WORDS} AS too_long,
        (wl < {QF_WL_MIN} OR wl > {QF_WL_MAX}) AS bad_word_len,

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.dates import build_calendar, date_key
-from ..functions.parity import fixed_sum, sql_stable_sum
+from ..functions.parity import fixed_sum, round_dp, sql_round_dp, sql_stable_sum
 from ..operators.scd2 import SCD2Config, current_key_map, scd2_initial_load, scd2_merge
 from ..pipelines import retail
 from ..plans.star_schema import StarSchema
@@ -302,12 +302,12 @@ def fact_sales_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             # reference naming quirk: the int date_key lives under the
             # fact's original date column name (SURVEY §2.3)
             date_key(F.col("o_orderdate")).alias("order_date"),
-            F.round("rev", ROUND).alias("revenue"),
+            round_dp(F.col("rev")).alias("revenue"),
         )
     )
 
 
-FACT_RESOLUTION_ORACLE = """
+FACT_RESOLUTION_ORACLE = f"""
 WITH dimc AS (
   SELECT c_custkey,
          row_number() OVER (ORDER BY c_custkey, c_name, c_mktsegment, c_acctbal)
@@ -322,7 +322,7 @@ dimp AS (
 )
 SELECT l_orderkey, l_linenumber, dimc.customer_key, dimp.part_key,
        CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS INTEGER) AS order_date,
-       round(l_extendedprice * (1 - l_discount), 4) AS revenue
+       {sql_round_dp("l_extendedprice * (1 - l_discount)")} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 LEFT JOIN dimc ON o_custkey = dimc.c_custkey
@@ -455,8 +455,8 @@ def dashboard_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         fact.join(cust_attrs, F.col("o_custkey") == F.col("c_custkey"))
         .join(part_attrs, F.col("l_partkey") == F.col("p_partkey"))
         .select(
-            F.round("sales", 4).alias("sales"),
-            F.round("profit", 4).alias("profit"),
+            round_dp(F.col("sales")).alias("sales"),
+            round_dp(F.col("profit")).alias("profit"),
             "order_date",
             F.year("order_date").cast("int").alias("year"),
             "segment",
@@ -465,9 +465,9 @@ def dashboard_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DASHBOARD_EXTRACT_ORACLE = """
-SELECT round(l_extendedprice * (1 - l_discount), 4) AS sales,
-       round(l_extendedprice * (1 - l_discount) - l_extendedprice * l_tax, 4)
+DASHBOARD_EXTRACT_ORACLE = f"""
+SELECT {sql_round_dp("l_extendedprice * (1 - l_discount)")} AS sales,
+       {sql_round_dp("l_extendedprice * (1 - l_discount) - l_extendedprice * l_tax")}
          AS profit,
        CAST(o_orderdate AS DATE) AS order_date,
        CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS year,

@@ -217,3 +217,28 @@ def test_quantile_interp_single_value_group(spark):
 def test_fuzz_quantile_interp(spark, xs):
     ref, got = _quantiles_both(spark, xs, [0.1, 0.5, 0.9])
     assert ref == got, (xs, ref, got)
+
+
+def test_round_dp_matches_duckdb_where_builtin_round_does_not(spark):
+    """951.27/24 prints as "39.63625" but its exact binary value is just
+    below the midpoint: Spark's builtin round says 39.6363 (it rounds
+    the shortest decimal repr), DuckDB's says 39.6362 (it rounds the
+    binary value). round_dp / sql_round_dp must agree with each other —
+    and expose that the builtins disagree, so the trap stays visible."""
+    import duckdb
+
+    from datafoundation_multi_source_retail_data_integration_hub_spark.functions.parity import (
+        round_dp,
+        sql_round_dp,
+    )
+
+    x = "CAST(951.27 AS DOUBLE) / 24"
+    row = spark.range(1).select(
+        round_dp(F.expr(x)).alias("ours"),
+        F.round(F.expr(x), 4).alias("builtin"),
+    ).first()
+    duck_ours, duck_builtin = duckdb.sql(
+        f"SELECT {sql_round_dp(x)}, round({x}, 4)"
+    ).fetchone()
+    assert row["ours"] == duck_ours == 39.6362
+    assert row["builtin"] == 39.6363 and duck_builtin == 39.6362  # the trap
