@@ -24,104 +24,111 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.relational.flagship_star_revenue(spark, "/root/testdata/sf0.001")
 
 
-# Round-5 rotation: the correctness run has a global budget that covers
-# ~50 of the 105 queries, so ordering decides which families get rows.
-# _PRIORITY pins (a) embedding_quantize_int8 — r04's only red row (the
-# codes column is now a sortable string), (b) the eight queries NEW in
-# r05 (stream-stream + stream-static joins, HLL/KLL/theta/GK sketches,
-# DPP, runtime bloom join) which have no row at all yet, and (c) every
-# query whose last green row is r03: after r05 records, the staleness
-# window becomes r04+r05, so the 47 r03-only names must sit inside the
-# driver budget. That makes 56 names against a ~50-row budget — the
-# llmops tail (vocab_top_tokens onward) may slide out of r05 and MUST
-# rotate to the front of r06's list
-# (tests/test_rotation_staleness.py enforces it).
+# Round-6 rotation: the driver records exactly 50 rows per round (count
+# cap, observed r01-r05) against 105+ declared queries, so ordering
+# decides which names get rows. After r05 recorded its 50, the staleness
+# window is r04+r05; _PRIORITY pins, in order:
+#   (a) the 6 llmops-tail names whose last green row is r03 (the failing
+#       rotation guard in r05 listed exactly these — 2 rounds stale);
+#   (b) the queries NEW in r06 (persisted sketch cube, audit replay,
+#       partition-merge SCD2 publish, ANN quality report) with no row yet;
+#   (c) the 49 names whose last green row is r04 (relational, warehouse,
+#       vectors, quality families) — ~40 of them fit the remaining
+#       budget; the ~9 most-stable scalar queries sit at the tail and
+#       rotate to the front of r07 if they slide
+#       (tests/test_rotation_staleness.py enforces that rotation).
+# Names recorded green in r05 come last via _modules() and are skipped
+# by the r06 budget — they re-enter the front in r07.
 _PRIORITY = [
-    "embedding_quantize_int8",
-    # new in r05 (no CORRECTNESS row exists yet)
-    "stream_click_attribution",
-    "orders_approx_distinct_sketch",
-    "lineitem_quantile_sketch",
-    "dpp_dim_filtered_sales",
-    "events_sketch_rollup",
-    "events_user_overlap_theta",
-    "bloom_pruned_fact_join",
-    "stream_static_enrichment",
-    # streaming (r03-only)
-    "stream_tumbling_counts",
-    "stream_dedup_count",
-    "stream_session_windows",
-    "stream_scd2_upsert",
-    # eventops batch twins (r03-only)
-    "events_tumbling_10m",
-    "events_sliding_10m_5m",
-    "events_sessionization",
-    "events_json_flatten",
-    "events_first_per_user_type",
-    "events_purchase_attribution",
-    "events_close_pairs",
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_gapfill_10m",
-    # multimodal (r03-only)
-    "doc_binary_stats",
-    "doc_media_sampled",
-    # textops / dedup family (r03-only)
-    "doc_quality_filter",
-    "doc_repetition_stats",
-    "doc_incremental_dedup",
-    "doc_winnowing_pairs",
-    "doc_text_stats",
-    "doc_winnowing_fingerprints",
-    "doc_neardup_clusters",
-    "doc_lang_id",
-    "doc_fingerprint",
-    "doc_exact_dedup",
-    "doc_dedup_keep_first",
-    "doc_ngram_jaccard_pairs",
-    "doc_minhash_lsh_pairs",
-    "doc_simhash",
-    "doc_simhash_pairs",
-    # curation (r03-only)
-    "doc_segment_dedup",
-    "doc_unigram_familiarity",
-    "doc_cluster_best",
-    "customer_pii_masked",
-    # profiling tail (r03-only)
-    "customer_revenue_deciles",
-    "order_grouping_sets",
-    "lineitem_stats_profile",
-    "join_key_skew_report",
-    # llmops (r03-only)
-    "doc_hash_sample",
-    "doc_chunk_windows",
+    # (a) last green r03 — 2 rounds stale, must record in r06
+    "doc_contamination",
+    "doc_pack_sequences",
     "doc_stratified_sample",
+    "doc_tfidf_top_terms",
     "doc_train_split",
     "vocab_top_tokens",
-    "doc_tfidf_top_terms",
-    "doc_pack_sequences",
-    "doc_contamination",
+    # (b) new in r06 (no CORRECTNESS row exists yet)
+    "events_sketch_cube",
+    "stream_audit_replay",
+    "scd2_partition_merge",
+    "ann_quality_report",
+    # (c) last green r04 — relational core
+    "flagship_star_revenue",
+    "pricing_summary",
+    "kpi_summary",
+    "daily_sales_trend",
+    "segment_sales",
+    "category_share",
+    "monthly_trend_growth",
+    "quarterly_yoy",
+    "top_customers",
+    "shipping_priority_top10",
+    "region_nation_rollup",
+    "nation_purchasing_patterns",
+    "supplier_nation_volume",
+    "latest_order_per_customer",
+    # (c) relational_ext / quality
+    "parts_with_bulk_lineitems",
+    "customers_without_open_orders",
+    "lineitem_validation_summary",
+    "scd2_customer_two_batch",
+    "scd2_change_feed",
+    "dim_customer_scd2_init",
+    # (c) warehouse
+    "fact_sales_resolution",
+    "mart_sales_performance",
+    "mart_category_analysis",
+    "dashboard_extract",
+    "bucketed_colocated_join",
+    "salted_hot_key_join",
+    "partitioned_fact_pruning",
+    # (c) vectors / embeddings
+    "embedding_topk_bruteforce",
+    "embedding_ann_lsh",
+    "embedding_ann_ivf",
+    "embedding_ann_pq",
+    "embedding_kmeans",
+    "embedding_semantic_dedup",
+    "embedding_cosine_neardup",
+    "doc_hybrid_search_rrf",
+    "doc_minhash_accuracy",
+    # (c) events / profiling / streaming
+    "events_rolling_anomaly",
+    "order_price_percentiles",
+    "order_priority_pivot",
+    "stream_user_session_stats",
+    # (c) tail: most-stable scalar queries — first to slide, r07 front
+    "dim_date_calendar",
+    "filter_domains",
+    "customer_balance_tiers",
+    "weekend_weekday_sales",
+    "large_volume_customers",
+    "product_catalog_overview",
+    "fk_integrity_audit",
+    "doc_length_histogram",
+    "doc_source_stats",
 ]
 
 
 def _modules():
-    # After the pinned names: the r03-only families first (so any name
-    # the list above misses still lands early), then the families fully
-    # re-recorded in r04 (warehouse, vectors, relational, quality) last —
-    # they are one round stale at worst and rotate to the front in r06.
+    # After the pinned names: the r04-recorded families first (so any
+    # r04 name the list above misses still lands early), then the
+    # families fully re-recorded in r05 (streaming, eventops, textops,
+    # curation, llmops, profiling) last — they are one round stale at
+    # worst and rotate to the front in r07.
     return [
+        q.relational,
+        q.relational_ext,
+        q.quality,
+        q.warehouse,
+        q.vectors,
+        q.profiling,
+        q.llmops,
         streaming_pipelines,
         q.eventops,
         q.multimodalops,
         q.textops,
         q.curation,
-        q.profiling,
-        q.llmops,
-        q.warehouse,
-        q.vectors,
-        q.relational,
-        q.relational_ext,
-        q.quality,
     ]
 
 
