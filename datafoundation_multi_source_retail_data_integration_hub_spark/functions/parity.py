@@ -64,10 +64,21 @@ def round_dp(c: Column, dp: int = ROUND) -> Column:
     oracle mismatch caught by the sf0.1 sweep (events_sliding_10m_5m).
     The floor form's tie rule is half-toward-+inf on the double grid —
     not decimal HALF_UP — but it is the SAME rule in both engines,
-    which is the whole parity contract. Domain: |x|*10^dp within 2^63
-    (floor casts long), far past every aggregate here."""
+    which is the whole parity contract.
+
+    Full-domain: Spark's ``floor(double)`` returns BIGINT, which would
+    overflow (and diverge from DuckDB's double-typed floor) once
+    |x|*10^dp reaches 2^63. Every double with |y| >= 2^52 is already an
+    integer (ulp >= 1), so IEEE floor is the identity there; branching
+    on that bound makes this expression exactly DuckDB's
+    double-in/double-out floor over the whole double range, NaN and
+    +/-inf included, while the |y| < 2^52 branch casts long exactly."""
     f = F.lit(float(10**dp))
-    return F.floor(c * f + F.lit(0.5)) / f
+    y = c * f + F.lit(0.5)
+    fl = F.when(F.isnan(y) | (F.abs(y) >= F.lit(float(1 << 52))), y).otherwise(
+        F.floor(y).cast("double")
+    )
+    return fl / f
 
 
 def sql_round_dp(expr: str, dp: int = ROUND) -> str:

@@ -358,8 +358,12 @@ def orders_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
     distinct at all."""
     orders = load_tables(spark, sf_dir, "orders")["orders"]
     pairs = orders.select("o_orderpriority", "o_custkey").distinct()
+    # count the KEY column, not count(1): over the distinct pairs the two
+    # differ only when a NULL key survives the dedup — count(o_custkey)
+    # excludes it, matching both count(DISTINCT) oracle semantics and
+    # approx_count_distinct (which also skips NULLs)
     agg = pairs.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("exact_customers"),
+        F.count("o_custkey").alias("exact_customers"),
         F.approx_count_distinct("o_custkey", HLL_RSD).alias("__approx"),
     )
     return agg.select(
@@ -491,9 +495,11 @@ def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orders_approx_distinct_sketch); HLL is duplicate-insensitive, so
     # the deduped build yields the identical sketch.
     pairs = ev.select("event_type", "user_id").distinct()
+    # count the KEY column (NULL-excluding, like count(DISTINCT) and like
+    # hll_sketch_agg itself), not count(1) over the deduped pairs
     users = pairs.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", HLL_LG_K).alias("__hsk"),
-        F.count(F.lit(1)).alias("exact_users"),
+        F.count("user_id").alias("exact_users"),
     )
     values = ev.groupBy("event_type").agg(
         F.kll_sketch_agg_double("value", KLL_K).alias("__ksk"),
@@ -527,7 +533,7 @@ def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_exact = (
         pairs.select("user_id")
         .distinct()
-        .agg(F.count(F.lit(1)).alias("exact_users"))
+        .agg(F.count("user_id").alias("exact_users"))
         .crossJoin(
             ev.agg(sorted_vals(F.col("value")).alias("__v")).select(
                 quantile_interp(F.col("__v"), 0.5).alias("p50"),

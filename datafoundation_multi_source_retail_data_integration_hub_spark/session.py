@@ -76,7 +76,13 @@ def scoped_confs(spark: SparkSession, confs: dict[str, str]) -> Iterator[None]:
     its prior value (or unsetting it) on exit. Catalyst reads confs at
     OPTIMIZATION time, not DataFrame-construction time, so any plan that
     depends on the scoped values must be *executed* (e.g. via
-    ``localCheckpoint(eager=True)``) inside the block."""
+    ``localCheckpoint(eager=True)``) inside the block.
+
+    SINGLE-THREADED by design: SQL confs are session-global, so a block
+    mutates state visible to every query on this SparkSession. The
+    grading driver and bench run queries sequentially; if execution is
+    ever parallelized, wrap scoped blocks in a lock (or give each thread
+    its own ``spark.newSession()``, which clones the conf map)."""
     saved: dict[str, str | None] = {}
     for k, v in confs.items():
         try:

@@ -9,6 +9,7 @@ value comparison with columns sorted by name.
 from __future__ import annotations
 
 import math
+import struct
 
 import duckdb
 
@@ -45,8 +46,12 @@ def _norm_cell(v):
         # engines, and the driver hashes raw values — a last-ulp drift
         # is a real regression. A 9-sig-digit compare here waved through
         # the round-5 quantile-interpolation drift that the raw-bit
-        # verify recipe caught.
-        return v
+        # verify recipe caught. Normalize to a (type tag, IEEE-754 bits)
+        # pair rather than the float itself: Python's ``==`` would treat
+        # -0.0 == 0.0 and 5 == 5.0 as equal, but the driver's value hash
+        # distinguishes both sign-of-zero and int-vs-float dtype drift —
+        # make them fail locally the same way they fail the driver.
+        return ("f64", struct.pack("<d", v))
     if isinstance(v, (list, tuple)):
         # The grading driver canonicalizes with pandas sort_values over
         # every column, which cannot factorize list cells (r04:

@@ -242,3 +242,35 @@ def test_round_dp_matches_duckdb_where_builtin_round_does_not(spark):
     ).fetchone()
     assert row["ours"] == duck_ours == 39.6362
     assert row["builtin"] == 39.6363 and duck_builtin == 39.6362  # the trap
+
+
+def test_round_dp_full_double_domain(spark):
+    """Beyond |x|*10^dp >= 2^63 Spark's bigint-typed floor would
+    overflow while DuckDB's floor stays a double — round_dp branches on
+    the 2^52 all-integers bound so the two engines stay bit-identical
+    over the WHOLE double range (the ADVICE-r05 domain edge)."""
+    import struct
+
+    import duckdb
+
+    from datafoundation_multi_source_retail_data_integration_hub_spark.functions.parity import (
+        round_dp,
+        sql_round_dp,
+    )
+
+    edges = [
+        "CAST(9.3e14 AS DOUBLE)",          # |x|*1e4 just past 2^63
+        "CAST(-9.3e14 AS DOUBLE)",
+        "CAST(4.6e14 AS DOUBLE) + 0.37",   # just under 2^63, inside long
+        "CAST(4.503599627370497e11 AS DOUBLE)",  # y straddles 2^52
+        "CAST(1e308 AS DOUBLE)",           # far past any long
+        "CAST(-1e308 AS DOUBLE)",
+        "CAST(123.456789 AS DOUBLE)",      # ordinary in-domain value
+    ]
+    sels = [round_dp(F.expr(x)).alias(f"c{i}") for i, x in enumerate(edges)]
+    srow = spark.range(1).select(*sels).first()
+    drow = duckdb.sql(
+        "SELECT " + ", ".join(sql_round_dp(x) for x in edges)
+    ).fetchone()
+    for i, (s, d) in enumerate(zip(srow, drow)):
+        assert struct.pack("<d", s) == struct.pack("<d", d), (edges[i], s, d)
