@@ -89,6 +89,7 @@ HEADLINE = [
     "orders_approx_distinct_sketch",
     "lineitem_quantile_sketch",
     "events_sketch_rollup",
+    "events_sketch_cube",
     "events_user_overlap_theta",
     "bucketed_colocated_join",
     "partitioned_fact_pruning",

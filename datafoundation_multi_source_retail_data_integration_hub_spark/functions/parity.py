@@ -220,10 +220,37 @@ def sql_stable_avg(expr: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+# Domain contract (like ``fixed_units``'): sorted_vals buffers a WHOLE
+# GROUP in one aggregation state — it exists so exact-quantile twins can
+# gate the mergeable sketches (KLL/GK) against the DuckDB oracle, and it
+# is ORACLE SCAFFOLDING with a bench-scale domain, not a production
+# aggregate. At 100 TB the sketch column ships and the exact twin is
+# dropped (see queries/profiling.py docstrings). The runtime guard below
+# raises mid-query if any group exceeds the domain, so a future caller
+# cannot silently ship a full-corpus collect_list into a hot path.
+SORTED_VALS_MAX = 5_000_000  # ~40 MB of doubles per group buffer
+
+
 def sorted_vals(c: Column) -> Column:
     """Aggregate: the group's values as one ascending-sorted array
-    (nulls dropped by collect_list, matching percentile/quantile_cont)."""
-    return F.sort_array(F.collect_list(c))
+    (nulls dropped by collect_list, matching percentile/quantile_cont).
+
+    Raises at execution time when a group holds more than
+    ``SORTED_VALS_MAX`` values — see the domain contract above."""
+    arr = F.sort_array(F.collect_list(c))
+    # the raise sits in the OTHERWISE branch (not an if(x,a,a) shape a
+    # conditional-simplification rule could fold away), so the size
+    # check survives optimization and fires at execution time
+    return F.when(F.size(arr) <= F.lit(SORTED_VALS_MAX), arr).otherwise(
+        F.raise_error(
+            F.lit(
+                "sorted_vals: group exceeds SORTED_VALS_MAX "
+                f"({SORTED_VALS_MAX}) — this exact-quantile twin is "
+                "oracle scaffolding with a bench-scale domain; use the "
+                "KLL/GK sketch path at scale"
+            )
+        )
+    )
 
 
 def quantile_interp(sorted_col: Column, p: float) -> Column:

@@ -659,6 +659,125 @@ FROM flags
 """
 
 
+# ---------------------------------------------------------------------------
+# Persisted sketch cube: ``events_sketch_rollup`` merges per-group sketches
+# in memory within one query; the production pattern persists the fine-grain
+# sketch rows as a warehouse table and answers EVERY coarser rollup later by
+# merging the STORED sketches — no rescan of the fact, across a persistence
+# boundary. At 100 TB the base build is the only full scan (one pass,
+# constant-size state per (day, type) cell, partitioned by day so an
+# incremental refresh overwrites one day's partition); each rollup then
+# reads kilobytes of sketch bytes. The exact twins below rescan events per
+# grain — oracle scaffolding only (same bench-scale-only contract as
+# ``events_sketch_rollup``'s twins, see ``sorted_vals``' domain note).
+# ---------------------------------------------------------------------------
+
+
+def _sketch_cube_rollups(spark: SparkSession, sf_dir: str, db: str) -> DataFrame:
+    from ..sources import writers as W
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    day = F.to_date(F.date_trunc("day", "ts")).alias("event_day")
+    # base: ONE scan of the fact -> per-(day, type) mergeable sketch rows,
+    # written partitioned by day (incremental-refresh unit)
+    base = ev.groupBy(day, "event_type").agg(
+        F.hll_sketch_agg("user_id", HLL_LG_K).alias("users_hll"),
+        F.kll_sketch_agg_double("value", KLL_K).alias("value_kll"),
+    )
+    # cluster the tiny cell rows by the partition column before the
+    # dynamic-partition write: one file per day directory instead of
+    # (shuffle-partitions x days) slivers
+    W.write_table(
+        base.repartition("event_day"),
+        "events_sketch_cells",
+        database=db,
+        partition_by=("event_day",),
+    )
+    stored = W.read_table(spark, "events_sketch_cells", db)
+
+    def _merged(grouped):
+        return grouped.agg(
+            F.hll_union_agg("users_hll", F.lit(True)).alias("__hsk"),
+            F.kll_merge_agg_double("value_kll").alias("__ksk"),
+        )
+
+    ev = ev.select(day, "event_type", "user_id", "value")
+
+    # exact twins per grain (rescan — verification scaffolding, not the
+    # at-scale path; at 100 TB only the stored-sketch merges run)
+    def _exact(keys: list[str]):
+        grp = lambda df: df.groupBy(*keys) if keys else df.groupBy()
+        users = grp(ev.select(*keys, "user_id").distinct()).agg(
+            F.count("user_id").alias("exact_users")
+        )
+        vals = grp(ev).agg(sorted_vals(F.col("value")).alias("__v")).select(
+            *keys, quantile_interp(F.col("__v"), 0.5).alias("p50")
+        )
+        return users.join(vals, keys) if keys else users.crossJoin(vals)
+
+    def _checked(df: DataFrame, grain: F.Column) -> DataFrame:
+        return df.select(
+            grain.alias("grain"),
+            "exact_users",
+            "p50",
+            (
+                F.abs(F.hll_sketch_estimate("__hsk") - F.col("exact_users"))
+                <= SKETCH_USERS_BOUND * F.col("exact_users")
+            ).alias("users_ok"),
+            _kll_rank_envelope_ok("__ksk", "p50", 0.5).alias("p50_ok"),
+        )
+
+    per_type = _checked(
+        _merged(stored.groupBy("event_type")).join(_exact(["event_type"]), "event_type"),
+        F.concat(F.lit("type:"), F.col("event_type")),
+    )
+    per_day = _checked(
+        _merged(stored.groupBy("event_day")).join(_exact(["event_day"]), "event_day"),
+        F.concat(F.lit("day:"), F.col("event_day").cast("string")),
+    )
+    overall = _checked(
+        _merged(stored.groupBy()).crossJoin(_exact([])), F.lit("ALL")
+    )
+    return per_type.unionByName(per_day).unionByName(overall)
+
+
+def events_sketch_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch cube across a persistence boundary: per-(day, event_type)
+    HLL user sketches + KLL value sketches are WRITTEN to a day-partitioned
+    warehouse table, then the per-type, per-day, and global rollups are
+    answered by merging the stored sketch bytes — zero fact rescans on the
+    estimate side. Driver-compared values are the exact twins plus bound
+    booleans (the sketch contract of ``orders_approx_distinct_sketch``).
+    Wrapper uses a per-invocation namespace (materialize, drop), like
+    ``dpp_dim_filtered_sales``."""
+    import uuid
+
+    db = f"sketch_cube_{uuid.uuid4().hex[:12]}"
+    try:
+        out = _sketch_cube_rollups(spark, sf_dir, db).localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    return out
+
+
+EVENTS_SKETCH_CUBE_ORACLE = """
+SELECT 'type:' || event_type AS grain,
+       count(DISTINCT user_id) AS exact_users,
+       quantile_cont(value, 0.5) AS p50,
+       TRUE AS users_ok, TRUE AS p50_ok
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'day:' || CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR),
+       count(DISTINCT user_id),
+       quantile_cont(value, 0.5),
+       TRUE, TRUE
+FROM events GROUP BY CAST(date_trunc('day', ts) AS DATE)
+UNION ALL
+SELECT 'ALL', count(DISTINCT user_id), quantile_cont(value, 0.5), TRUE, TRUE
+FROM events
+"""
+
+
 QUERIES = {
     "customer_revenue_deciles": customer_revenue_deciles,
     "order_grouping_sets": order_grouping_sets,
@@ -669,6 +788,7 @@ QUERIES = {
     "lineitem_quantile_sketch": lineitem_quantile_sketch,
     "events_sketch_rollup": events_sketch_rollup,
     "events_user_overlap_theta": events_user_overlap_theta,
+    "events_sketch_cube": events_sketch_cube,
 }
 
 ORACLES = {
@@ -681,4 +801,5 @@ ORACLES = {
     "lineitem_quantile_sketch": LINEITEM_QUANTILE_SKETCH_ORACLE,
     "events_sketch_rollup": EVENTS_SKETCH_ROLLUP_ORACLE,
     "events_user_overlap_theta": EVENTS_USER_OVERLAP_THETA_ORACLE,
+    "events_sketch_cube": EVENTS_SKETCH_CUBE_ORACLE,
 }

@@ -274,3 +274,24 @@ def test_round_dp_full_double_domain(spark):
     ).fetchone()
     for i, (s, d) in enumerate(zip(srow, drow)):
         assert struct.pack("<d", s) == struct.pack("<d", d), (edges[i], s, d)
+
+
+def test_sorted_vals_guard_fires_on_oversized_group(spark, monkeypatch):
+    """sorted_vals is oracle scaffolding with a bench-scale domain; the
+    runtime guard must raise mid-query on a group past SORTED_VALS_MAX
+    (shrunk here), and stay invisible inside the domain."""
+    import pytest
+
+    from datafoundation_multi_source_retail_data_integration_hub_spark.functions import (
+        parity,
+    )
+
+    df = spark.range(100).select(F.col("id").cast("double").alias("x"))
+    monkeypatch.setattr(parity, "SORTED_VALS_MAX", 10)
+    with pytest.raises(Exception, match="SORTED_VALS_MAX"):
+        df.agg(parity.sorted_vals(F.col("x")).alias("v")).collect()
+    monkeypatch.setattr(parity, "SORTED_VALS_MAX", 100)
+    got = df.agg(
+        parity.quantile_interp(parity.sorted_vals(F.col("x")), 0.5).alias("p50")
+    ).first()["p50"]
+    assert got == 49.5

@@ -59,6 +59,9 @@ def main() -> None:
         "bucketed_colocated_join",
         "partitioned_fact_pruning",
         "dpp_dim_filtered_sales",
+        # writes + reads back the day-partitioned sketch-cell table per
+        # invocation; the oracle is three plain SELECTs
+        "events_sketch_cube",
         # runs a deliberately broadcast-disabled plan to demonstrate the
         # at-scale bloom-injection shape — not Spark's best local plan
         "bloom_pruned_fact_join",
