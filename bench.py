@@ -44,6 +44,7 @@ HEADLINE = [
     "order_price_percentiles",
     "dim_date_calendar",
     "scd2_customer_two_batch",
+    "scd2_partition_merge",
     "fact_sales_resolution",
     "mart_sales_performance",
     "mart_category_analysis",
@@ -68,6 +69,7 @@ HEADLINE = [
     "embedding_quantize_int8",
     "embedding_ann_pq",
     "doc_hybrid_search_rrf",
+    "ann_quality_report",
     "embedding_cosine_neardup",
     "embedding_semantic_dedup",
     "events_tumbling_10m",
@@ -99,6 +101,7 @@ HEADLINE = [
     "stream_user_session_stats",
     "stream_click_attribution",
     "stream_static_enrichment",
+    "stream_audit_replay",
 ]
 
 

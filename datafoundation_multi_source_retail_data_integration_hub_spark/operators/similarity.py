@@ -287,24 +287,18 @@ def cosine_neardup_pairs(
     )
 
 
-def lsh_ann_topk(
+def lsh_scored(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int,
     n_planes: int = 6,
     dim: int = 64,
     probe_radius: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate cosine top-k: score only corpus vectors whose bucket is
-    within Hamming distance ``probe_radius`` (0 or 1) of the query bucket.
-
-    The cross join of brute force becomes an equi-join on the bucket id —
-    with b buckets the scored pairs shrink ~b/(1+n_planes)-fold.
-    Multi-probe flips one sign bit at a time on the *query* side (the tiny
-    side), so the corpus is still hashed exactly once.
-    """
+    """The LSH candidate stage: (query_id, neighbor_id, cosine) for every
+    bucket-colliding pair — ``lsh_ann_topk`` ranks this; the ANN quality
+    report also counts it (the candidate set IS the method's cost)."""
     planes = hyperplanes(n_planes, dim)
     # norms hoisted to one fold per side (bit-equal scores — see
     # brute_force_topk); the corpus is hashed AND normed exactly once
@@ -331,7 +325,7 @@ def lsh_ann_topk(
         norm(F.col(vec_col)).alias("__cn"),
         bucket_id(F.col(vec_col), planes).alias("bucket"),
     )
-    scored = (
+    return (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
@@ -340,7 +334,38 @@ def lsh_ann_topk(
         )
         .select("query_id", "neighbor_id", "cosine")
     )
-    return exact_topk_per_query(scored, k)
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_planes: int = 6,
+    dim: int = 64,
+    probe_radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: score only corpus vectors whose bucket is
+    within Hamming distance ``probe_radius`` (0 or 1) of the query bucket.
+
+    The cross join of brute force becomes an equi-join on the bucket id —
+    with b buckets the scored pairs shrink ~b/(1+n_planes)-fold.
+    Multi-probe flips one sign bit at a time on the *query* side (the tiny
+    side), so the corpus is still hashed exactly once.
+    """
+    return exact_topk_per_query(
+        lsh_scored(
+            corpus,
+            queries,
+            n_planes=n_planes,
+            dim=dim,
+            probe_radius=probe_radius,
+            id_col=id_col,
+            vec_col=vec_col,
+        ),
+        k,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -348,10 +373,9 @@ def lsh_ann_topk(
 # ---------------------------------------------------------------------------
 
 
-def ivf_ann_topk(
+def ivf_scored(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int,
     centroid_stride: int = 100,
     nprobe: int = 2,
     id_col: str = "vec_id",
@@ -430,7 +454,7 @@ def ivf_ann_topk(
         .filter(F.col("__pr") <= nprobe)
         .select("query_id", "qvec", "__qn", "cid")
     )
-    scored = (
+    return (
         corpus_cells.join(F.broadcast(probes), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
@@ -439,4 +463,29 @@ def ivf_ann_topk(
         )
         .select("query_id", "neighbor_id", "cosine")
     )
-    return exact_topk_per_query(scored, k)
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroid_stride: int = 100,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Exact top-k over the ``ivf_scored`` candidate stage (see its
+    docstring for the plan shape and scale analysis)."""
+    return exact_topk_per_query(
+        ivf_scored(
+            corpus,
+            queries,
+            centroid_stride=centroid_stride,
+            nprobe=nprobe,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroids=centroids,
+        ),
+        k,
+    )

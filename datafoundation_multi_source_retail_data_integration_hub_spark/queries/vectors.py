@@ -803,6 +803,164 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# ANN quality report: the user-facing artifact for CHOOSING an index.
+# Every method here is deterministic (md5 planes, strided centroids,
+# hash-sampled k-means), so recall@k against the brute-force truth and
+# the candidate-set size (the method's cost) are exact, fully
+# oracle-gated values — no bound booleans needed.
+# ---------------------------------------------------------------------------
+
+
+def ann_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per ANN method (LSH / IVF / PQ-ADC): hits against the
+    brute-force top-k truth, recall@k, and the scored-candidate count
+    beside the full n_queries x (corpus-1) pair count — quality vs cost
+    on the same corpus and query set. PQ scores every pair by design
+    (the m-bytes-per-vector brute-force regime): its 'candidates' equal
+    the full pair count; its win is bytes moved, not pairs skipped."""
+    from ..operators.similarity import exact_topk_per_query, ivf_scored, lsh_scored
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    nq = queries.count()
+    truth = (
+        embedding_topk_bruteforce(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    n_truth = truth.count()
+    full_pairs = nq * (n - 1)
+
+    def hits(topk: DataFrame) -> int:
+        return (
+            topk.select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"], "left_semi")
+            .count()
+        )
+
+    # candidate stages persisted: counted once, ranked once
+    lsh = lsh_scored(
+        emb, queries, n_planes=_n_planes(spark, sf_dir), dim=DIM
+    ).persist()
+    ivf = ivf_scored(
+        emb, queries, centroid_stride=IVF_STRIDE, nprobe=IVF_NPROBE
+    ).persist()
+    try:
+        rows = [
+            ("lsh", hits(exact_topk_per_query(lsh, TOP_K)), lsh.count()),
+            ("ivf", hits(exact_topk_per_query(ivf, TOP_K)), ivf.count()),
+            ("pq", hits(embedding_ann_pq(spark, sf_dir)), full_pairs),
+        ]
+    finally:
+        lsh.unpersist()
+        ivf.unpersist()
+    out = [
+        (
+            m,
+            h,
+            n_truth,
+            # int/int IEEE double division — bit-identical to the oracle's
+            float(h) / float(n_truth),
+            c,
+            full_pairs,
+            float(c) / float(full_pairs),
+        )
+        for (m, h, c) in rows
+    ]
+    return spark.createDataFrame(
+        out,
+        "method string, n_hits long, n_truth long, recall_at_k double, "
+        "n_candidates long, n_full_pairs long, candidate_frac double",
+    )
+
+
+def _sql_ann_quality_oracle() -> str:
+    flips = [0] + [1 << p for p in range(N_PLANES)]
+    lsh_cand = f"""(
+  WITH q0 AS (
+    SELECT vec_id AS query_id, {_sql_bucket("embedding")} AS bucket
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+  ),
+  qp AS (
+    SELECT query_id, xor(bucket, flip) AS bucket
+    FROM q0, (SELECT unnest({flips}) AS flip)
+  ),
+  cb AS (
+    SELECT vec_id AS neighbor_id, {_sql_bucket("embedding")} AS bucket
+    FROM embeddings
+  )
+  SELECT count(*) FROM cb JOIN qp USING (bucket) WHERE query_id <> neighbor_id
+)"""
+    csim = (
+        f"{_sql_dot('c.embedding', 'cents.centv')}"
+        f" / ({_sql_norm('c.embedding')} * {_sql_norm('cents.centv')})"
+    )
+    qsim = (
+        f"{_sql_dot('q.embedding', 'cents.centv')}"
+        f" / ({_sql_norm('q.embedding')} * {_sql_norm('cents.centv')})"
+    )
+    ivf_cand = f"""(
+  WITH cents AS (
+    SELECT vec_id AS cid, embedding AS centv FROM embeddings
+    WHERE vec_id % {IVF_STRIDE} = 0
+  ),
+  cells AS (
+    SELECT neighbor_id, cid FROM (
+      SELECT c.vec_id AS neighbor_id, cents.cid,
+             row_number() OVER (
+               PARTITION BY c.vec_id ORDER BY {csim} DESC, cents.cid) AS rn
+      FROM embeddings c CROSS JOIN cents
+    ) WHERE rn = 1
+  ),
+  probes AS (
+    SELECT query_id, cid FROM (
+      SELECT q.vec_id AS query_id, cents.cid,
+             row_number() OVER (
+               PARTITION BY q.vec_id ORDER BY {qsim} DESC, cents.cid) AS pr
+      FROM embeddings q CROSS JOIN cents WHERE q.vec_id < {N_QUERIES}
+    ) WHERE pr <= {IVF_NPROBE}
+  )
+  SELECT count(*) FROM cells JOIN probes USING (cid)
+  WHERE query_id <> neighbor_id
+)"""
+    return f"""
+WITH truth AS ({EMBEDDING_TOPK_ORACLE}),
+lsh AS ({_sql_ann_oracle()}),
+ivf AS ({_sql_ivf_oracle()}),
+pq AS ({_sql_pq_oracle()}),
+consts AS (
+  SELECT (SELECT count(*) FROM embeddings) AS n,
+         (SELECT count(*) FROM embeddings WHERE vec_id < {N_QUERIES}) AS nq,
+         (SELECT count(*) FROM truth) AS n_truth
+),
+m AS (
+  SELECT 'lsh' AS method,
+         (SELECT count(*) FROM lsh JOIN truth USING (query_id, neighbor_id))
+           AS n_hits,
+         {lsh_cand} AS n_candidates
+  UNION ALL
+  SELECT 'ivf',
+         (SELECT count(*) FROM ivf JOIN truth USING (query_id, neighbor_id)),
+         {ivf_cand}
+  UNION ALL
+  SELECT 'pq',
+         (SELECT count(*) FROM pq JOIN truth USING (query_id, neighbor_id)),
+         (SELECT nq * (n - 1) FROM consts)
+)
+SELECT method, n_hits,
+       (SELECT n_truth FROM consts) AS n_truth,
+       CAST(n_hits AS DOUBLE) / CAST((SELECT n_truth FROM consts) AS DOUBLE)
+         AS recall_at_k,
+       n_candidates,
+       (SELECT nq * (n - 1) FROM consts) AS n_full_pairs,
+       CAST(n_candidates AS DOUBLE)
+         / CAST((SELECT nq * (n - 1) FROM consts) AS DOUBLE) AS candidate_frac
+FROM m
+"""
+
+
 QUERIES = {
     "embedding_semantic_dedup": embedding_semantic_dedup,
     "embedding_topk_bruteforce": embedding_topk_bruteforce,
@@ -813,9 +971,11 @@ QUERIES = {
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_ann_pq": embedding_ann_pq,
     "doc_hybrid_search_rrf": doc_hybrid_search_rrf,
+    "ann_quality_report": ann_quality_report,
 }
 
 ORACLES = {
+    "ann_quality_report": _sql_ann_quality_oracle(),
     "embedding_semantic_dedup": _sql_semdedup_oracle(),
     "embedding_kmeans": _sql_kmeans_oracle(),
     "embedding_topk_bruteforce": EMBEDDING_TOPK_ORACLE,

@@ -262,6 +262,227 @@ WHERE expiry_date = DATE '{D1}' OR effective_date = DATE '{D1}'
 
 
 # ---------------------------------------------------------------------------
+# MERGE-shaped SCD2 publish: partition-overwrite (replaceWhere-style)
+# idempotent dim publish keyed by batch. The merge PLAN is the identical
+# set-based ``scd2_merge``; the WRITER publishes only the partitions a
+# batch touches. Layout: partition column ``pub`` = 'current' for live
+# rows, 'expired-<batch date>' for rows that batch closed — so batch D
+# writes exactly {current, expired-D} via dynamic partition overwrite,
+# every older expired-* partition is immutable history, and replaying a
+# batch rewrites the same two partitions with identical content
+# (idempotent under at-least-once delivery). At cluster scale this is
+# the non-ACID stand-in for transactional MERGE INTO: per batch it
+# rewrites |active dim| + |batch expirations| rows, never the history.
+# ---------------------------------------------------------------------------
+
+D2 = "2026-03-01"
+
+_DIM_OUT_COLS = (
+    "c_custkey",
+    "c_name",
+    "c_mktsegment",
+    "c_acctbal",
+    "customer_key",
+    "effective_date",
+    "expiry_date",
+    "is_current",
+)
+
+
+def _customer_batch3(cust: DataFrame) -> DataFrame:
+    """Deterministic third batch, CDC-style: ONLY the changed members
+    (``scd2_merge`` carries absent members unchanged — no delete
+    semantics, like the reference's dims). Every 3rd customer not
+    already versioned by batch 2 gets a +500 balance."""
+    return cust.filter(
+        (F.col("c_custkey") % 3 == 0) & (F.col("c_custkey") % 10 != 0)
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        (F.col("c_acctbal") + 500).alias("c_acctbal"),
+    )
+
+
+def _scd2_partition_merge(spark: SparkSession, sf_dir: str, db: str) -> DataFrame:
+    import os
+
+    from ..sources import writers as W
+
+    table = "dim_customer_pub"
+    name = f"{db}.{table}"
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+
+    def tagged(df: DataFrame) -> DataFrame:
+        # partition col LAST (insertInto is positional; saveAsTable moves
+        # partition columns to the end of the catalog schema)
+        return df.select(
+            *_DIM_OUT_COLS,
+            F.when(F.col("is_current") == 1, F.lit("current"))
+            .otherwise(
+                F.concat(F.lit("expired-"), F.col("expiry_date").cast("string"))
+            )
+            .alias("pub"),
+        )
+
+    def location() -> str:
+        loc = [
+            r["data_type"]
+            for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+            if r["col_name"].strip() == "Location"
+        ][0]
+        return loc.removeprefix("file:")
+
+    def partition_inventory(part: str) -> set:
+        root = os.path.join(location(), f"pub={part}")
+        out = set()
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out.add((os.path.relpath(p, root), st.st_size, st.st_mtime_ns))
+        return out
+
+    def stored() -> DataFrame:
+        return spark.table(name).select(*_DIM_OUT_COLS)
+
+    def publish(merged: DataFrame, batch_date: str) -> DataFrame:
+        """Write ONLY the partitions this batch touches: the full active
+        set ('current') and the rows it expired ('expired-<date>').
+        Materialized first — the delta is derived from the very table
+        the dynamic overwrite rewrites."""
+        delta = tagged(
+            merged.filter(
+                (F.col("is_current") == 1)
+                | (F.col("expiry_date") == F.lit(batch_date).cast("date"))
+            )
+        ).localCheckpoint(eager=True)
+        delta.write.insertInto(name, overwrite=True)
+        return delta
+
+    W.ensure_database(spark, db)
+    # batch 0: initial load — full write, single 'current' partition
+    dim0 = _initial_dim(spark, sf_dir, "customer", CUSTOMER_CFG, D0)
+    tagged(dim0).write.partitionBy("pub").format("parquet").saveAsTable(name)
+    # batch 1 (D1): merge against the STORED dim, publish {current, expired-D1}
+    publish(scd2_merge(stored(), _customer_batch2(cust), CUSTOMER_CFG, D1), D1)
+    # batch 2 (D2): expired-D1 is now immutable history — snapshot its
+    # files, publish {current, expired-D2}, and assert the snapshot held
+    hist_before = partition_inventory(f"expired-{D1}")
+    delta2 = publish(
+        scd2_merge(stored(), _customer_batch3(cust), CUSTOMER_CFG, D2), D2
+    )
+    untouched_ok = partition_inventory(f"expired-{D1}") == hist_before and bool(
+        hist_before
+    )
+    # forced replay of batch 2's publish (at-least-once delivery): the
+    # same two partitions rewrite with identical content
+    before = stored().localCheckpoint(eager=True)
+    delta2.write.insertInto(name, overwrite=True)
+    after = stored()
+    replay_ok = (
+        after.exceptAll(before).count() == 0
+        and before.exceptAll(after).count() == 0
+    )
+    return (
+        after.withColumn("untouched_partition_stable", F.lit(bool(untouched_ok)))
+        .withColumn("replay_idempotent", F.lit(bool(replay_ok)))
+        .localCheckpoint(eager=True)
+    )
+
+
+def scd2_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-batch SCD2 build published MERGE-style to a partitioned
+    warehouse table: each batch dynamically overwrites only the
+    partitions it touches ({current, expired-<batch>}), older expired-*
+    partitions are byte-stable history (file-inventory asserted), and a
+    forced replay of the last publish is content-idempotent. The merge
+    plan itself is the same set-based ``scd2_merge`` the two-batch query
+    uses; the oracle extends that query's SQL with the third (CDC-style,
+    delta-only) batch."""
+    import uuid
+
+    from ..session import scoped_confs
+
+    db = f"scd2_pub_{uuid.uuid4().hex[:12]}"
+    try:
+        with scoped_confs(
+            spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+        ):
+            return _scd2_partition_merge(spark, sf_dir, db)
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+SCD2_PARTITION_MERGE_ORACLE = f"""
+WITH init AS (
+  SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+         row_number() OVER (ORDER BY c_custkey, c_name, c_mktsegment, c_acctbal)
+           AS customer_key
+  FROM (SELECT DISTINCT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer)
+),
+batch2 AS (
+  SELECT c_custkey, c_name, c_mktsegment,
+         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END
+           AS c_acctbal
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name || '_new', c_mktsegment, 0.0
+  FROM customer WHERE c_custkey % 17 = 0
+),
+changed AS (
+  SELECT b.* FROM batch2 b JOIN init i USING (c_custkey)
+  WHERE b.c_name IS DISTINCT FROM i.c_name
+     OR b.c_mktsegment IS DISTINCT FROM i.c_mktsegment
+     OR b.c_acctbal IS DISTINCT FROM i.c_acctbal
+),
+new_members AS (
+  SELECT b.* FROM batch2 b LEFT JOIN init i USING (c_custkey)
+  WHERE i.c_custkey IS NULL
+),
+inserts AS (SELECT * FROM changed UNION ALL SELECT * FROM new_members),
+new_rows AS (
+  SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+         (SELECT max(customer_key) FROM init)
+           + row_number() OVER (ORDER BY c_custkey, c_name, c_mktsegment, c_acctbal)
+           AS customer_key
+  FROM inserts
+),
+b3 AS (
+  SELECT c_custkey, c_name, c_mktsegment, c_acctbal + 500 AS c_acctbal
+  FROM (SELECT DISTINCT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer)
+  WHERE c_custkey % 3 = 0 AND c_custkey % 10 <> 0
+),
+b3_rows AS (
+  SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+         (SELECT max(customer_key) FROM init) + (SELECT count(*) FROM inserts)
+           + row_number() OVER (ORDER BY c_custkey, c_name, c_mktsegment, c_acctbal)
+           AS customer_key
+  FROM b3
+)
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal, customer_key,
+       DATE '{D0}' AS effective_date,
+       CASE WHEN c_custkey IN (SELECT c_custkey FROM changed) THEN DATE '{D1}'
+            WHEN c_custkey IN (SELECT c_custkey FROM b3) THEN DATE '{D2}'
+            ELSE CAST(NULL AS DATE) END AS expiry_date,
+       CASE WHEN c_custkey IN (SELECT c_custkey FROM changed)
+              OR c_custkey IN (SELECT c_custkey FROM b3)
+            THEN 0 ELSE 1 END AS is_current,
+       TRUE AS untouched_partition_stable,
+       TRUE AS replay_idempotent
+FROM init
+UNION ALL
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal, customer_key,
+       DATE '{D1}', CAST(NULL AS DATE), 1, TRUE, TRUE
+FROM new_rows
+UNION ALL
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal, customer_key,
+       DATE '{D2}', CAST(NULL AS DATE), 1, TRUE, TRUE
+FROM b3_rows
+"""
+
+
+# ---------------------------------------------------------------------------
 # Fact build: FK resolution against current dim rows (J1) + int date key
 # ---------------------------------------------------------------------------
 
@@ -814,6 +1035,7 @@ QUERIES = {
     "dim_customer_scd2_init": dim_customer_scd2_init,
     "scd2_customer_two_batch": scd2_customer_two_batch,
     "scd2_change_feed": scd2_change_feed,
+    "scd2_partition_merge": scd2_partition_merge,
     "fact_sales_resolution": fact_sales_resolution,
     "mart_sales_performance": mart_sales_performance,
     "mart_category_analysis": mart_category_analysis,
@@ -829,6 +1051,7 @@ ORACLES = {
     "dim_customer_scd2_init": DIM_CUSTOMER_INIT_ORACLE,
     "scd2_customer_two_batch": SCD2_TWO_BATCH_ORACLE,
     "scd2_change_feed": SCD2_CHANGE_FEED_ORACLE,
+    "scd2_partition_merge": SCD2_PARTITION_MERGE_ORACLE,
     "fact_sales_resolution": FACT_RESOLUTION_ORACLE,
     "mart_sales_performance": MART_SALES_PERFORMANCE_ORACLE,
     "mart_category_analysis": MART_CATEGORY_ANALYSIS_ORACLE,

@@ -527,6 +527,113 @@ FROM lagged GROUP BY 1
 """
 
 
+@_stream_scoped
+def stream_audit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingestion end-to-end over the audit log
+    (``pipelines.audit.logged_stream_sink``): an ``availableNow`` run
+    ingests the events corpus through a batchId-idempotent ``foreachBatch``
+    sink, then the LAST BATCH IS FORCIBLY REPLAYED — the handler re-invoked
+    with the same batchId, exactly what at-least-once delivery produces
+    after a crash between the sink commit and the checkpoint commit. The
+    inner sink re-runs (its batchId-named overwrite makes that a no-op),
+    and the audit table must still hold exactly ONE row per batchId.
+
+    Driver-compared output: 10-minute tumbling counts computed FROM THE
+    SUNK FILES (so the oracle gates that replay did not duplicate or drop
+    data) plus two booleans — ``audit_exactly_once`` (one audit row per
+    distinct batch, derived from the audit table itself) and
+    ``replay_exercised`` (the handler really ran more times than there
+    were batches; harness-asserted, constant TRUE in the oracle)."""
+    import shutil
+    import tempfile
+    import uuid
+    from datetime import datetime
+
+    from ..pipelines.audit import RUN_LOG_TABLE, logged_stream_sink
+    from ..sources import writers as W
+
+    base = tempfile.mkdtemp(prefix="stream_audit_replay_")
+    db = f"audit_replay_{uuid.uuid4().hex[:12]}"
+    out = f"{base}/sunk"
+    seen: list[int] = []
+
+    def inner(batch: DataFrame, batch_id: int) -> None:
+        # batchId-named overwrite target: idempotent under replay
+        batch.write.mode("overwrite").parquet(f"{out}/b{batch_id}")
+        seen.append(batch_id)
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    handle = logged_stream_sink(
+        inner, "events_ingest", "audit-replay", t0, t0, database=db
+    )
+    try:
+        q = (
+            events_stream(spark, sf_dir)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("audit-replay ingest did not finish in 300s")
+        # forced at-least-once replay of the final batch: same batchId,
+        # same data (re-read from the sunk batch dir, MATERIALIZED first —
+        # the handler overwrites that very dir, and a lazy scan would read
+        # files the overwrite is deleting)
+        last = max(seen)
+        replay_batch = spark.read.parquet(f"{out}/b{last}").localCheckpoint(
+            eager=True
+        )
+        handle(replay_batch, last)
+        replay_exercised = len(seen) > len(set(seen))
+
+        counts = (
+            spark.read.parquet(f"{out}/b*")
+            .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                stable_sum(F.col("value")).alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        )
+        audit_ok = W.read_table(spark, RUN_LOG_TABLE, db).agg(
+            (
+                (F.count("*") == F.lit(len(set(seen))))
+                & (F.count("*") == F.count_distinct(F.col("run_id")))
+            ).alias("audit_exactly_once")
+        )
+        result = (
+            counts.crossJoin(F.broadcast(audit_ok))
+            .withColumn("replay_exercised", F.lit(bool(replay_exercised)))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
+STREAM_AUDIT_REPLAY_ORACLE = f"""
+SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000)
+         AS window_start,
+       make_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * 1000000)
+         + INTERVAL 10 MINUTE AS window_end,
+       event_type,
+       count(*) AS n_events,
+       {sql_stable_sum("value")} AS total_value,
+       TRUE AS audit_exactly_once,
+       TRUE AS replay_exercised
+FROM events GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_dedup_count": stream_dedup_count,
@@ -535,6 +642,7 @@ QUERIES = {
     "stream_user_session_stats": stream_user_session_stats,
     "stream_click_attribution": stream_click_attribution,
     "stream_static_enrichment": stream_static_enrichment,
+    "stream_audit_replay": stream_audit_replay,
 }
 
 
@@ -558,4 +666,5 @@ ORACLES = {
     "stream_user_session_stats": STREAM_USER_SESSION_STATS_ORACLE,
     "stream_click_attribution": STREAM_CLICK_ATTRIBUTION_ORACLE,
     "stream_static_enrichment": STREAM_STATIC_ENRICHMENT_ORACLE,
+    "stream_audit_replay": STREAM_AUDIT_REPLAY_ORACLE,
 }

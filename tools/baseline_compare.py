@@ -56,12 +56,18 @@ def main() -> None:
         "stream_user_session_stats",
         "stream_click_attribution",
         "stream_static_enrichment",
+        # availableNow ingest + forced foreachBatch replay + audit table
+        # round-trip per invocation; the oracle is one batch SELECT
+        "stream_audit_replay",
         "bucketed_colocated_join",
         "partitioned_fact_pruning",
         "dpp_dim_filtered_sales",
         # writes + reads back the day-partitioned sketch-cell table per
         # invocation; the oracle is three plain SELECTs
         "events_sketch_cube",
+        # three merge publishes + a forced replay against a partitioned
+        # managed table per invocation; the oracle is one CTE chain
+        "scd2_partition_merge",
         # runs a deliberately broadcast-disabled plan to demonstrate the
         # at-scale bloom-injection shape — not Spark's best local plan
         "bloom_pruned_fact_join",
