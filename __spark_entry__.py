@@ -52,6 +52,9 @@ _PRIORITY = [
     "stream_audit_replay",
     "scd2_partition_merge",
     "ann_quality_report",
+    "mart_incremental_refresh",
+    "events_heavy_hitters",
+    "purchase_graph_pagerank",
     # (c) last green r04 — relational core
     "flagship_star_revenue",
     "pricing_summary",

@@ -92,7 +92,10 @@ HEADLINE = [
     "lineitem_quantile_sketch",
     "events_sketch_rollup",
     "events_sketch_cube",
+    "events_heavy_hitters",
     "events_user_overlap_theta",
+    "mart_incremental_refresh",
+    "purchase_graph_pagerank",
     "bucketed_colocated_join",
     "partitioned_fact_pruning",
     "dpp_dim_filtered_sales",

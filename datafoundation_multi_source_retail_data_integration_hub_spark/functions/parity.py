@@ -135,6 +135,16 @@ def _limb_total(u: Column) -> Column:
     ).cast("decimal(38,0)")
 
 
+def fixed_units_total(u: Column) -> Column:
+    """Public alias of ``_limb_total`` for callers that PERSIST the exact
+    aggregate as mergeable state (incremental view maintenance): a
+    DECIMAL(38,0) unit total is exact, order-independent, and merges
+    across batches by plain addition — unlike a rounded double, whose
+    merged partials drift off the full recompute at 4-decimal
+    midpoints."""
+    return _limb_total(u)
+
+
 def fixed_sum_dec(c: Column, dp: int) -> Column:
     """Exact decimal total on the long fast path — the
     ``sum(cast(c as DEC))`` replacement for callers that keep the

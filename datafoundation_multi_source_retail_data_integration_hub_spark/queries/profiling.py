@@ -778,6 +778,77 @@ FROM events
 """
 
 
+HH_TOPN = 5
+HH_K = 64  # sketch report size: wide margin over count ties at the cut
+HH_MAX_ITEMS = 1024  # tracked-items budget; count error <= ~3.5 * n / M
+
+
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch (DataSketches ``approx_top_k``) beside the
+    exact per-type top-``HH_TOPN`` heavy users: the driver-compared
+    values are the exact top rows (count desc, user_id tie-break); the
+    boolean asserts each one appears in the sketch's top-``HH_K`` report
+    with its count inside the frequent-items guarantee (~3.5n/M).
+
+    Scale shape: the sketch is one pass with constant
+    ``HH_MAX_ITEMS``-bounded state per group and merges across
+    partitions map-side — at 100 TB it is the only side that runs; the
+    exact twin (a per-type window over the (type, user) counts) is
+    oracle scaffolding, and the production exact-verify path would rank
+    only the sketch-proposed candidates instead of every user."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_events").desc(), "user_id"
+    )
+    top = (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= HH_TOPN)
+    )
+    sk = ev.groupBy("event_type").agg(
+        F.expr(f"approx_top_k(user_id, {HH_K}, {HH_MAX_ITEMS})").alias("__hh"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    est = sk.select(
+        "event_type", "__n", F.explode("__hh").alias("__e")
+    ).select(
+        "event_type",
+        F.col("__e.item").alias("user_id"),
+        F.col("__e.count").alias("__est"),
+        "__n",
+    )
+    bound = F.lit(3.5) * F.col("__n") / F.lit(HH_MAX_ITEMS)
+    return top.join(est, ["event_type", "user_id"], "left").select(
+        "event_type",
+        "user_id",
+        "n_events",
+        "rank",
+        (
+            F.col("__est").isNotNull()
+            & (F.abs(F.col("__est") - F.col("n_events")) <= bound)
+        ).alias("hh_ok"),
+    )
+
+
+EVENTS_HEAVY_HITTERS_ORACLE = f"""
+WITH c AS (
+  SELECT event_type, user_id, count(*) AS n_events FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY event_type ORDER BY n_events DESC, user_id) AS INTEGER)
+    AS rank
+  FROM c
+)
+SELECT event_type, user_id, n_events, rank, TRUE AS hh_ok
+FROM r WHERE rank <= {HH_TOPN}
+"""
+
+
 QUERIES = {
     "customer_revenue_deciles": customer_revenue_deciles,
     "order_grouping_sets": order_grouping_sets,
@@ -789,6 +860,7 @@ QUERIES = {
     "events_sketch_rollup": events_sketch_rollup,
     "events_user_overlap_theta": events_user_overlap_theta,
     "events_sketch_cube": events_sketch_cube,
+    "events_heavy_hitters": events_heavy_hitters,
 }
 
 ORACLES = {
@@ -802,4 +874,5 @@ ORACLES = {
     "events_sketch_rollup": EVENTS_SKETCH_ROLLUP_ORACLE,
     "events_user_overlap_theta": EVENTS_USER_OVERLAP_THETA_ORACLE,
     "events_sketch_cube": EVENTS_SKETCH_CUBE_ORACLE,
+    "events_heavy_hitters": EVENTS_HEAVY_HITTERS_ORACLE,
 }

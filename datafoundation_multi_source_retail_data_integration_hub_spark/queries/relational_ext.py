@@ -285,6 +285,139 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Iterative graph analytics: PageRank over the bipartite customer-supplier
+# purchase graph. Demonstrates the iterative-DataFrame-algorithm class
+# (fixed iteration count, per-iteration shuffle on the destination node)
+# with full cross-engine bit parity: ranks are EXACT LONG fixed-point
+# units (1 unit = 1e-12 of rank mass) and every per-iteration operation
+# is integer arithmetic — ``(ru * w) div outw`` contributions, exact long
+# in-sums, damping as ``(17 * s) div 20`` — so the rank vector is
+# IDENTICAL in any engine, with no float anywhere until never (the output
+# column IS the units). A first cut accumulated double contributions
+# through DECIMAL(38,18) and still drifted a few ulps: Spark's
+# double->decimal cast rounds the SHORTEST DECIMAL REPR (same
+# BigDecimal.valueOf trap as builtin round()) while DuckDB rounds the
+# binary value — at scale 18 on arbitrary doubles that bites, so the
+# integer form is the correct parity design, not just the faster one.
+# Scale shape: rank and out-weight tables are node-sized (AQE broadcasts
+# at test scale, shuffle-joins at corpus scale); each iteration moves the
+# edge list through ONE exchange on the destination node. Domain: unit
+# mass is 1e12, so ``ru * w`` stays inside long for edge weights up to
+# ~9e6 lineitems per (customer, supplier) pair.
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 3
+PR_E12 = 10**12  # fixed-point unit: 1e-12 of total rank mass
+
+
+def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nodes by fixed-point PageRank (``PR_ITERS`` iterations,
+    damping 17/20) on the undirected customer-supplier purchase graph,
+    edge weight = lineitem count between the pair. Node ids are longs
+    (customer 2k, supplier 2k+1) until the final 20-row presentation.
+    Every node has in- and out-edges by construction (the graph is
+    symmetric), so there is no dangling mass.
+
+    Materialized under a scoped low shuffle-partition count: every
+    exchange here carries node- or edge-sized data, and 3 iterations x
+    32 near-empty partitions is pure task-launch overhead at bench scale
+    (measured 8.0 -> 6.2 s at sf0.1); at corpus scale the constant is a
+    conf, not a plan property."""
+    from ..session import scoped_confs
+
+    with scoped_confs(spark, {"spark.sql.shuffle.partitions": "4"}):
+        return _purchase_graph_pagerank(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
+
+
+def _purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    pairs = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    )
+    outw = edges.groupBy("a").agg(F.sum("w").alias("outw"))
+    # (a, b, w, outw) materialized once; every iteration rescans this
+    e2 = edges.join(outw, "a").localCheckpoint(eager=True)
+    n = outw.count()
+    base_u = (3 * PR_E12) // (20 * n)  # (1 - damp) / n in units
+    ranks = outw.select(
+        F.col("a").alias("node"), F.lit(PR_E12 // n).cast("long").alias("ru")
+    )
+    for _ in range(PR_ITERS):
+        contrib = e2.join(ranks, e2["a"] == ranks["node"]).select(
+            F.col("b").alias("node"),
+            F.expr("(ru * w) div outw").alias("cu"),
+        )
+        ranks = contrib.groupBy("node").agg(
+            (F.lit(base_u) + F.expr("(17 * sum(cu)) div 20"))
+            .cast("long")
+            .alias("ru")
+        )
+    top = ranks.orderBy(F.col("ru").desc(), "node").limit(20)
+    w20 = Window.orderBy(F.col("ru").desc(), "node")
+    return top.select(
+        F.when(F.col("node") % 2 == 0, F.concat(F.lit("c:"), (F.col("node") / 2).cast("long")))
+        .otherwise(F.concat(F.lit("s:"), ((F.col("node") - 1) / 2).cast("long")))
+        .alias("node"),
+        F.col("ru").alias("rank_units"),
+        F.row_number().over(w20).cast("int").alias("pos"),
+    )
+
+
+def _sql_pagerank_oracle() -> str:
+    def step(prev: str, this: str) -> str:
+        return f"""{this} AS (
+  SELECT e.b AS node,
+         (SELECT bu FROM nn) + (17 * sum((r.ru * e.w) // e.outw)) // 20 AS ru
+  FROM e2 e JOIN {prev} r ON e.a = r.node
+  GROUP BY e.b
+)"""
+
+    steps = ",\n".join(step(f"r{i}", f"r{i + 1}") for i in range(PR_ITERS))
+    return f"""
+WITH pairs AS (
+  SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b, count(*) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2
+),
+edges AS (SELECT a, b, w FROM pairs UNION ALL SELECT b, a, w FROM pairs),
+outw AS (SELECT a, sum(w) AS outw FROM edges GROUP BY 1),
+e2 AS (SELECT e.a, e.b, e.w, o.outw FROM edges e JOIN outw o USING (a)),
+nn AS (
+  SELECT count(*) AS n,
+         {3 * PR_E12} // (20 * count(*)) AS bu,
+         {PR_E12} // count(*) AS r0u
+  FROM outw
+),
+r0 AS (SELECT a AS node, (SELECT r0u FROM nn) AS ru FROM outw),
+{steps},
+top AS (
+  SELECT node, ru,
+         CAST(row_number() OVER (ORDER BY ru DESC, node) AS INTEGER) AS pos
+  FROM r{PR_ITERS}
+  ORDER BY ru DESC, node LIMIT 20
+)
+SELECT CASE WHEN node % 2 = 0 THEN 'c:' || (node // 2)
+            ELSE 's:' || ((node - 1) // 2) END AS node,
+       ru AS rank_units,
+       pos
+FROM top
+"""
+
+
 QUERIES = {
     "shipping_priority_top10": shipping_priority_top10,
     "large_volume_customers": large_volume_customers,
@@ -295,6 +428,7 @@ QUERIES = {
     "weekend_weekday_sales": weekend_weekday_sales,
     "nation_purchasing_patterns": nation_purchasing_patterns,
     "product_catalog_overview": product_catalog_overview,
+    "purchase_graph_pagerank": purchase_graph_pagerank,
 }
 
 ORACLES = {
@@ -307,4 +441,5 @@ ORACLES = {
     "weekend_weekday_sales": WEEKEND_ORACLE,
     "nation_purchasing_patterns": NATION_PATTERNS_ORACLE,
     "product_catalog_overview": CATALOG_ORACLE,
+    "purchase_graph_pagerank": _sql_pagerank_oracle(),
 }

@@ -68,6 +68,9 @@ def main() -> None:
         # three merge publishes + a forced replay against a partitioned
         # managed table per invocation; the oracle is one CTE chain
         "scd2_partition_merge",
+        # base+delta+replayed-delta table writes and audit round-trips
+        # per invocation; the oracle is one one-shot aggregation
+        "mart_incremental_refresh",
         # runs a deliberately broadcast-disabled plan to demonstrate the
         # at-scale bloom-injection shape — not Spark's best local plan
         "bloom_pruned_fact_join",

@@ -152,6 +152,13 @@ AUDITED = {
         "expect": ["ObjectHashAggregate"],
         "forbid_pattern": r"\bExpand\b|CartesianProduct",
     },
+    "events_heavy_hitters": {
+        # frequent-items sketch rides ObjectHashAggregate (one pass,
+        # bounded state); the exact window twin joins it — plain
+        # equi-join, never a cross product
+        "expect": ["ObjectHashAggregate", "Window"],
+        "forbid_pattern": r"\bExpand\b|CartesianProduct",
+    },
 }
 
 
