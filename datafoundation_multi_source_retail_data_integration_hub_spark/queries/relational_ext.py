@@ -350,11 +350,15 @@ def _purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
     )
     outw = edges.groupBy("a").agg(F.sum("w").alias("outw"))
-    # (a, b, w, outw) materialized once; every iteration rescans this
+    # (a, b, w, outw) materialized once; every iteration rescans this.
+    # The node list and initial ranks derive from e2, NOT from the
+    # pre-checkpoint outw — deriving from outw re-ran the whole
+    # edge-build twice more (measured 1.6 s + 1.7 s at sf0.1)
     e2 = edges.join(outw, "a").localCheckpoint(eager=True)
-    n = outw.count()
+    nodes = e2.select("a").distinct().localCheckpoint(eager=True)
+    n = nodes.count()
     base_u = (3 * PR_E12) // (20 * n)  # (1 - damp) / n in units
-    ranks = outw.select(
+    ranks = nodes.select(
         F.col("a").alias("node"), F.lit(PR_E12 // n).cast("long").alias("ru")
     )
     for _ in range(PR_ITERS):
