@@ -295,3 +295,45 @@ def test_sorted_vals_guard_fires_on_oversized_group(spark, monkeypatch):
         parity.quantile_interp(parity.sorted_vals(F.col("x")), 0.5).alias("p50")
     ).first()["p50"]
     assert got == 49.5
+
+
+def test_fixed_units_total_merges_across_batches(spark):
+    """The IVM invariant behind mart_incremental_refresh: the DECIMAL
+    unit total of a whole dataset equals the plain sum of per-batch
+    totals (exact, order-independent), and presenting (divide + round)
+    the merged state is bit-identical to presenting a one-shot total.
+    Rounded-double partials do NOT have this property at 4-decimal
+    midpoints — which is why the stored state is units, not doubles."""
+    import random
+
+    from datafoundation_multi_source_retail_data_integration_hub_spark.functions.parity import (
+        fixed_units,
+        fixed_units_total,
+        round_dp,
+    )
+
+    random.seed(13)
+    vals = [0.00005, -0.00005, 12.3333, -12.33335] + [
+        round(random.uniform(-1e5, 1e5), 4) for _ in range(500)
+    ]
+    mid = len(vals) // 3
+
+    def units_total(values):
+        df = spark.createDataFrame([(v,) for v in values], "x double")
+        return df.agg(
+            fixed_units_total(fixed_units(F.col("x"), 4)).alias("u")
+        ).first()["u"]
+
+    whole = units_total(vals)
+    merged = units_total(vals[:mid]) + units_total(vals[mid:])
+    assert merged == whole
+
+    def present(units):
+        df = spark.createDataFrame([(units,)], "u decimal(38,0)")
+        return df.select(
+            round_dp(
+                (F.col("u") / F.lit(10**4).cast("decimal(7,0)")).cast("double")
+            ).alias("r")
+        ).first()["r"]
+
+    assert present(merged) == present(whole)
