@@ -55,6 +55,7 @@ _PRIORITY = [
     "mart_incremental_refresh",
     "events_heavy_hitters",
     "purchase_graph_pagerank",
+    "stream_mart_refresh",
     # (c) last green r04 — relational core
     "flagship_star_revenue",
     "pricing_summary",

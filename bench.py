@@ -105,6 +105,7 @@ HEADLINE = [
     "stream_click_attribution",
     "stream_static_enrichment",
     "stream_audit_replay",
+    "stream_mart_refresh",
 ]
 
 

@@ -635,59 +635,33 @@ GROUP BY 1
 # ---------------------------------------------------------------------------
 # Incremental view maintenance (IVM) of the daily mart: at 100 TB a mart
 # is never rebuilt from the fact — each ingest batch aggregates ITS OWN
-# rows to group partials and merges them into the stored mart. The stored
-# state must therefore be exact and mergeable: long fixed-point unit
-# totals as DECIMAL(38,0) (``fixed_units_total``), because a ROUNDED
-# double partial merged with another drifts off the full recompute at
-# 4-decimal midpoints. Presentation rounds the merged exact state, so
-# the refreshed mart is bit-identical to a full recompute — which IS the
-# oracle. Refreshes are batch-keyed through the etl_run_log audit table
-# (``pipelines/audit.py``): re-applying an already-applied batch is a
-# guarded no-op, giving at-least-once delivery the same answer.
+# rows to group partials and merges them into the stored mart. Machinery
+# in ``operators/ivm.py`` (exact DECIMAL(38,0) unit-total state,
+# audit-table batch guard, rounding only at presentation); the streaming
+# twin is ``streaming/pipelines.py::stream_mart_refresh``.
 # ---------------------------------------------------------------------------
 
 IVM_DELTA_MOD = 5  # orderkey % 5 == 0 rows arrive as the "late" batch
 
 
-def _ivm_state(fact: DataFrame) -> DataFrame:
-    """Group partials in exact mergeable form (unit totals + counts)."""
-    from ..functions.parity import fixed_units_total
+def _ivm_cfg():
+    from ..operators.ivm import IVMConfig
 
-    return fact.groupBy("order_date").agg(
-        fixed_units_total(F.col("sales_u")).alias("sales_units"),
-        fixed_units_total(F.col("profit_u")).alias("profit_units"),
-        F.count(F.lit(1)).alias("n_rows"),
+    return IVMConfig(
+        group_cols=("order_date",), unit_cols=("sales_u", "profit_u"), dp=4
     )
 
 
-def _ivm_present(state: DataFrame) -> DataFrame:
-    """Rounded view over the exact state — the same decimal-divide ->
-    double -> round sequence as ``fixed_sum``, so presented values are
-    bit-identical to a one-shot aggregation."""
-    scale = F.lit(10**4).cast("decimal(7,0)")
-    return state.select(
-        "order_date",
-        round_dp((F.col("sales_units") / scale).cast("double")).alias(
-            "total_sales"
-        ),
-        round_dp((F.col("profit_units") / scale).cast("double")).alias(
-            "total_profit"
-        ),
-        "n_rows",
-    )
-
-
-def _mart_incremental_refresh(spark: SparkSession, sf_dir: str, db: str) -> DataFrame:
-    from datetime import datetime
-
+def mart_ivm_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mart's input rows with measures pre-converted to exact long
+    units: order_date (int key), __ok (batch-split key), sales_u,
+    profit_u. Shared by the batch and streaming IVM queries."""
     from ..functions.parity import fixed_units
-    from ..pipelines.audit import RUN_LOG_TABLE, RunLogEntry, log_run
-    from ..sources import writers as W
 
     t = load_tables(spark, sf_dir, "lineitem", "orders")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     profit = rev - F.col("l_extendedprice") * F.col("l_tax")
-    fact = (
+    return (
         t["lineitem"]
         .join(
             t["orders"].select("o_orderkey", "o_orderdate"),
@@ -700,58 +674,30 @@ def _mart_incremental_refresh(spark: SparkSession, sf_dir: str, db: str) -> Data
             fixed_units(profit, 4).alias("profit_u"),
         )
     )
+
+
+def _mart_incremental_refresh(spark: SparkSession, sf_dir: str, db: str) -> DataFrame:
+    from datetime import datetime
+
+    from ..operators import ivm
+    from ..sources import writers as W
+
+    cfg = _ivm_cfg()
+    fact = mart_ivm_fact(spark, sf_dir)
     mart = "mart_daily_state"
     t0 = datetime(2026, 1, 1, 0, 0, 0)
 
-    def applied(batch_id: str) -> bool:
-        if not W.table_exists(spark, RUN_LOG_TABLE, db):
-            return False
-        return (
-            W.read_table(spark, RUN_LOG_TABLE, database=db)
-            .filter(
-                (F.col("run_id") == batch_id) & (F.col("table_name") == mart)
-            )
-            .limit(1)
-            .count()
-            > 0
-        )
+    def apply(batch_id: str, batch_fact: DataFrame) -> bool:
+        return ivm.apply_batch(spark, batch_fact, batch_id, mart, db, cfg, t0)
 
-    def apply_batch(batch_id: str, batch_fact: DataFrame) -> bool:
-        """Merge one batch's partials into the stored mart; batch-keyed
-        no-op on replay. Returns True when the batch was applied."""
-        if applied(batch_id):
-            return False
-        partial = _ivm_state(batch_fact)
-        if W.table_exists(spark, mart, db):
-            merged = (
-                W.read_table(spark, mart, database=db)
-                .unionByName(partial)
-                .groupBy("order_date")
-                .agg(
-                    F.sum("sales_units").cast("decimal(38,0)").alias("sales_units"),
-                    F.sum("profit_units").cast("decimal(38,0)").alias("profit_units"),
-                    F.sum("n_rows").alias("n_rows"),
-                )
-                # derived from the table being overwritten
-                .localCheckpoint(eager=True)
-            )
-        else:
-            merged = partial
-        W.write_table(merged, mart, database=db)
-        n = merged.agg(F.sum("n_rows")).first()[0]
-        log_run(
-            spark,
-            RunLogEntry(batch_id, mart, int(n), "success", t0, t0),
-            database=db,
-        )
-        return True
-
-    base_ok = apply_batch("base", fact.filter(F.col("__ok") % IVM_DELTA_MOD != 0))
+    base_ok = apply("base", fact.filter(F.col("__ok") % IVM_DELTA_MOD != 0))
     delta = fact.filter(F.col("__ok") % IVM_DELTA_MOD == 0)
-    delta_ok = apply_batch("delta-1", delta)
+    delta_ok = apply("delta-1", delta)
     # at-least-once redelivery of the SAME batch: guarded no-op
-    replay_skipped = not apply_batch("delta-1", delta)
-    out = _ivm_present(W.read_table(spark, mart, database=db)).withColumn(
+    replay_skipped = not apply("delta-1", delta)
+    out = ivm.present(
+        W.read_table(spark, mart, database=db), cfg
+    ).withColumn(
         "replay_skipped",
         F.lit(bool(base_ok and delta_ok and replay_skipped)),
     )

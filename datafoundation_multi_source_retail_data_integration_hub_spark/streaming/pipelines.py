@@ -634,6 +634,93 @@ FROM events GROUP BY 1, 2, 3
 """
 
 
+@_stream_scoped
+def stream_mart_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental view maintenance: the daily sales mart
+    maintained by a ``foreachBatch`` sink that merges each micro-batch's
+    EXACT group partials into the stored state (``operators/ivm`` — the
+    streaming twin of ``queries.warehouse.mart_incremental_refresh``).
+    Two time-split ``availableNow`` runs drive the fact in as two
+    batches through one checkpoint; a forced replay of the final batch
+    is a guarded no-op (the audit-table batch key), so at-least-once
+    delivery cannot double-count. The presented mart is bit-identical to
+    a one-shot build — the same oracle as the batch IVM query."""
+    import shutil
+    import tempfile
+    import uuid
+    from datetime import datetime
+
+    from ..operators import ivm
+    from ..queries.warehouse import IVM_DELTA_MOD, _ivm_cfg, mart_ivm_fact
+    from ..sources import writers as W
+
+    cfg = _ivm_cfg()
+    fact = mart_ivm_fact(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="stream_mart_refresh_")
+    src = f"{base}/incoming"
+    db = f"stream_ivm_{uuid.uuid4().hex[:12]}"
+    mart = "mart_daily_state"
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    outcomes: list[bool] = []
+
+    def handler(batch: DataFrame, batch_id: int) -> None:
+        outcomes.append(
+            ivm.apply_batch(
+                batch.sparkSession,
+                batch,
+                f"mart-stream#{batch_id}",
+                mart,
+                db,
+                cfg,
+                t0,
+            )
+        )
+
+    def run() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.foreachBatch(handler)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("mart-refresh stream did not finish in 300s")
+
+    try:
+        fact.filter(F.col("__ok") % IVM_DELTA_MOD != 0).drop("__ok").write.mode(
+            "append"
+        ).parquet(src)
+        schema = spark.read.parquet(src).schema
+        run()
+        delta = fact.filter(F.col("__ok") % IVM_DELTA_MOD == 0).drop("__ok")
+        delta.write.mode("append").parquet(src)
+        run()
+        # at-least-once redelivery of the final micro-batch: same stream
+        # batch id, guard skips (apply_batch returns False)
+        last = len(outcomes) - 1
+        handler(delta.localCheckpoint(eager=True), last)
+        ok = outcomes[:-1] == [True] * (len(outcomes) - 1) and outcomes[-1] is False
+        out = (
+            ivm.present(W.read_table(spark, mart, database=db), cfg)
+            .withColumn("replay_skipped", F.lit(bool(ok)))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def _mart_ivm_oracle() -> str:
+    # identical presented schema and semantics as the batch IVM query
+    from ..queries.warehouse import MART_INCREMENTAL_REFRESH_ORACLE
+
+    return MART_INCREMENTAL_REFRESH_ORACLE
+
+
 QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_dedup_count": stream_dedup_count,
@@ -643,6 +730,7 @@ QUERIES = {
     "stream_click_attribution": stream_click_attribution,
     "stream_static_enrichment": stream_static_enrichment,
     "stream_audit_replay": stream_audit_replay,
+    "stream_mart_refresh": stream_mart_refresh,
 }
 
 
@@ -667,4 +755,5 @@ ORACLES = {
     "stream_click_attribution": STREAM_CLICK_ATTRIBUTION_ORACLE,
     "stream_static_enrichment": STREAM_STATIC_ENRICHMENT_ORACLE,
     "stream_audit_replay": STREAM_AUDIT_REPLAY_ORACLE,
+    "stream_mart_refresh": _mart_ivm_oracle(),
 }

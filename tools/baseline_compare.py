@@ -71,6 +71,9 @@ def main() -> None:
         # base+delta+replayed-delta table writes and audit round-trips
         # per invocation; the oracle is one one-shot aggregation
         "mart_incremental_refresh",
+        # the streaming twin: checkpointed two-run ingest + per-batch
+        # table merges; same one-shot-aggregation oracle
+        "stream_mart_refresh",
         # runs a deliberately broadcast-disabled plan to demonstrate the
         # at-scale bloom-injection shape — not Spark's best local plan
         "bloom_pruned_fact_join",
