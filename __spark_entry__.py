@@ -56,6 +56,7 @@ _PRIORITY = [
     "events_heavy_hitters",
     "purchase_graph_pagerank",
     "stream_mart_refresh",
+    "lineitem_observed_clean",
     # (c) last green r04 — relational core
     "flagship_star_revenue",
     "pricing_summary",

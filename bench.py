@@ -86,6 +86,7 @@ HEADLINE = [
     "customer_revenue_deciles",
     "order_grouping_sets",
     "lineitem_stats_profile",
+    "lineitem_observed_clean",
     "join_key_skew_report",
     "salted_hot_key_join",
     "orders_approx_distinct_sketch",

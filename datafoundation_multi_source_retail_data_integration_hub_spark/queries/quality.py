@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.parity import quantile_interp, sorted_vals
+from ..functions.parity import (
+    fixed_sum,
+    quantile_interp,
+    sorted_vals,
+    sql_stable_sum,
+)
 from ..sources.tables import load_tables
 
 
@@ -48,6 +53,60 @@ SELECT count(*) AS n_rows,
        CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1990-01-01' THEN 1 ELSE 0 END)
             AS BIGINT) AS n_ship_before_epoch
 FROM lineitem
+"""
+
+
+def lineitem_observed_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan result + pipeline observability via ``Dataset.observe``:
+    the cleaned per-flag revenue aggregate AND the load-audit counters
+    (rows seen / rows dropped by the suspect rule) come from ONE pass
+    over the fact — the metrics ride the same tasks as the aggregation,
+    so at 100 TB the audit costs zero extra scans (the alternative, a
+    separate validation query, rescans the corpus). The Observation's
+    metrics become literal columns after the materializing action, so
+    every output value is deterministic and oracle-checked — including
+    that the observed counters equal an independent SQL recount."""
+    from pyspark.sql import Observation
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    suspect = (F.col("l_discount") > 0.07) | (F.col("l_tax") > 0.06)
+    obs = Observation()
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(suspect.cast("long")).alias("n_dropped"),
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        observed.filter(~suspect)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            fixed_sum(rev, 4).alias("revenue"),
+        )
+        # the action that finalizes the observation
+        .localCheckpoint(eager=True)
+    )
+    m = obs.get
+    return agg.select(
+        "*",
+        F.lit(int(m["n_total"])).alias("n_total_observed"),
+        F.lit(int(m["n_dropped"])).alias("n_dropped_observed"),
+    )
+
+
+LINEITEM_OBSERVED_CLEAN_ORACLE = f"""
+SELECT l_returnflag,
+       count(*) AS n_items,
+       {sql_stable_sum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       (SELECT count(*) FROM lineitem) AS n_total_observed,
+       (SELECT CAST(sum(CASE WHEN l_discount > CAST(0.07 AS DOUBLE)
+                               OR l_tax > CAST(0.06 AS DOUBLE)
+                             THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem)
+         AS n_dropped_observed
+FROM lineitem
+WHERE NOT (l_discount > CAST(0.07 AS DOUBLE) OR l_tax > CAST(0.06 AS DOUBLE))
+GROUP BY 1
 """
 
 
@@ -163,10 +222,12 @@ QUERIES = {
     "lineitem_validation_summary": lineitem_validation_summary,
     "order_price_percentiles": order_price_percentiles,
     "fk_integrity_audit": fk_integrity_audit,
+    "lineitem_observed_clean": lineitem_observed_clean,
 }
 
 ORACLES = {
     "lineitem_validation_summary": LINEITEM_VALIDATION_ORACLE,
     "order_price_percentiles": ORDER_PERCENTILES_ORACLE,
     "fk_integrity_audit": _sql_fk_audit_oracle(),
+    "lineitem_observed_clean": LINEITEM_OBSERVED_CLEAN_ORACLE,
 }
