@@ -332,7 +332,10 @@ def purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
-def _purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full final rank vector ``(node, ru)`` — the iteration core; the
+    public query presents its top-20. Exposed separately so property
+    tests can check mass conservation over the WHOLE vector."""
     t = load_tables(spark, sf_dir, "lineitem", "orders")
     pairs = (
         t["lineitem"]
@@ -371,6 +374,11 @@ def _purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("ru")
         )
+    return ranks
+
+
+def _purchase_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranks = _pagerank_ranks(spark, sf_dir)
     top = ranks.orderBy(F.col("ru").desc(), "node").limit(20)
     w20 = Window.orderBy(F.col("ru").desc(), "node")
     return top.select(
