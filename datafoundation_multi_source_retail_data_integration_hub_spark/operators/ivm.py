@@ -124,9 +124,9 @@ def apply_batch(
             return False
     partial = state_partials(batch, cfg)
     if W.table_exists(spark, table, database):
+        # materialized: the merge reads the very table the write replaces
         merged = merge_state(
             W.read_table(spark, table, database=database), partial, cfg
-        # the merge reads the very table the write below replaces
         ).localCheckpoint(eager=True)
     else:
         merged = partial
