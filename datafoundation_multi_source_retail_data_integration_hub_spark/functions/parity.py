@@ -50,7 +50,67 @@ _LIMB_BITS = 20
 _LIMB = 1 << _LIMB_BITS  # base-2^20 digit decomposition of the long units
 
 
-def round_dp(c: Column, dp: int = ROUND) -> Column:
+# ---------------------------------------------------------------------------
+# Driver-time fast path: every public helper below accepts its input as
+# either a Column or a Spark SQL STRING. The string form builds the
+# WHOLE expression as one SQL string and issues a single ``F.expr`` —
+# one py4j round-trip instead of the ~50 a Column-method chain costs
+# (each ``F.col``/operator/cast is an RPC; a seven-aggregate query
+# measured 0.55 s of pure driver time in the chained form, ~0.02 s in
+# this form — see ARCHITECTURE.md "Driver time is a hot path"). The
+# string builders mirror the Column semantics EXACTLY (same Catalyst
+# tree after parsing; bit-equality of both paths is pinned by
+# tests/test_fixed_point_parity.py and the full oracle sweeps). Columns
+# cannot be stringified mechanically (Catalyst's unresolved ``sql()``
+# prints operators as unparseable `` `*`(a,b) `` calls), so Column
+# inputs keep the original chain — hot query paths pass strings.
+# ---------------------------------------------------------------------------
+
+
+def _d(v: float) -> str:
+    """A Spark SQL DOUBLE literal (the bare ``10000.0`` form would parse
+    as DECIMAL in Spark — the ``D`` suffix forces IEEE double, keeping
+    the arithmetic bit-identical to the Column form's ``F.lit(float)``)."""
+    return f"{float(v)!r}D"
+
+
+def _s_round_dp(x: str, dp: int) -> str:
+    f = _d(10**dp)
+    y = f"(({x}) * {f} + 0.5D)"
+    return (
+        f"((CASE WHEN isnan({y}) OR abs({y}) >= {_d(1 << 52)} THEN {y}"
+        f" ELSE CAST(floor({y}) AS DOUBLE) END) / {f})"
+    )
+
+
+def _s_fixed_units(x: str, dp: int) -> str:
+    return f"CAST(round(({x}) * {10**dp}) AS BIGINT)"
+
+
+def _s_limb_total(u: str) -> str:
+    m = _LIMB - 1
+    l0 = f"sum(({u}) & {m})"
+    l1 = f"sum(shiftright(({u}), {_LIMB_BITS}) & {m})"
+    l2 = f"sum(shiftright(({u}), {2 * _LIMB_BITS}))"
+    return (
+        f"CAST(CAST({l2} AS DECIMAL(34,0)) * {_LIMB * _LIMB}"
+        f" + CAST({l1} AS DECIMAL(34,0)) * {_LIMB}"
+        f" + CAST({l0} AS DECIMAL(34,0)) AS DECIMAL(38,0))"
+    )
+
+
+def _s_fixed_sum_dec(x: str, dp: int) -> str:
+    return (
+        f"({_s_limb_total(_s_fixed_units(x, dp))}"
+        f" / CAST({10**dp} AS DECIMAL(7,0)))"
+    )
+
+
+def _s_stable_sum_raw(x: str) -> str:
+    return f"CAST(sum(CAST(({x}) AS {DEC})) AS DOUBLE)"
+
+
+def round_dp(c: Column | str, dp: int = ROUND) -> Column:
     """Cross-engine deterministic rounding of a double to ``dp`` decimals:
     ``floor(x * 10^dp + 0.5) / 10^dp`` in pure IEEE double arithmetic —
     the identical expression in Spark and DuckDB yields identical bits.
@@ -73,6 +133,8 @@ def round_dp(c: Column, dp: int = ROUND) -> Column:
     on that bound makes this expression exactly DuckDB's
     double-in/double-out floor over the whole double range, NaN and
     +/-inf included, while the |y| < 2^52 branch casts long exactly."""
+    if isinstance(c, str):
+        return F.expr(_s_round_dp(f"({c})", dp))
     f = F.lit(float(10**dp))
     y = c * f + F.lit(0.5)
     fl = F.when(F.isnan(y) | (F.abs(y) >= F.lit(float(1 << 52))), y).otherwise(
@@ -87,23 +149,32 @@ def sql_round_dp(expr: str, dp: int = ROUND) -> str:
     return f"floor(({expr}) * {f!r} + 0.5) / {f!r}"
 
 
-def stable_sum(c: Column) -> Column:
+def stable_sum(c: Column | str) -> Column:
     """Order-independent sum of a double column, rounded to 4."""
+    if isinstance(c, str):
+        return F.expr(_s_round_dp(_s_stable_sum_raw(f"({c})"), ROUND))
     return round_dp(F.sum(c.cast(DEC)).cast("double"))
 
 
-def stable_sum_raw(c: Column) -> Column:
+def stable_sum_raw(c: Column | str) -> Column:
     """Order-independent sum as an un-rounded double (for downstream
     arithmetic that must stay deterministic, e.g. shares/growth)."""
+    if isinstance(c, str):
+        return F.expr(_s_stable_sum_raw(f"({c})"))
     return F.sum(c.cast(DEC)).cast("double")
 
 
-def stable_avg(c: Column) -> Column:
+def stable_avg(c: Column | str) -> Column:
     """Order-independent mean: exact decimal sum / non-null count."""
+    if isinstance(c, str):
+        x = f"({c})"
+        return F.expr(
+            _s_round_dp(f"({_s_stable_sum_raw(x)} / count({x}))", ROUND)
+        )
     return round_dp(F.sum(c.cast(DEC)).cast("double") / F.count(c))
 
 
-def fixed_units(c: Column, dp: int) -> Column:
+def fixed_units(c: Column | str, dp: int) -> Column:
     """Exact integer units of a double column whose true decimal scale is
     <= ``dp``: ``round(c * 10^dp)`` as a long.
 
@@ -114,16 +185,20 @@ def fixed_units(c: Column, dp: int) -> Column:
     round() recovers it. Long arithmetic on these units (sums, products
     of two unit columns) is then exact and engine-agnostic.
     """
+    if isinstance(c, str):
+        return F.expr(_s_fixed_units(f"({c})", dp))
     return F.round(c * F.lit(10**dp)).cast("long")
 
 
-def _limb_total(u: Column) -> Column:
+def _limb_total(u: Column | str) -> Column:
     """Exact aggregate total of a long units column as DECIMAL(38,0):
     three long limb sums (codegen fast path), one decimal recombination
     on the result row. Two's-complement identity
     ``u = (u>>40)*2^40 + ((u>>20)&m)*2^20 + (u&m)`` holds for negative
     units as well (arithmetic shift = floor division, masked limbs are
     the non-negative floor-mod digits), so mixed-sign sums are exact."""
+    if isinstance(u, str):
+        return F.expr(_s_limb_total(f"({u})"))
     mask = F.lit(_LIMB - 1)
     l0 = F.sum(u.bitwiseAND(mask))
     l1 = F.sum(F.shiftright(u, _LIMB_BITS).bitwiseAND(mask))
@@ -135,7 +210,7 @@ def _limb_total(u: Column) -> Column:
     ).cast("decimal(38,0)")
 
 
-def fixed_units_total(u: Column) -> Column:
+def fixed_units_total(u: Column | str) -> Column:
     """Public alias of ``_limb_total`` for callers that PERSIST the exact
     aggregate as mergeable state (incremental view maintenance): a
     DECIMAL(38,0) unit total is exact, order-independent, and merges
@@ -152,6 +227,8 @@ def fixed_sum_dec(c: Column, dp: int) -> Column:
     division keeps >= 6 fractional digits (Spark's result-scale rule
     with a decimal(7,0) divisor -> decimal(38,6)): exact for dp <= 6."""
     assert 0 <= dp <= 6, "division-scale exactness holds for dp <= 6 only"
+    if isinstance(c, str):
+        return F.expr(_s_fixed_sum_dec(f"({c})", dp))
     return _limb_total(fixed_units(c, dp)) / F.lit(10**dp).cast("decimal(7,0)")
 
 
@@ -164,24 +241,38 @@ def fixed_sum_raw(c: Column, dp: int) -> Column:
     as the decimal path, so results are bit-equal. A single drop-in
     aggregate expression (it composes three ``F.sum``s arithmetically,
     so it is usable anywhere ``stable_sum_raw`` is)."""
+    if isinstance(c, str):
+        return F.expr(f"CAST({_s_fixed_sum_dec(f'({c})', dp)} AS DOUBLE)")
     return fixed_sum_dec(c, dp).cast("double")
 
 
-def fixed_sum(c: Column, dp: int) -> Column:
+def fixed_sum(c: Column | str, dp: int) -> Column:
     """``stable_sum`` on the long fast path (see ``fixed_sum_raw``)."""
+    if isinstance(c, str):
+        x = f"CAST({_s_fixed_sum_dec(f'({c})', dp)} AS DOUBLE)"
+        return F.expr(_s_round_dp(x, ROUND))
     return round_dp(fixed_sum_raw(c, dp))
 
 
-def fixed_avg(c: Column, dp: int) -> Column:
+def fixed_avg(c: Column | str, dp: int) -> Column:
     """``stable_avg`` on the long fast path (see ``fixed_sum_raw``)."""
+    if isinstance(c, str):
+        s = f"({c})"
+        x = f"(CAST({_s_fixed_sum_dec(s, dp)} AS DOUBLE) / count({s}))"
+        return F.expr(_s_round_dp(x, ROUND))
     return round_dp(fixed_sum_raw(c, dp) / F.count(c))
 
 
-def fixed_sum_units_raw(u: Column, dp: int) -> Column:
+def fixed_sum_units_raw(u: Column | str, dp: int) -> Column:
     """``fixed_sum_raw`` over an already-built long units column (for
     callers that derive units once and reuse them across aggregates,
     e.g. exact products ``fixed_units(x,2) * fixed_units(y,2)`` summed
     at ``dp=4``)."""
+    if isinstance(u, str):
+        return F.expr(
+            f"CAST(({_s_limb_total(f'({u})')}"
+            f" / CAST({10**dp} AS DECIMAL(7,0))) AS DOUBLE)"
+        )
     return (_limb_total(u) / F.lit(10**dp).cast("decimal(7,0)")).cast("double")
 
 

@@ -305,7 +305,7 @@ def semantic_dedup(
     the pair scan does one fold instead of three (the quadratic term).
     Release with ``unpersist_all()`` after the consuming action.
     """
-    from .similarity import dot, norm
+    from .similarity import norm, sql_dot
 
     prep = df if pre_cast else prepare_vectors(df, vec_col, id_col)
     vcol = vec_col if pre_cast else "__dvec"
@@ -314,7 +314,7 @@ def semantic_dedup(
             F.col(id_col),
             "cluster_id",
             F.col(vcol).alias("__v"),
-            norm(F.col(vcol)).alias("__n"),
+            norm(f"`{vcol}`").alias("__n"),
         )
     )
     x = assigned.select(
@@ -329,8 +329,9 @@ def semantic_dedup(
         x.join(y, "cluster_id")
         .filter(F.col("__nb") < F.col(id_col))
         .filter(
-            dot(F.col("__v1"), F.col("__v2"))
-            / (F.col("__n1") * F.col("__n2"))
+            F.expr(
+                f"{sql_dot('`__v1`', '`__v2`')} / (`__n1` * `__n2`)"
+            )
             >= tau
         )
         .select(id_col)

@@ -60,7 +60,7 @@ class IVMConfig:
 def state_partials(batch: DataFrame, cfg: IVMConfig) -> DataFrame:
     """One batch's rows -> exact mergeable group partials."""
     aggs = [
-        fixed_units_total(F.col(c)).alias(f"{c}_total") for c in cfg.unit_cols
+        fixed_units_total(c).alias(f"{c}_total") for c in cfg.unit_cols
     ]
     aggs.append(F.count(F.lit(1)).alias(cfg.count_col))
     return batch.groupBy(*cfg.group_cols).agg(*aggs)

@@ -52,5 +52,5 @@ def session_stats(
         F.max(ts_col).alias("session_end"),
         F.count("*").alias("n_events"),
         # event values are 2-decimal money (corpus contract) — long fast path
-        fixed_sum(F.col(value_col), 2).alias("total_value"),
+        fixed_sum(value_col, 2).alias("total_value"),
     )

@@ -42,22 +42,56 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
-# vector math (built-in expressions only)
+# vector math (built-in expressions only). Each helper accepts a Column
+# or a Spark SQL string; the string form parses the whole fold as ONE
+# ``F.expr`` — one py4j round-trip instead of the ~15 the higher-order
+# Column lambdas cost (the lambdas are the expensive construction path:
+# each builds Python-side UnresolvedNamedLambdaVariables over several
+# RPCs, billed per query construction — see ARCHITECTURE.md "Driver
+# time is a hot path"). The parsed tree is the identical Catalyst
+# expression, so scores stay bit-equal (pinned in
+# tests/test_similarity_udf.py::test_sql_string_vector_math_bit_equal).
 # ---------------------------------------------------------------------------
 
 
-def dot(a: Column, b: Column) -> Column:
+def sql_dot(a: str, b: str) -> str:
+    """Spark SQL text of ``dot`` — Σ a[i]*b[i] left-fold in float64."""
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def sql_norm(a: str) -> str:
+    """Spark SQL text of ``norm``."""
+    return (
+        f"sqrt(aggregate(transform({a},"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " 0.0D, (acc, x) -> acc + x))"
+    )
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
     """Σ a[i]*b[i] as a left-fold in index order (float64)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(sql_dot(a, b))
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(sql_norm(a))
     sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"{sql_dot(a, b)} / ({sql_norm(a)} * {sql_norm(b)})"
+        )
     return dot(a, b) / (norm(a) * norm(b))
 
 
@@ -85,18 +119,18 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        norm(F.col(vec_col)).alias("__qn"),
+        norm(f"`{vec_col}`").alias("__qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        norm(F.col(vec_col)).alias("__cn"),
+        norm(f"`{vec_col}`").alias("__cn"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            dot(F.col("qvec"), F.col("cvec")) / (F.col("__qn") * F.col("__cn")),
+            F.expr(f"{sql_dot('qvec', 'cvec')} / (`__qn` * `__cn`)"),
         )
         # narrow the exchange rows: vectors are dead weight past this point
         .select("query_id", "neighbor_id", "cosine")
@@ -207,10 +241,22 @@ def planes_for_corpus(
     return min(max(min_planes, need), max_planes)
 
 
-def bucket_id(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket: bit p = 1 iff dot(vec, plane_p) > 0."""
-    from .clustering import double_array_literal
+def bucket_id(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket: bit p = 1 iff dot(vec, plane_p) > 0.
 
+    String input parses all ``n_planes`` sign tests as ONE expression
+    (the Column form pays the lambda-construction RPCs per plane)."""
+    from .clustering import double_array_literal, double_array_sql
+
+    if isinstance(vec, str):
+        if not planes:
+            return F.expr("0")
+        terms = " + ".join(
+            f"(CASE WHEN {sql_dot(vec, double_array_sql(plane))} > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+            for p, plane in enumerate(planes)
+        )
+        return F.expr(f"(0 + {terms})")
     out = F.lit(0)
     for p, plane in enumerate(planes):
         plane_col = double_array_literal(plane)
@@ -253,9 +299,9 @@ def cosine_neardup_pairs(
                 # norm precomputed per (vector, table): the verification
                 # cosine is dot/(n1*n2) with identical IEEE operands, but
                 # the norm folds run corpus-linear instead of per pair
-                norm(F.col(vec_col)).alias("nrm"),
+                norm(f"`{vec_col}`").alias("nrm"),
                 F.lit(t).alias("tbl"),
-                bucket_id(F.col(vec_col), planes).alias("bucket"),
+                bucket_id(f"`{vec_col}`", planes).alias("bucket"),
             )
         )
     c = reduce(lambda a, b: a.unionByName(b), tables)
@@ -279,7 +325,7 @@ def cosine_neardup_pairs(
     return (
         cand.withColumn(
             "cosine",
-            dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")),
+            F.expr(f"{sql_dot('v1', 'v2')} / (n1 * n2)"),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
@@ -305,8 +351,8 @@ def lsh_scored(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        norm(F.col(vec_col)).alias("__qn"),
-        bucket_id(F.col(vec_col), planes).alias("bucket"),
+        norm(f"`{vec_col}`").alias("__qn"),
+        bucket_id(f"`{vec_col}`", planes).alias("bucket"),
     )
     if probe_radius >= 1:
         # offsets: 0 = exact bucket, p+1 = flip plane p's bit
@@ -322,15 +368,15 @@ def lsh_scored(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        norm(F.col(vec_col)).alias("__cn"),
-        bucket_id(F.col(vec_col), planes).alias("bucket"),
+        norm(f"`{vec_col}`").alias("__cn"),
+        bucket_id(f"`{vec_col}`", planes).alias("bucket"),
     )
     return (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            dot(F.col("qvec"), F.col("cvec")) / (F.col("__qn") * F.col("__cn")),
+            F.expr(f"{sql_dot('qvec', 'cvec')} / (`__qn` * `__cn`)"),
         )
         .select("query_id", "neighbor_id", "cosine")
     )
@@ -410,7 +456,7 @@ def ivf_scored(
     # centroid INSIDE the broadcast build, not once per corpus x C pair) —
     # identical IEEE operand values, bit-equal csim/cosine (see
     # brute_force_topk)
-    cents = cents.withColumn("__cen", norm(F.col("centv")))
+    cents = cents.withColumn("__cen", norm("centv"))
     # tie rule: highest cosine, then LOWEST centroid id -> max_by on the
     # (csim, -cid) pair, mirrored by arg_max(cid, [csim, -cid]) in DuckDB
     ckey = F.struct(
@@ -420,12 +466,12 @@ def ivf_scored(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cvec"),
-            norm(F.col(vec_col)).alias("__cn"),
+            norm(f"`{vec_col}`").alias("__cn"),
         )
         .crossJoin(F.broadcast(cents))
         .withColumn(
             "csim",
-            dot(F.col("cvec"), F.col("centv")) / (F.col("__cn") * F.col("__cen")),
+            F.expr(f"{sql_dot('cvec', 'centv')} / (`__cn` * `__cen`)"),
         )
         .groupBy("neighbor_id")
         .agg(
@@ -438,12 +484,12 @@ def ivf_scored(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
-            norm(F.col(vec_col)).alias("__qn"),
+            norm(f"`{vec_col}`").alias("__qn"),
         )
         .crossJoin(F.broadcast(cents))
         .withColumn(
             "csim",
-            dot(F.col("qvec"), F.col("centv")) / (F.col("__qn") * F.col("__cen")),
+            F.expr(f"{sql_dot('qvec', 'centv')} / (`__qn` * `__cen`)"),
         )
     )
     qw = Window.partitionBy("query_id").orderBy(
@@ -459,7 +505,7 @@ def ivf_scored(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            dot(F.col("qvec"), F.col("cvec")) / (F.col("__qn") * F.col("__cn")),
+            F.expr(f"{sql_dot('qvec', 'cvec')} / (`__qn` * `__cn`)"),
         )
         .select("query_id", "neighbor_id", "cosine")
     )

@@ -45,7 +45,7 @@ def events_tumbling_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            fixed_sum(F.col("value"), 2).alias("total_value"),
+            fixed_sum("value", 2).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -85,7 +85,7 @@ def events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            fixed_avg(F.col("value"), 2).alias("avg_value"),
+            fixed_avg("value", 2).alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -512,7 +512,7 @@ def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type", F.window("ts", "10 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            fixed_sum_dec(F.col("value"), 2).alias("v_dec"),
+            fixed_sum_dec("value", 2).alias("v_dec"),
         )
         .select(
             "event_type",

@@ -53,7 +53,7 @@ def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decile 0 = top spenders. Exact (rank-based), not approximate."""
     orders = load_tables(spark, sf_dir, "orders")["orders"]
     rev = orders.groupBy("o_custkey").agg(
-        fixed_sum_raw(F.col("o_totalprice"), 2).alias("revenue")
+        fixed_sum_raw("o_totalprice", 2).alias("revenue")
     )
     # descending rank via ascending key on the negated (exact) double
     numbered = with_global_row_number(
@@ -73,7 +73,7 @@ def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_customers"),
             # per-customer revenue is an exact 2-decimal double (a sum
             # of 2-decimal prices), so the fast path stays exact here too
-            fixed_sum(F.col("revenue"), 2).alias("total_revenue"),
+            fixed_sum("revenue", 2).alias("total_revenue"),
             F.min("revenue").alias("min_revenue"),
             F.max("revenue").alias("max_revenue"),
         )
@@ -115,7 +115,7 @@ def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("l_returnflag").cast("int").alias("g_flag"),
             F.grouping("l_linestatus").cast("int").alias("g_status"),
             F.count("*").alias("n_items"),
-            fixed_sum(F.col("l_extendedprice"), 2).alias("total_price"),
+            fixed_sum("l_extendedprice", 2).alias("total_price"),
         )
         .select(
             "l_returnflag",
@@ -150,17 +150,17 @@ def lineitem_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     then runs on the resulting (identical) doubles in a fixed expression
     order on both engines."""
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
-    ux = fixed_units(F.col("l_quantity"), 2)
-    uy = fixed_units(F.col("l_extendedprice"), 2)
+    ux = fixed_units("l_quantity", 2)
+    uy = fixed_units("l_extendedprice", 2)
     m = li.select(
         ux.alias("ux"), uy.alias("uy")
     ).agg(
         F.count("*").alias("n"),
-        fixed_sum_units_raw(F.col("ux"), 2).alias("sx"),
-        fixed_sum_units_raw(F.col("uy"), 2).alias("sy"),
-        fixed_sum_units_raw(F.col("ux") * F.col("ux"), 4).alias("sxx"),
-        fixed_sum_units_raw(F.col("uy") * F.col("uy"), 4).alias("syy"),
-        fixed_sum_units_raw(F.col("ux") * F.col("uy"), 4).alias("sxy"),
+        fixed_sum_units_raw("ux", 2).alias("sx"),
+        fixed_sum_units_raw("uy", 2).alias("sy"),
+        fixed_sum_units_raw("ux * ux", 4).alias("sxx"),
+        fixed_sum_units_raw("uy * uy", 4).alias("syy"),
+        fixed_sum_units_raw("ux * uy", 4).alias("sxy"),
     )
     n = F.col("n")
     var = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
@@ -305,9 +305,7 @@ def salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(li, ords, "l_orderkey", hot, n_salts=N_SALTS)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
-        fixed_sum(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
-        ).alias("revenue"),
+        fixed_sum("l_extendedprice * (1 - l_discount)", 4).alias("revenue"),
     )
 
 

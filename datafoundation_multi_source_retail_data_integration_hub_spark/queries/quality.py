@@ -76,13 +76,12 @@ def lineitem_observed_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_total"),
         F.sum(suspect.cast("long")).alias("n_dropped"),
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     agg = (
         observed.filter(~suspect)
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            fixed_sum(rev, 4).alias("revenue"),
+            fixed_sum("l_extendedprice * (1 - l_discount)", 4).alias("revenue"),
         )
         # the action that finalizes the observation
         .localCheckpoint(eager=True)

@@ -96,9 +96,9 @@ def flagship_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         F.col("r_name").alias("region_name"), F.col("p_type").alias("part_type")
     ).agg(
-        fixed_sum(revenue_expr(), DP_REVENUE).alias("revenue"),
+        fixed_sum(_SQL_REVENUE, DP_REVENUE).alias("revenue"),
         F.countDistinct("l_orderkey").alias("n_orders"),
-        fixed_avg(F.col("l_discount"), DP_MONEY).alias("avg_discount"),
+        fixed_avg("l_discount", DP_MONEY).alias("avg_discount"),
     )
 
 
@@ -127,16 +127,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"].filter(
         F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
     )
-    disc_price = revenue_expr()
-    charge = disc_price * (1 + F.col("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        fixed_sum(F.col("l_quantity"), DP_MONEY).alias("sum_qty"),
-        fixed_sum(F.col("l_extendedprice"), DP_MONEY).alias("sum_base_price"),
-        fixed_sum(disc_price, DP_REVENUE).alias("sum_disc_price"),
-        fixed_sum(charge, DP_CHARGE).alias("sum_charge"),
-        fixed_avg(F.col("l_quantity"), DP_MONEY).alias("avg_qty"),
-        fixed_avg(F.col("l_extendedprice"), DP_MONEY).alias("avg_price"),
-        fixed_avg(F.col("l_discount"), DP_MONEY).alias("avg_disc"),
+        fixed_sum("l_quantity", DP_MONEY).alias("sum_qty"),
+        fixed_sum("l_extendedprice", DP_MONEY).alias("sum_base_price"),
+        fixed_sum(_SQL_REVENUE, DP_REVENUE).alias("sum_disc_price"),
+        fixed_sum(_SQL_REVENUE + " * (1 + l_tax)", DP_CHARGE).alias("sum_charge"),
+        fixed_avg("l_quantity", DP_MONEY).alias("avg_qty"),
+        fixed_avg("l_extendedprice", DP_MONEY).alias("avg_price"),
+        fixed_avg("l_discount", DP_MONEY).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
@@ -165,12 +163,12 @@ GROUP BY l_returnflag, l_linestatus
 def kpi_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
     return li.agg(
-        fixed_sum(revenue_expr(), DP_REVENUE).alias("total_revenue"),
+        fixed_sum(_SQL_REVENUE, DP_REVENUE).alias("total_revenue"),
         fixed_sum(
-            F.col("l_extendedprice") * F.col("l_discount"), DP_REVENUE
+            "l_extendedprice * l_discount", DP_REVENUE
         ).alias("total_discount_amt"),
         F.count("*").alias("n_lineitems"),
-        fixed_avg(F.col("l_extendedprice"), DP_MONEY).alias("avg_price"),
+        fixed_avg("l_extendedprice", DP_MONEY).alias("avg_price"),
     )
 
 
@@ -191,7 +189,7 @@ FROM lineitem
 def daily_sales_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, "orders")["orders"]
     return orders.groupBy(F.col("o_orderdate").alias("order_date")).agg(
-        fixed_sum(F.col("o_totalprice"), DP_MONEY).alias("sales"),
+        fixed_sum("o_totalprice", DP_MONEY).alias("sales"),
         F.count("*").alias("n_orders"),
     )
 
@@ -211,7 +209,7 @@ def segment_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
-            fixed_sum(F.col("o_totalprice"), DP_MONEY).alias("sales"),
+            fixed_sum("o_totalprice", DP_MONEY).alias("sales"),
             F.count("*").alias("n_orders"),
             F.countDistinct("o_custkey").alias("n_customers"),
         )
@@ -237,7 +235,7 @@ def monthly_trend_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, "orders")["orders"]
     monthly = orders.groupBy(
         F.date_trunc("month", F.col("o_orderdate")).alias("month")
-    ).agg(fixed_sum_dec(F.col("o_totalprice"), DP_MONEY).alias("rev_dec"))
+    ).agg(fixed_sum_dec("o_totalprice", DP_MONEY).alias("rev_dec"))
     # The window is unpartitioned, but it runs over ~1 row per month — the
     # heavy lifting (the aggregation) already reduced the data.
     w = Window.orderBy("month")
@@ -279,7 +277,7 @@ def category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_type").alias("category"))
-        .agg(fixed_sum_dec(revenue_expr(), DP_REVENUE).alias("rev_dec"))
+        .agg(fixed_sum_dec(_SQL_REVENUE, DP_REVENUE).alias("rev_dec"))
     )
     # share-of-total over the tiny aggregate; decimal window sum stays exact
     total = F.sum("rev_dec").over(Window.partitionBy())
@@ -315,7 +313,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"]
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
-        .agg(fixed_sum_dec(F.col("o_totalprice"), DP_MONEY).alias("rev_dec"))
+        .agg(fixed_sum_dec("o_totalprice", DP_MONEY).alias("rev_dec"))
     )
     # Deterministic top-k: exact decimal revenue ordering + key tie-break.
     # orderBy+limit compiles to TakeOrderedAndProject — per-partition top-k
@@ -350,7 +348,7 @@ def quarterly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, "orders")["orders"]
     q = orders.groupBy(
         F.year("o_orderdate").alias("yr"), F.quarter("o_orderdate").alias("qtr")
-    ).agg(fixed_sum_dec(F.col("o_totalprice"), DP_MONEY).alias("rev_dec"))
+    ).agg(fixed_sum_dec("o_totalprice", DP_MONEY).alias("rev_dec"))
     w = Window.partitionBy("qtr").orderBy("yr")
     rev = F.col("rev_dec").cast("double")
     prev = F.lag("rev_dec").over(w).cast("double")
@@ -398,7 +396,7 @@ def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.rollup("region_name", "nation_name").agg(
-        fixed_sum(F.col("c_acctbal"), DP_MONEY).alias("total_acctbal"),
+        fixed_sum("c_acctbal", DP_MONEY).alias("total_acctbal"),
         F.count("*").alias("n_customers"),
     )
 

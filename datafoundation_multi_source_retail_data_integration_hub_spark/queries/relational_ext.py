@@ -40,9 +40,7 @@ def supplier_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
     )
     return joined.groupBy(F.col("n_name").alias("nation_name")).agg(
-        fixed_sum(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
-        ).alias("revenue"),
+        fixed_sum("l_extendedprice * (1 - l_discount)", 4).alias("revenue"),
         F.count("*").alias("n_lineitems"),
     )
 
@@ -135,7 +133,7 @@ def weekend_weekday_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("is_weekend")
         .agg(
-            fixed_sum(F.col("o_totalprice"), 2).alias("sales"),
+            fixed_sum("o_totalprice", 2).alias("sales"),
             F.count("*").alias("n_orders"),
             F.countDistinct("o_custkey").alias("n_customers"),
         )
@@ -163,8 +161,8 @@ def nation_purchasing_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
-            fixed_sum(F.col("o_totalprice"), 2).alias("total_spend"),
-            fixed_avg(F.col("o_totalprice"), 2).alias("avg_order_value"),
+            fixed_sum("o_totalprice", 2).alias("total_spend"),
+            fixed_avg("o_totalprice", 2).alias("avg_order_value"),
             F.countDistinct("o_custkey").alias("n_customers"),
             F.count("*").alias("n_orders"),
         )
@@ -191,7 +189,7 @@ def product_catalog_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.groupBy(F.col("p_type").alias("product_type")).agg(
         F.count("*").alias("n_products"),
         F.countDistinct("p_brand").alias("n_brands"),
-        fixed_avg(F.col("p_retailprice"), 2).alias("avg_price"),
+        fixed_avg("p_retailprice", 2).alias("avg_price"),
         round_dp(F.min("p_retailprice")).alias("min_price"),
         round_dp(F.max("p_retailprice")).alias("max_price"),
     )
@@ -221,7 +219,7 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             fixed_sum_dec(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                "l_extendedprice * (1 - l_discount)", 4
             ).alias("rev_dec")
         )
     )

@@ -276,7 +276,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            stable_sum(F.col("sq_dist")).alias("inertia"),
+            stable_sum("sq_dist").alias("inertia"),
         )
     )
 
@@ -717,7 +717,7 @@ def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vec = (
         v.join(F.broadcast(qv), F.col("doc_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("v"), F.col("qv")))
+        .withColumn("cos", cosine("v", "qv"))
         .withColumn("vec_rank", F.row_number().over(wv))
         .filter(F.col("vec_rank") <= HYB_POOL)
         .select("query_id", "doc_id", "vec_rank")

@@ -659,8 +659,8 @@ def mart_ivm_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.parity import fixed_units
 
     t = load_tables(spark, sf_dir, "lineitem", "orders")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    profit = rev - F.col("l_extendedprice") * F.col("l_tax")
+    rev = "l_extendedprice * (1 - l_discount)"
+    profit = f"{rev} - l_extendedprice * l_tax"
     return (
         t["lineitem"]
         .join(
@@ -856,9 +856,7 @@ def _bucketed_join_agg(spark: SparkSession, sf_dir: str, db: str) -> DataFrame:
     joined = _bucketed_join(spark, sf_dir, db)
     return joined.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_items"),
-        fixed_sum(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
-        ).alias("revenue"),
+        fixed_sum("l_extendedprice * (1 - l_discount)", 4).alias("revenue"),
     )
 
 
@@ -933,7 +931,7 @@ def _partitioned_fact_agg(spark: SparkSession, sf_dir: str, db: str) -> DataFram
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             fixed_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                "l_extendedprice * (1 - l_discount)", 4
             ).alias("revenue"),
         )
     )
@@ -1016,7 +1014,7 @@ def _dpp_filtered_sales(spark: SparkSession, sf_dir: str, db: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             fixed_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                "l_extendedprice * (1 - l_discount)", 4
             ).alias("revenue"),
         )
     )
@@ -1082,7 +1080,7 @@ def _bloom_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             fixed_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                "l_extendedprice * (1 - l_discount)", 4
             ).alias("revenue"),
         )
     )

@@ -84,7 +84,7 @@ def tumbling_counts(stream: DataFrame) -> DataFrame:
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            stable_sum(F.col("value")).alias("total_value"),
+            stable_sum("value").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -103,7 +103,7 @@ def session_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            stable_sum(F.col("value")).alias("total_value"),
+            stable_sum("value").alias("total_value"),
         )
         .select(
             "user_id",
@@ -298,7 +298,7 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 day").alias("w"), "c_mktsegment")
         .agg(
             F.count("*").alias("n_purchases"),
-            stable_sum(F.col("value")).alias("total_value"),
+            stable_sum("value").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -593,7 +593,7 @@ def stream_audit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
             .agg(
                 F.count("*").alias("n_events"),
-                stable_sum(F.col("value")).alias("total_value"),
+                stable_sum("value").alias("total_value"),
             )
             .select(
                 F.col("w.start").alias("window_start"),

@@ -337,3 +337,61 @@ def test_fixed_units_total_merges_across_batches(spark):
         ).first()["r"]
 
     assert present(merged) == present(whole)
+
+
+def test_expr_string_path_bit_equals_column_path(spark):
+    """The single-``F.expr`` string fast path (driver-time optimization:
+    one py4j round-trip per aggregate instead of ~50) must be
+    bit-identical to the Column-chain path for every helper, including
+    NaN/overflow edges of ``round_dp`` — both paths must parse/compose
+    to the same Catalyst arithmetic."""
+    import struct
+
+    from datafoundation_multi_source_retail_data_integration_hub_spark.functions.parity import (
+        fixed_sum_dec,
+        fixed_units_total,
+        round_dp,
+    )
+
+    vals = [1.01, 2.5, -3.07, 951.27 / 24, 0.0005, -0.0005, 1e9 + 0.125]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+
+    def bits(v):
+        return None if v is None else struct.pack("<d", float(v)).hex()
+
+    col_row = df.agg(
+        fixed_sum(F.col("x"), 4).alias("a"),
+        fixed_avg(F.col("x"), 4).alias("b"),
+        fixed_sum_raw(F.col("x"), 4).alias("c"),
+        fixed_sum_dec(F.col("x"), 4).alias("d"),
+        stable_sum(F.col("x")).alias("e"),
+        stable_avg(F.col("x")).alias("f"),
+        stable_sum_raw(F.col("x")).alias("g"),
+        fixed_units_total(fixed_units(F.col("x"), 4)).alias("h"),
+    ).first()
+    str_row = df.agg(
+        fixed_sum("x", 4).alias("a"),
+        fixed_avg("x", 4).alias("b"),
+        fixed_sum_raw("x", 4).alias("c"),
+        fixed_sum_dec("x", 4).alias("d"),
+        stable_sum("x").alias("e"),
+        stable_avg("x").alias("f"),
+        stable_sum_raw("x").alias("g"),
+        fixed_units_total(fixed_units("x", 4)).alias("h"),
+    ).first()
+    for k in "abcdefg":
+        assert bits(col_row[k]) == bits(str_row[k]), (
+            k,
+            col_row[k],
+            str_row[k],
+        )
+    assert col_row["h"] == str_row["h"]
+
+    # round_dp edges: NaN passthrough, >=2^52 identity, negative midpoint
+    edge = spark.createDataFrame(
+        [(float("nan"),), (float(2**60),), (-0.00005,), (39.636249999999,)],
+        "x double",
+    )
+    col_r = [bits(r[0]) for r in edge.select(round_dp(F.col("x"), 4)).collect()]
+    str_r = [bits(r[0]) for r in edge.select(round_dp("x", 4)).collect()]
+    assert col_r == str_r
