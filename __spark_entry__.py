@@ -59,6 +59,7 @@ _PRIORITY = [
     "purchase_graph_pagerank",
     "stream_mart_refresh",
     "lineitem_observed_clean",
+    "doc_edit_distance_pairs",
     # (c) last green r04 — relational core
     "flagship_star_revenue",
     "pricing_summary",

@@ -630,3 +630,85 @@ def incremental_dedup(
         .otherwise(F.lit("kept"))
         .alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# edit-distance near-dup (prefix blocking + thresholded levenshtein)
+# ---------------------------------------------------------------------------
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    prefix_len: int = 24,
+    threshold: int = 64,
+    max_block: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs under an EDIT-DISTANCE threshold — the
+    exact-verification complement to the Jaccard/MinHash/SimHash family
+    (those measure set overlap; this measures character edits, the right
+    notion for truncated/patched re-crawls and templated boilerplate).
+
+    Candidate generation blocks on ``md5(substring(text, 1, prefix_len))``
+    — one shuffle on the block key; only rows sharing an exact prefix are
+    ever compared. Within a block the self-join is bounded two ways:
+    blocks outside [2, max_block] rows are dropped up front (a size-1
+    block has no pairs; an over-cap block is a boilerplate cluster the
+    quadratic must not touch — same df-cap posture as ``jaccard_pairs``),
+    and ``|len(a) - len(b)| <= threshold`` prunes losslessly because the
+    edit distance is bounded below by the length difference.
+
+    Verification uses Spark's 3-arg ``levenshtein(a, b, threshold)``
+    (returns -1 once the DP row exceeds the bound — O(threshold * len)
+    instead of O(len^2) per pair). PARITY DOMAIN: Spark computes over
+    unicode codepoints, DuckDB's ``levenshtein`` over bytes; they agree
+    exactly on ASCII, so non-ASCII rows are excluded on BOTH sides (the
+    oracle mirrors the filter).
+
+    Scale shape: shuffle on block key -> bounded within-block quadratic
+    -> thresholded DP, all JVM-side. At 100 TB the prefix block is the
+    cheap first stage; recall beyond shared prefixes comes from running
+    it alongside the shingle-based candidates, not from widening blocks.
+    """
+    d = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("t"),
+            F.length(text_col).alias("ln"),
+            F.md5(F.substring(F.col(text_col), 1, prefix_len)).alias("blk"),
+        )
+        .where(F.col("t").rlike(r"^[\x00-\x7F]*$"))
+    )
+    ok = (
+        d.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .where((F.col("__bn") >= 2) & (F.col("__bn") <= max_block))
+        .select("blk")
+    )
+    d = d.join(ok, "blk")
+    a = d.select("blk", F.col("id").alias("id1"), F.col("t").alias("t1"), F.col("ln").alias("ln1"))
+    b = d.select("blk", F.col("id").alias("id2"), F.col("t").alias("t2"), F.col("ln").alias("ln2"))
+    return (
+        a.join(b, "blk")
+        .where(
+            (F.col("id1") < F.col("id2"))
+            & (F.abs(F.col("ln1") - F.col("ln2")) <= F.lit(threshold))
+        )
+        .select(
+            "id1",
+            "id2",
+            F.expr(f"levenshtein(t1, t2, {int(threshold)})").alias("edit_distance"),
+            F.greatest("ln1", "ln2").alias("max_len"),
+        )
+        .where(F.col("edit_distance") >= 0)
+        .select(
+            "id1",
+            "id2",
+            "edit_distance",
+            round_dp(
+                F.lit(1.0)
+                - F.col("edit_distance").cast("double") / F.col("max_len").cast("double")
+            ).alias("similarity"),
+        )
+    )

@@ -691,7 +691,56 @@ FROM g
 """
 
 
+# ---------------------------------------------------------------------------
+# edit-distance near-dup pairs
+# ---------------------------------------------------------------------------
+
+EDIT_PREFIX = 24
+EDIT_TAU = 64
+EDIT_MAX_BLOCK = 64
+
+
+def doc_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact thresholded-levenshtein near-dup pairs over prefix blocks —
+    see operators.dedup.edit_distance_pairs for the blocking math and the
+    ASCII parity domain (Spark codepoint vs DuckDB byte levenshtein)."""
+    return DD.edit_distance_pairs(
+        _docs(spark, sf_dir),
+        "text",
+        "doc_id",
+        prefix_len=EDIT_PREFIX,
+        threshold=EDIT_TAU,
+        max_block=EDIT_MAX_BLOCK,
+    )
+
+
+DOC_EDIT_DISTANCE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id AS id, text AS t, length(text) AS ln,
+         md5(substring(text, 1, {EDIT_PREFIX})) AS blk
+  FROM documents
+  WHERE regexp_matches(text, '^[\\x00-\\x7F]*$')
+),
+ok AS (
+  SELECT blk FROM d GROUP BY blk
+  HAVING count(*) BETWEEN 2 AND {EDIT_MAX_BLOCK}
+),
+p AS (
+  SELECT a.id AS id1, b.id AS id2,
+         levenshtein(a.t, b.t) AS edit_distance,
+         greatest(a.ln, b.ln) AS mx
+  FROM d a JOIN d b USING (blk) JOIN ok USING (blk)
+  WHERE a.id < b.id AND abs(a.ln - b.ln) <= {EDIT_TAU}
+)
+SELECT id1, id2, edit_distance,
+       {sql_round_dp("1.0 - CAST(edit_distance AS DOUBLE) / CAST(mx AS DOUBLE)")}
+         AS similarity
+FROM p WHERE edit_distance <= {EDIT_TAU}
+"""
+
+
 QUERIES = {
+    "doc_edit_distance_pairs": doc_edit_distance_pairs,
     "doc_quality_filter": doc_quality_filter,
     "doc_repetition_stats": doc_repetition_stats,
     "doc_incremental_dedup": doc_incremental_dedup,
@@ -713,6 +762,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_edit_distance_pairs": DOC_EDIT_DISTANCE_ORACLE,
     "doc_quality_filter": DOC_QUALITY_FILTER_ORACLE,
     "doc_repetition_stats": DOC_REPETITION_STATS_ORACLE,
     "doc_incremental_dedup": DOC_INCREMENTAL_DEDUP_ORACLE,
