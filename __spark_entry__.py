@@ -60,6 +60,7 @@ _PRIORITY = [
     "stream_mart_refresh",
     "lineitem_observed_clean",
     "doc_edit_distance_pairs",
+    "events_cdc_compaction",
     # (c) last green r04 — relational core
     "flagship_star_revenue",
     "pricing_summary",

@@ -588,7 +588,55 @@ WHERE n_prev = {ANOMALY_LOOKBACK}
 """
 
 
+# ---------------------------------------------------------------------------
+# CDC changelog compaction
+# ---------------------------------------------------------------------------
+
+CDC_DELETE_OP = "error"
+
+
+def events_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact the event log read as a per-user CHANGE FEED: each event is
+    an upsert of the user's state, ``error`` events are tombstones
+    ("deactivate"; a synthetic op mapping — the events table has no real
+    op column). Output: latest surviving state per user + change counts.
+    See operators.cdc.compact_changelog for why this is one map-side
+    partial ``max_by`` aggregation rather than a window sort."""
+    from ..operators.cdc import compact_changelog
+
+    return compact_changelog(
+        _events(spark, sf_dir),
+        key_col="user_id",
+        seq_cols=("ts", "event_id"),
+        op_col="event_type",
+        delete_op=CDC_DELETE_OP,
+        payload_cols=("event_id", "value"),
+    )
+
+
+EVENTS_CDC_ORACLE = f"""
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_changes,
+         CAST(sum(CASE WHEN event_type = '{CDC_DELETE_OP}' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id) AS BIGINT) AS n_deletes
+  FROM events
+)
+SELECT user_id,
+       event_id AS last_event_id,
+       value AS last_value,
+       event_type AS last_op,
+       n_changes,
+       n_deletes
+FROM ranked
+WHERE rn = 1 AND event_type <> '{CDC_DELETE_OP}'
+"""
+
+
 QUERIES = {
+    "events_cdc_compaction": events_cdc_compaction,
     "events_tumbling_10m": events_tumbling_10m,
     "events_sliding_10m_5m": events_sliding_10m_5m,
     "events_sessionization": events_sessionization,
@@ -603,6 +651,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_cdc_compaction": EVENTS_CDC_ORACLE,
     "events_funnel": EVENTS_FUNNEL_ORACLE,
     "events_retention_cohorts": EVENTS_RETENTION_ORACLE,
     "events_gapfill_10m": EVENTS_GAPFILL_ORACLE,
