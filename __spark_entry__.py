@@ -61,6 +61,7 @@ _PRIORITY = [
     "lineitem_observed_clean",
     "doc_edit_distance_pairs",
     "events_cdc_compaction",
+    "events_mad_outliers",
     # (c) last green r04 — relational core
     "flagship_star_revenue",
     "pricing_summary",

@@ -847,7 +847,92 @@ FROM r WHERE rank <= {HH_TOPN}
 """
 
 
+# ---------------------------------------------------------------------------
+# Robust outlier detection (median / MAD)
+# ---------------------------------------------------------------------------
+
+# 3 sigma-equivalents: 1.4826 scales the MAD to the stddev of a normal
+# distribution. The product is written as ONE literal so both engines
+# parse the identical double (no cross-engine constant-folding question).
+MAD_CUT = 4.4478
+
+
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier profile: median, MAD (median absolute
+    deviation), and the count of values beyond ``MAD_CUT * MAD`` — the
+    robust z-score screen (mean/stddev-based screens are themselves
+    dragged by the outliers they hunt; median/MAD has a 50% breakdown
+    point).
+
+    Single-shuffle shape: ONE sorted-array buffer per group
+    (``parity.sorted_vals``, bench-scale domain guard included) serves
+    the median, the MAD (deviations are an array ``transform`` over the
+    same buffer — no second scan), and the outlier count (an array
+    ``aggregate`` over the buffer). The exact-median twin is oracle
+    scaffolding per the parity.py domain contract; at 100 TB the median
+    and MAD come from two KLL-sketch passes (see
+    ``lineitem_quantile_sketch``) and the count from one filtered scan.
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+    agg = events.groupBy("event_type").agg(
+        sorted_vals(F.col("value")).alias("__v"),
+        F.count("value").alias("n_events"),
+    )
+    s1 = agg.select(
+        "event_type", "n_events", "__v",
+        quantile_interp(F.col("__v"), 0.5).alias("med"),
+    )
+    s2 = s1.select(
+        "event_type", "n_events", "__v", "med",
+        quantile_interp(
+            F.sort_array(F.transform("__v", lambda x: F.abs(x - F.col("med")))),
+            0.5,
+        ).alias("mad"),
+    )
+    return s2.select(
+        "event_type",
+        "n_events",
+        "med",
+        "mad",
+        F.aggregate(
+            "__v",
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc
+            + F.when(
+                F.abs(x - F.col("med")) > F.lit(MAD_CUT) * F.col("mad"), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        ).alias("n_outliers"),
+    )
+
+
+EVENTS_MAD_ORACLE = f"""
+WITH m AS (
+  SELECT event_type,
+         quantile_cont(value, 0.5) AS med,
+         count(value) AS n_events
+  FROM events GROUP BY 1
+),
+dv AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN m USING (event_type) GROUP BY e.event_type
+),
+o AS (
+  SELECT e.event_type,
+         CAST(sum(CASE WHEN abs(e.value - m.med) > {MAD_CUT} * dv.mad
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+  FROM events e
+  JOIN m USING (event_type) JOIN dv USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT m.event_type, m.n_events, m.med, dv.mad, o.n_outliers
+FROM m JOIN dv USING (event_type) JOIN o USING (event_type)
+"""
+
+
 QUERIES = {
+    "events_mad_outliers": events_mad_outliers,
     "customer_revenue_deciles": customer_revenue_deciles,
     "order_grouping_sets": order_grouping_sets,
     "lineitem_stats_profile": lineitem_stats_profile,
@@ -862,6 +947,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_mad_outliers": EVENTS_MAD_ORACLE,
     "customer_revenue_deciles": CUSTOMER_REVENUE_DECILES_ORACLE,
     "order_grouping_sets": ORDER_GROUPING_SETS_ORACLE,
     "lineitem_stats_profile": LINEITEM_STATS_PROFILE_ORACLE,
