@@ -62,6 +62,7 @@ _PRIORITY = [
     "doc_edit_distance_pairs",
     "events_cdc_compaction",
     "events_mad_outliers",
+    "fact_layout_skipping",
     # (c) last green r04 — relational core
     "flagship_star_revenue",
     "pricing_summary",

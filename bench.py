@@ -87,6 +87,10 @@ HEADLINE = [
     "order_grouping_sets",
     "lineitem_stats_profile",
     "lineitem_observed_clean",
+    "doc_edit_distance_pairs",
+    "events_cdc_compaction",
+    "events_mad_outliers",
+    "fact_layout_skipping",
     "join_key_skew_report",
     "salted_hot_key_join",
     "orders_approx_distinct_sketch",

@@ -1126,7 +1126,100 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Layout clustering: measured file skipping (sources/layout.py)
+# ---------------------------------------------------------------------------
+
+LAYOUT_N_FILES = 16
+# fractional bands over each column's [min, max]: identical arithmetic is
+# evaluated by the oracle in SQL, so the row-count check is exact
+LAYOUT_SEC_BAND = (0.40, 0.45)  # secondary dim (l_suppkey), ~5% of the domain
+LAYOUT_LEAD_BAND = (0.50, 0.55)  # leading dim (l_partkey)
+
+
+def fact_layout_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the fact twice — range-clustered on l_partkey and Z-ordered
+    on (l_partkey, l_suppkey) — and measure what a min/max file index
+    would skip (sources/layout.py). Claims emitted as booleans (file
+    counts depend on range-sampler splits, so the oracle gates the
+    CLAIMS, not the counts — same contract as the sketch-bound queries);
+    ``rows_in_band`` is counted through the Z-ordered roundtrip and
+    oracle-checked against the source table, pinning write fidelity.
+
+    Work-asymmetric by design (two table writes per invocation — the
+    production pattern pays the write once and skips on every read);
+    excluded from the engine-vs-engine gate set like the other
+    write-path demos."""
+    import shutil
+    import tempfile
+
+    from ..sources import layout
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"].select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    domains = layout.column_domains(li, ("l_partkey", "l_suppkey"))
+    (plo, phi), (slo, shi) = domains["l_partkey"], domains["l_suppkey"]
+    sec_box = {
+        "l_suppkey": (
+            slo + LAYOUT_SEC_BAND[0] * (shi - slo),
+            slo + LAYOUT_SEC_BAND[1] * (shi - slo),
+        )
+    }
+    lead_box = {
+        "l_partkey": (
+            plo + LAYOUT_LEAD_BAND[0] * (phi - plo),
+            plo + LAYOUT_LEAD_BAND[1] * (phi - plo),
+        )
+    }
+    tmp = tempfile.mkdtemp(prefix="layout_demo_")
+    try:
+        linear, zordered = f"{tmp}/linear", f"{tmp}/zorder"
+        layout.write_range_clustered(li, linear, ("l_partkey",), LAYOUT_N_FILES)
+        layout.write_zordered(
+            li, zordered, "l_partkey", "l_suppkey", LAYOUT_N_FILES, domains
+        )
+        lin_hit, total = layout.file_skipping_report(spark, linear, sec_box)
+        z_hit, _ = layout.file_skipping_report(spark, zordered, sec_box)
+        lead_hit, _ = layout.file_skipping_report(spark, linear, lead_box)
+        (lo_b, hi_b) = sec_box["l_suppkey"]
+        rows_in_band = (
+            spark.read.parquet(zordered)
+            .where((F.col("l_suppkey") >= lo_b) & (F.col("l_suppkey") <= hi_b))
+            .count()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                bool(z_hit <= total // 2),
+                bool(lin_hit >= total - 2),
+                bool(lead_hit <= 3),
+                bool(z_hit < lin_hit),
+                int(rows_in_band),
+            )
+        ],
+        "zorder_skips_secondary BOOLEAN, linear_blind_secondary BOOLEAN, "
+        "linear_skips_leading BOOLEAN, zorder_beats_linear BOOLEAN, "
+        "rows_in_band BIGINT",
+    )
+
+
+FACT_LAYOUT_SKIPPING_ORACLE = f"""
+WITH d AS (SELECT min(l_suppkey) AS lo, max(l_suppkey) AS hi FROM lineitem)
+SELECT TRUE AS zorder_skips_secondary,
+       TRUE AS linear_blind_secondary,
+       TRUE AS linear_skips_leading,
+       TRUE AS zorder_beats_linear,
+       (SELECT count(*) FROM lineitem, d
+        WHERE l_suppkey >= lo + {LAYOUT_SEC_BAND[0]} * (hi - lo)
+          AND l_suppkey <= lo + {LAYOUT_SEC_BAND[1]} * (hi - lo)) AS rows_in_band
+"""
+
+
 QUERIES = {
+    "fact_layout_skipping": fact_layout_skipping,
     "dim_date_calendar": dim_date_calendar,
     "dim_customer_scd2_init": dim_customer_scd2_init,
     "scd2_customer_two_batch": scd2_customer_two_batch,
@@ -1144,6 +1237,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fact_layout_skipping": FACT_LAYOUT_SKIPPING_ORACLE,
     "dim_date_calendar": DIM_DATE_ORACLE,
     "dim_customer_scd2_init": DIM_CUSTOMER_INIT_ORACLE,
     "scd2_customer_two_batch": SCD2_TWO_BATCH_ORACLE,

@@ -62,6 +62,9 @@ def main() -> None:
         "bucketed_colocated_join",
         "partitioned_fact_pruning",
         "dpp_dim_filtered_sales",
+        # writes the fact twice (range + Z-order layouts) then measures
+        # file skipping; the oracle is one filtered count
+        "fact_layout_skipping",
         # writes + reads back the day-partitioned sketch-cell table per
         # invocation; the oracle is three plain SELECTs
         "events_sketch_cube",
