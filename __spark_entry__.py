@@ -63,6 +63,7 @@ _PRIORITY = [
     "events_cdc_compaction",
     "events_mad_outliers",
     "fact_layout_skipping",
+    "stream_cdc_compaction",
     # (c) last green r04 — relational core
     "flagship_star_revenue",
     "pricing_summary",

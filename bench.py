@@ -111,6 +111,7 @@ HEADLINE = [
     "stream_static_enrichment",
     "stream_audit_replay",
     "stream_mart_refresh",
+    "stream_cdc_compaction",
 ]
 
 

@@ -721,7 +721,89 @@ def _mart_ivm_oracle() -> str:
     return MART_INCREMENTAL_REFRESH_ORACLE
 
 
+@_stream_scoped
+def stream_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming changelog compaction: a ``foreachBatch`` sink folds each
+    micro-batch's per-key compaction state (``operators/cdc.compact_batch``)
+    into the stored state with ``merge_state`` — the log is NEVER
+    rescanned; each merge touches one state-table-sized frame plus the
+    micro-batch. The feed is split by event-id PARITY (not time), so the
+    second batch carries sequences both older and newer than the first —
+    the max_by-over-total-order merge, not arrival order, decides every
+    key. Final presented snapshot is bit-identical to the one-shot batch
+    compaction, so it shares ``events_cdc_compaction``'s oracle.
+
+    State versions are written to per-batch paths (v{batch_id}) — the
+    poor-man's versioned table; at cluster scale the same merge plan
+    lands in a transactional MERGE on one table (see ARCHITECTURE.md,
+    Streaming SCD2 row)."""
+    import shutil
+    import tempfile
+
+    from ..operators import cdc
+    from ..queries.eventops import CDC_DELETE_OP
+    from ..sources.tables import load_tables
+
+    base = tempfile.mkdtemp(prefix="stream_cdc_")
+    src = f"{base}/incoming"
+    versions: list[str] = []
+    kw = dict(
+        key_col="user_id",
+        seq_cols=("ts", "event_id"),
+        op_col="event_type",
+        delete_op=CDC_DELETE_OP,
+        payload_cols=("event_id", "value"),
+    )
+
+    def handler(batch: DataFrame, batch_id: int) -> None:
+        agg = cdc.compact_batch(batch, **kw)
+        if versions:
+            prev = batch.sparkSession.read.parquet(versions[-1])
+            agg = cdc.merge_state(prev, agg, "user_id")
+        path = f"{base}/state/v{batch_id}"
+        agg.write.mode("overwrite").parquet(path)
+        versions.append(path)
+
+    def run() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.foreachBatch(handler)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("cdc-compaction stream did not finish in 300s")
+
+    try:
+        ev = load_tables(spark, sf_dir, "events")["events"]
+        ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        run()
+        ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+        run()
+        out = cdc.present_state(
+            spark.read.parquet(versions[-1]),
+            "user_id",
+            CDC_DELETE_OP,
+            ("event_id", "value"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def _cdc_oracle() -> str:
+    # identical final snapshot as the one-shot batch compaction
+    from ..queries.eventops import EVENTS_CDC_ORACLE
+
+    return EVENTS_CDC_ORACLE
+
+
 QUERIES = {
+    "stream_cdc_compaction": stream_cdc_compaction,
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_dedup_count": stream_dedup_count,
     "stream_session_windows": stream_session_windows,
@@ -747,6 +829,7 @@ def _scd2_two_batch_oracle() -> str:
 
 
 ORACLES = {
+    "stream_cdc_compaction": _cdc_oracle(),
     "stream_tumbling_counts": STREAM_TUMBLING_ORACLE,
     "stream_dedup_count": STREAM_DEDUP_ORACLE,
     "stream_session_windows": STREAM_SESSION_ORACLE,

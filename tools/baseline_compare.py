@@ -77,6 +77,9 @@ def main() -> None:
         # the streaming twin: checkpointed two-run ingest + per-batch
         # table merges; same one-shot-aggregation oracle
         "stream_mart_refresh",
+        # checkpointed two-run ingest + per-batch state-table merge and
+        # parquet round-trip; the oracle is one window SELECT
+        "stream_cdc_compaction",
         # runs a deliberately broadcast-disabled plan to demonstrate the
         # at-scale bloom-injection shape — not Spark's best local plan
         "bloom_pruned_fact_join",
