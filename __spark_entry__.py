@@ -64,6 +64,7 @@ _PRIORITY = [
     "events_mad_outliers",
     "fact_layout_skipping",
     "stream_cdc_compaction",
+    "supplier_pareto",
     # (c) last green r04 — relational core
     "flagship_star_revenue",
     "pricing_summary",

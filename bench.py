@@ -87,6 +87,7 @@ HEADLINE = [
     "order_grouping_sets",
     "lineitem_stats_profile",
     "lineitem_observed_clean",
+    "supplier_pareto",
     "doc_edit_distance_pairs",
     "events_cdc_compaction",
     "events_mad_outliers",

@@ -490,7 +490,75 @@ FROM customer
 """
 
 
+# ---------------------------------------------------------------------------
+# Pareto / cumulative-share analysis (80/20 concentration)
+# ---------------------------------------------------------------------------
+
+
+def supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration across suppliers: rank by exact revenue,
+    cumulative share of the running total, and the 80%-tier flag (a
+    supplier is in the top-80 tier while the cumulative share BEFORE it
+    is under 0.8 — the boundary test runs in exact decimal arithmetic,
+    ``(cum - rev) * 5 < tot * 4``, so no float compare sits on the cut).
+
+    Exactness: per-supplier revenue and every cumulative value stay in
+    DECIMAL (order-independent, engine-agnostic); doubles appear only in
+    the final presented columns. Scale shape: one groupBy shuffle to
+    supplier grain (pre-aggregated map-side), then ONE window over the
+    supplier-count-sized frame — windows order the aggregate, never the
+    fact."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    rev = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.sum(revenue_expr().cast("decimal(27,6)")).alias("u")
+    )
+    w = Window.orderBy(F.col("u").desc(), "s_suppkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = rev.select(
+        "s_suppkey",
+        "u",
+        F.row_number().over(w).alias("pareto_rank"),
+        F.sum("u").over(run).alias("cum"),
+        F.sum("u").over(full).alias("tot"),
+    )
+    return ranked.select(
+        "s_suppkey",
+        "pareto_rank",
+        round_dp(F.col("u").cast("double")).alias("revenue"),
+        round_dp(
+            F.col("cum").cast("double") / F.col("tot").cast("double")
+        ).alias("cum_share"),
+        (
+            (F.col("cum") - F.col("u")) * F.lit(5) < F.col("tot") * F.lit(4)
+        ).alias("in_top80"),
+    )
+
+
+SUPPLIER_PARETO_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         sum(CAST({_SQL_REVENUE} AS DECIMAL(27,6))) AS u
+  FROM lineitem GROUP BY 1
+),
+w AS (
+  SELECT s_suppkey, u,
+         row_number() OVER (ORDER BY u DESC, s_suppkey) AS pareto_rank,
+         sum(u) OVER (ORDER BY u DESC, s_suppkey
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(u) OVER () AS tot
+  FROM rev
+)
+SELECT s_suppkey, pareto_rank,
+       {sql_round_dp("CAST(u AS DOUBLE)")} AS revenue,
+       {sql_round_dp("CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)")} AS cum_share,
+       ((cum - u) * 5 < tot * 4) AS in_top80
+FROM w
+"""
+
+
 QUERIES = {
+    "supplier_pareto": supplier_pareto,
     "flagship_star_revenue": flagship_star_revenue,
     "pricing_summary": pricing_summary,
     "kpi_summary": kpi_summary,
@@ -507,6 +575,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "supplier_pareto": SUPPLIER_PARETO_ORACLE,
     "flagship_star_revenue": FLAGSHIP_ORACLE,
     "pricing_summary": PRICING_ORACLE,
     "kpi_summary": KPI_ORACLE,
