@@ -65,6 +65,7 @@ _PRIORITY = [
     "fact_layout_skipping",
     "stream_cdc_compaction",
     "supplier_pareto",
+    "doc_dedup_decisions",
     # (c) last green r04 — relational core
     "flagship_star_revenue",
     "pricing_summary",

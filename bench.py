@@ -90,6 +90,7 @@ HEADLINE = [
     "supplier_pareto",
     "doc_edit_distance_pairs",
     "events_cdc_compaction",
+    "doc_dedup_decisions",
     "events_mad_outliers",
     "fact_layout_skipping",
     "join_key_skew_report",

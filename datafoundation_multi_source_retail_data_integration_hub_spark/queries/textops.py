@@ -417,6 +417,67 @@ SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src
 """
 
 
+# SQL twin of functions.text.quality_score — identical arithmetic shape
+_SQL_QSCORE = (
+    f"CAST(0.4 AS DOUBLE) * ({_SQL_LEN_SIG})"
+    f" + CAST(0.3 AS DOUBLE) * ({_SQL_STOP_SIG})"
+    f" + CAST(0.3 AS DOUBLE) * (1 - ({_SQL_PUNCT}))"
+)
+
+
+def doc_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION artifact: for every near-dup-clustered doc, the
+    canonical keeper (argmax quality score, ties to the lowest id) and
+    the drop verdict — the list a pipeline actually applies after
+    candidate generation + clustering. Closes the loop candidate pairs
+    -> connected components -> keep/drop.
+
+    Scale shape: the cluster labels and quality scores join on doc_id
+    (broadcast-sized right side is the per-cluster keeper frame); the
+    keeper itself is one ``max_by`` aggregation over the clustered docs,
+    so nothing rescans the corpus text beyond the one quality
+    projection."""
+    clusters = doc_neardup_clusters(spark, sf_dir)
+    q = _docs(spark, sf_dir).select(
+        "doc_id", TX.quality_score(F.col("text")).alias("__q")
+    )
+    j = clusters.join(q, "doc_id")
+    per = j.groupBy("cluster_rep").agg(
+        F.max_by(
+            F.col("doc_id"), F.struct(F.col("__q"), (-F.col("doc_id")).alias("n"))
+        ).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return j.join(per, "cluster_rep").select(
+        "doc_id",
+        "cluster_rep",
+        "n_members",
+        round_dp(F.col("__q")).alias("quality_score"),
+        (F.col("doc_id") == F.col("keep_id")).alias("keep"),
+    )
+
+
+DOC_DEDUP_DECISIONS_ORACLE = f"""
+WITH clusters AS ({DOC_NEARDUP_CLUSTERS_ORACLE.strip()}),
+q AS (SELECT doc_id, {_SQL_QSCORE} AS qs FROM documents),
+j AS (
+  SELECT c.doc_id, c.cluster_rep, q.qs
+  FROM clusters c JOIN q USING (doc_id)
+),
+r AS (
+  SELECT doc_id, cluster_rep, qs,
+         row_number() OVER (
+           PARTITION BY cluster_rep ORDER BY qs DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_rep) AS n_members
+  FROM j
+)
+SELECT doc_id, cluster_rep, n_members,
+       {sql_round_dp("qs")} AS quality_score,
+       (rn = 1) AS keep
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style rule-based quality filter
 # ---------------------------------------------------------------------------
@@ -750,6 +811,7 @@ QUERIES = {
     "doc_text_stats": doc_text_stats,
     "doc_winnowing_fingerprints": doc_winnowing_fingerprints,
     "doc_neardup_clusters": doc_neardup_clusters,
+    "doc_dedup_decisions": doc_dedup_decisions,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint": doc_fingerprint,
     "doc_exact_dedup": doc_exact_dedup,
@@ -772,6 +834,7 @@ ORACLES = {
     "doc_text_stats": DOC_TEXT_STATS_ORACLE,
     "doc_winnowing_fingerprints": DOC_WINNOWING_ORACLE,
     "doc_neardup_clusters": DOC_NEARDUP_CLUSTERS_ORACLE,
+    "doc_dedup_decisions": DOC_DEDUP_DECISIONS_ORACLE,
     "doc_lang_id": DOC_LANG_ID_ORACLE,
     "doc_fingerprint": DOC_FINGERPRINT_ORACLE,
     "doc_exact_dedup": DOC_EXACT_DEDUP_ORACLE,
