@@ -66,6 +66,7 @@ _PRIORITY = [
     "stream_cdc_compaction",
     "supplier_pareto",
     "doc_dedup_decisions",
+    "doc_mixture_allocation",
     # (c) last green r04 — relational core
     "flagship_star_revenue",
     "pricing_summary",

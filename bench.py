@@ -91,6 +91,7 @@ HEADLINE = [
     "doc_edit_distance_pairs",
     "events_cdc_compaction",
     "doc_dedup_decisions",
+    "doc_mixture_allocation",
     "events_mad_outliers",
     "fact_layout_skipping",
     "join_key_skew_report",

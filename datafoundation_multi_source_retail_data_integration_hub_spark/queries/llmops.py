@@ -404,7 +404,81 @@ WHERE length(text) > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Mixture allocation (exact per-source quotas, largest-remainder rounding)
+# ---------------------------------------------------------------------------
+
+MIX_TOTAL = 400  # target corpus size of the mixed sample
+# target mixture: weight source i proportionally to (i+1) — a deliberately
+# non-uniform re-weighting of the uniform corpus (the data-mixing op:
+# up/down-sample sources toward a target distribution, with EXACT counts,
+# where doc_stratified_sample applies per-stratum RATES)
+MIX_WEIGHTS = {f"src{i}": i + 1 for i in range(20)}
+
+
+def mixture_quotas(
+    weights: dict[str, int], total: int
+) -> dict[str, int]:
+    """Largest-remainder (Hamilton) apportionment of ``total`` slots to
+    integer weights: floor the proportional share, then hand the leftover
+    slots to the largest fractional remainders (ties to source name).
+    Integer arithmetic throughout — no float apportionment drift."""
+    wsum = sum(weights.values())
+    floors = {s: (total * w) // wsum for s, w in weights.items()}
+    rema = {s: (total * w) % wsum for s, w in weights.items()}
+    leftover = total - sum(floors.values())
+    for s in sorted(weights, key=lambda s: (-rema[s], s))[:leftover]:
+        floors[s] += 1
+    return floors
+
+
+def doc_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count data mixing: per source, take its quota of documents in
+    deterministic id-hash order (reproducible, content-independent). The
+    quota table is computed once (largest remainder over static weights)
+    and baked into the predicate on BOTH engines; an under-populated
+    source is capped automatically (row_number never exceeds the source
+    size — the shortfall is reported by the summary columns downstream
+    pipelines check).
+
+    Scale shape: one window per source partition over (hash, id) — the
+    rank order is a per-source shuffle+sort of just (ids, hashes), then a
+    rank filter; the text never moves."""
+    quotas = mixture_quotas(MIX_WEIGHTS, MIX_TOTAL)
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(_id_hash(), "doc_id")
+    quota = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(q))
+            for s, q in sorted(quotas.items())
+        ],
+        F.lit(0),
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("sample_rank"))
+        .where(F.col("sample_rank") <= quota)
+    )
+
+
+def _sql_mixture_oracle() -> str:
+    quotas = mixture_quotas(MIX_WEIGHTS, MIX_TOTAL)
+    cases = " ".join(
+        f"WHEN '{s}' THEN {q}" for s, q in sorted(quotas.items())
+    )
+    return f"""
+SELECT doc_id, source, sample_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_sql_id_hash()}, doc_id) AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= (CASE source {cases} ELSE 0 END)
+"""
+
+
 QUERIES = {
+    "doc_mixture_allocation": doc_mixture_allocation,
     "doc_hash_sample": doc_hash_sample,
     "doc_chunk_windows": doc_chunk_windows,
     "doc_stratified_sample": doc_stratified_sample,
@@ -416,6 +490,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_mixture_allocation": _sql_mixture_oracle(),
     "doc_hash_sample": DOC_HASH_SAMPLE_ORACLE,
     "doc_chunk_windows": DOC_CHUNK_WINDOWS_ORACLE,
     "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_ORACLE,
