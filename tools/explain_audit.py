@@ -159,6 +159,45 @@ AUDITED = {
         "expect": ["ObjectHashAggregate", "Window"],
         "forbid_pattern": r"\bExpand\b|CartesianProduct",
     },
+    "events_cdc_compaction": {
+        # the whole point: compaction is ONE aggregation whose max_by
+        # partial-aggregates map-side; a regression to the window-sort
+        # form would shuffle the full log history per key
+        "expect": ["partial_max_by"],
+        "forbid_pattern": r"\bWindow\b|CartesianProduct",
+    },
+    "events_mad_outliers": {
+        # one sorted-array buffer per group (TypedImperativeAggregate ->
+        # ObjectHashAggregate); median/MAD/outlier-count are array ops
+        # over it — no second scan, no join
+        "expect": ["ObjectHashAggregate"],
+        "forbid_pattern": r"CartesianProduct|BroadcastNestedLoopJoin",
+    },
+    "supplier_pareto": {
+        # map-side-partial groupBy to supplier grain, then ONE window
+        # over the dimension-sized aggregate — the window must sit above
+        # the HashAggregate, never over the fact
+        "expect": ["HashAggregate", "Window"],
+        "forbid_pattern": r"CartesianProduct|BroadcastNestedLoopJoin",
+    },
+    "doc_edit_distance_pairs": {
+        # prefix-block equi-join only; the quadratic is bounded by the
+        # block-size cap, never expressed as a cross product
+        "expect": ["HashAggregate"],
+        "forbid_pattern": r"CartesianProduct|BroadcastNestedLoopJoin",
+    },
+    "doc_mixture_allocation": {
+        # one rank window per source partition over (hash, id); no joins
+        "expect": ["Window"],
+        "forbid_pattern": r"CartesianProduct|BroadcastNestedLoopJoin",
+    },
+    "doc_dedup_decisions": {
+        # cluster labels + quality join on doc_id; keeper via max_by to
+        # the cluster grain (struct-ordered max_by buffers are sort-based
+        # aggregates) — all equi-joins
+        "expect": ["SortAggregate", "BroadcastHashJoin"],
+        "forbid_pattern": r"CartesianProduct|BroadcastNestedLoopJoin",
+    },
 }
 
 
