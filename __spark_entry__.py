@@ -67,6 +67,7 @@ _PRIORITY = [
     "supplier_pareto",
     "doc_dedup_decisions",
     "doc_mixture_allocation",
+    "warehouse_key_erasure",
     # (c) last green r04 — relational core
     "flagship_star_revenue",
     "pricing_summary",

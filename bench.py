@@ -94,6 +94,7 @@ HEADLINE = [
     "doc_mixture_allocation",
     "events_mad_outliers",
     "fact_layout_skipping",
+    "warehouse_key_erasure",
     "join_key_skew_report",
     "salted_hot_key_join",
     "orders_approx_distinct_sketch",

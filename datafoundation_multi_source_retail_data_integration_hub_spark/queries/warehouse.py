@@ -1127,6 +1127,146 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Key erasure (right-to-be-forgotten): partition-scoped delete rewrite
+# ---------------------------------------------------------------------------
+
+ERASE_MOD = 113  # deterministic stand-in for the erasure-request list
+ERASE_BUCKETS = 16  # fact partitioned by customer-key bucket
+
+
+def warehouse_key_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten over a partitioned fact: delete every row of
+    the requested customer keys by REWRITING ONLY the partitions that
+    contain them, and prove the others never moved (file inventory
+    compared before/after).
+
+    The at-scale design point is the LAYOUT: the fact is partitioned by
+    a key-derived bucket (``o_custkey % ERASE_BUCKETS``), so an erasure
+    batch of k keys touches <= k buckets — with a date-partitioned fact,
+    one user's history would force rewriting every partition. The delete
+    itself is a broadcast ANTI-join against the request list (a key
+    TABLE, not a predicate — request lists arrive as data), then one
+    dynamic partition overwrite of the touched buckets.
+
+    Booleans gate the operational claims (erasure complete; untouched
+    partition files bit-identical); the per-bucket row counts are
+    value-gated against the source recomputation. Work-asymmetric
+    (table build + rewrite per invocation)."""
+    import os
+    import uuid
+
+    from ..session import scoped_confs
+    from ..sources import writers as W
+
+    db = f"gdpr_demo_{uuid.uuid4().hex[:12]}"
+    table = "fact_orders_gdpr"
+    name = f"{db}.{table}"
+    try:
+        orders = load_tables(spark, sf_dir, "orders")["orders"]
+        fact = orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            (F.col("o_custkey") % ERASE_BUCKETS).cast("int").alias("bucket"),
+        )
+        W.write_table(fact, table, database=db, partition_by=("bucket",))
+        stored = spark.table(name)
+
+        before = {
+            r["bucket"]: r["n"]
+            for r in stored.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        # the erasure-request list is a small TABLE (broadcast side)
+        keys = (
+            stored.where(F.col("o_custkey") % ERASE_MOD == 0)
+            .select("o_custkey")
+            .distinct()
+        )
+        touched = sorted(
+            r["bucket"]
+            for r in keys.select(
+                (F.col("o_custkey") % ERASE_BUCKETS).cast("int").alias("bucket")
+            )
+            .distinct()
+            .collect()
+        )
+        untouched = sorted(set(before) - set(touched))
+
+        loc = [
+            r["data_type"]
+            for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+            if r["col_name"].strip() == "Location"
+        ][0].removeprefix("file:")
+
+        def inventory(buckets) -> set:
+            out = set()
+            for b in buckets:
+                root = os.path.join(loc, f"bucket={b}")
+                for dirpath, _dirs, files in os.walk(root):
+                    for f in files:
+                        p = os.path.join(dirpath, f)
+                        st = os.stat(p)
+                        out.add((os.path.relpath(p, loc), st.st_size, st.st_mtime_ns))
+            return out
+
+        inv_before = inventory(untouched)
+        # rewrite ONLY touched buckets: anti-join the request list out.
+        # Materialized first — the remainder is derived from the very
+        # partitions the dynamic overwrite replaces.
+        remainder = (
+            stored.where(F.col("bucket").isin([int(b) for b in touched]))
+            .join(F.broadcast(keys), "o_custkey", "left_anti")
+            .select(*stored.columns)
+            .localCheckpoint(eager=True)
+        )
+        with scoped_confs(
+            spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+        ):
+            remainder.write.insertInto(name, overwrite=True)
+
+        after = spark.table(name)
+        leftover = after.where(F.col("o_custkey") % ERASE_MOD == 0).count()
+        # vacuously true when every bucket was touched (possible at larger
+        # SFs where the request list covers all residues);
+        # tests/test_key_erasure.py asserts non-vacuity at the oracle SF
+        intact = inventory(untouched) == inv_before
+        counts = (
+            after.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("rows_after"))
+            .collect()
+        )
+        rows = [
+            (
+                int(r["bucket"]),
+                int(r["rows_after"]),
+                int(before[r["bucket"]] - r["rows_after"]),
+                bool(leftover == 0),
+                bool(intact),
+            )
+            for r in counts
+        ]
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    return spark.createDataFrame(
+        rows,
+        "bucket INT, rows_after BIGINT, rows_erased BIGINT, "
+        "erasure_complete BOOLEAN, untouched_files_intact BOOLEAN",
+    )
+
+
+WAREHOUSE_KEY_ERASURE_ORACLE = f"""
+SELECT CAST(o_custkey % {ERASE_BUCKETS} AS INT) AS bucket,
+       CAST(sum(CASE WHEN o_custkey % {ERASE_MOD} = 0 THEN 0 ELSE 1 END)
+            AS BIGINT) AS rows_after,
+       CAST(sum(CASE WHEN o_custkey % {ERASE_MOD} = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS rows_erased,
+       TRUE AS erasure_complete,
+       TRUE AS untouched_files_intact
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Layout clustering: measured file skipping (sources/layout.py)
 # ---------------------------------------------------------------------------
 
@@ -1219,6 +1359,7 @@ SELECT TRUE AS zorder_skips_secondary,
 
 
 QUERIES = {
+    "warehouse_key_erasure": warehouse_key_erasure,
     "fact_layout_skipping": fact_layout_skipping,
     "dim_date_calendar": dim_date_calendar,
     "dim_customer_scd2_init": dim_customer_scd2_init,
@@ -1237,6 +1378,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "warehouse_key_erasure": WAREHOUSE_KEY_ERASURE_ORACLE,
     "fact_layout_skipping": FACT_LAYOUT_SKIPPING_ORACLE,
     "dim_date_calendar": DIM_DATE_ORACLE,
     "dim_customer_scd2_init": DIM_CUSTOMER_INIT_ORACLE,

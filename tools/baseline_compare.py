@@ -65,6 +65,9 @@ def main() -> None:
         # writes the fact twice (range + Z-order layouts) then measures
         # file skipping; the oracle is one filtered count
         "fact_layout_skipping",
+        # builds a partitioned table, rewrites the touched partitions,
+        # and file-audits the rest; the oracle is one grouped SELECT
+        "warehouse_key_erasure",
         # writes + reads back the day-partitioned sketch-cell table per
         # invocation; the oracle is three plain SELECTs
         "events_sketch_cube",
