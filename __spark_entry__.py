@@ -68,6 +68,7 @@ _PRIORITY = [
     "doc_dedup_decisions",
     "doc_mixture_allocation",
     "warehouse_key_erasure",
+    "federated_segment_revenue",
     # (c) last green r04 — relational core
     "flagship_star_revenue",
     "pricing_summary",

@@ -95,6 +95,7 @@ HEADLINE = [
     "events_mad_outliers",
     "fact_layout_skipping",
     "warehouse_key_erasure",
+    "federated_segment_revenue",
     "join_key_skew_report",
     "salted_hot_key_join",
     "orders_approx_distinct_sketch",

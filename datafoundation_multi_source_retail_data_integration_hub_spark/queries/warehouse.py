@@ -1127,6 +1127,97 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Federated multi-source join (the reference's namesake integration hub)
+# ---------------------------------------------------------------------------
+
+_DERBY_DRIVER = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+def federated_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's namesake pattern end-to-end: ONE query joining
+    three source systems — the customer dimension staged through a LIVE
+    JDBC database (embedded Derby, reference S4/S5), the orders fact
+    from parquet, and the event stream table — into a per-segment
+    revenue + engagement report. Source staging is semantics-free, so
+    the oracle is the same join over the raw tables.
+
+    Scale shape: the JDBC read is range-partitioned on the key (the
+    reference's single-connection `read_sql` does not survive at scale);
+    the joins and aggregations are ordinary Catalyst plans once each
+    source is a DataFrame — that IS the integration-hub claim. The event
+    join uses user_id == c_custkey (the corpus's synthetic identity).
+    Work-asymmetric (JDBC round-trip per invocation)."""
+    import shutil
+    import tempfile
+
+    from ..sources.readers import read_jdbc, write_jdbc
+
+    t = load_tables(spark, sf_dir, "customer", "orders", "events")
+    base = tempfile.mkdtemp(prefix="federated_jdbc_")
+    url = f"jdbc:derby:{base}/db;create=true"
+    try:
+        dim = t["customer"].select("c_custkey", "c_mktsegment")
+        write_jdbc(dim, url, "stg_customer", properties=_DERBY_DRIVER)
+        b = dim.agg(F.min("c_custkey").alias("lo"), F.max("c_custkey").alias("hi")).collect()[0]
+        cust = read_jdbc(
+            spark,
+            url,
+            "stg_customer",
+            properties=_DERBY_DRIVER,
+            partition_column="c_custkey",
+            num_partitions=4,
+            lower_bound=int(b["lo"]),
+            upper_bound=int(b["hi"]) + 1,
+        )
+        seg = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+            F.count(F.lit(1)).alias("n_customers")
+        )
+        rev = (
+            t["orders"]
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                fixed_sum("o_totalprice", 2).alias("total_revenue"),
+            )
+        )
+        ev = (
+            t["events"]
+            .join(cust, F.col("user_id") == F.col("c_custkey"))
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        out = (
+            seg.join(rev, "segment")
+            .join(ev, "segment")
+            .localCheckpoint(eager=True)  # materialize before Derby dies
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+FEDERATED_SEGMENT_REVENUE_ORACLE = f"""
+WITH seg AS (
+  SELECT c_mktsegment AS segment, count(*) AS n_customers
+  FROM customer GROUP BY 1
+),
+rev AS (
+  SELECT c_mktsegment AS segment,
+         count(*) AS n_orders,
+         {sql_stable_sum("o_totalprice")} AS total_revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1
+),
+ev AS (
+  SELECT c_mktsegment AS segment, count(*) AS n_events
+  FROM events JOIN customer ON user_id = c_custkey GROUP BY 1
+)
+SELECT segment, n_customers, n_orders, total_revenue, n_events
+FROM seg JOIN rev USING (segment) JOIN ev USING (segment)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Key erasure (right-to-be-forgotten): partition-scoped delete rewrite
 # ---------------------------------------------------------------------------
 
@@ -1359,6 +1450,7 @@ SELECT TRUE AS zorder_skips_secondary,
 
 
 QUERIES = {
+    "federated_segment_revenue": federated_segment_revenue,
     "warehouse_key_erasure": warehouse_key_erasure,
     "fact_layout_skipping": fact_layout_skipping,
     "dim_date_calendar": dim_date_calendar,
@@ -1378,6 +1470,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "federated_segment_revenue": FEDERATED_SEGMENT_REVENUE_ORACLE,
     "warehouse_key_erasure": WAREHOUSE_KEY_ERASURE_ORACLE,
     "fact_layout_skipping": FACT_LAYOUT_SKIPPING_ORACLE,
     "dim_date_calendar": DIM_DATE_ORACLE,

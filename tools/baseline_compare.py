@@ -68,6 +68,9 @@ def main() -> None:
         # builds a partitioned table, rewrites the touched partitions,
         # and file-audits the rest; the oracle is one grouped SELECT
         "warehouse_key_erasure",
+        # stages the dim through a live embedded-Derby JDBC round-trip
+        # per invocation; the oracle is one three-way join
+        "federated_segment_revenue",
         # writes + reads back the day-partitioned sketch-cell table per
         # invocation; the oracle is three plain SELECTs
         "events_sketch_cube",
