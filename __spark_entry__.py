@@ -69,6 +69,7 @@ _PRIORITY = [
     "doc_mixture_allocation",
     "warehouse_key_erasure",
     "federated_segment_revenue",
+    "fact_late_arriving_dim",
     # (c) last green r04 — relational core
     "flagship_star_revenue",
     "pricing_summary",

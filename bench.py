@@ -96,6 +96,7 @@ HEADLINE = [
     "fact_layout_skipping",
     "warehouse_key_erasure",
     "federated_segment_revenue",
+    "fact_late_arriving_dim",
     "join_key_skew_report",
     "salted_hot_key_join",
     "orders_approx_distinct_sketch",

@@ -1127,6 +1127,114 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Late-arriving dimension (inferred members, surrogate-stable correction)
+# ---------------------------------------------------------------------------
+
+LATE_MOD = 10  # customers with c_custkey % LATE_MOD == 0 arrive late
+
+
+def fact_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension handling: facts referencing a member the
+    dim has not seen yet get an INFERRED placeholder row (surrogate key
+    assigned immediately — the fact must load now), and the late dim
+    batch later CORRECTS the placeholder in place. The warehouse
+    invariant is that correction never renumbers: every fact row keyed
+    to the inferred surrogate stays valid — asserted here by comparing
+    the (natural key -> surrogate) map before and after the correction
+    (`surrogates_stable`). `all_corrected` asserts no placeholder
+    survives the late batch.
+
+    Scale shape: inferred members are discovered with one left-anti join
+    of the fact's DISTINCT keys against the dim (dimension-sized);
+    correction is a dim-sized equi-join that touches no fact rows. The
+    final report equals the as-if-complete dim, which is the oracle."""
+    from ..operators.keys import with_global_row_number
+
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    cust = t["customer"].select("c_custkey", "c_mktsegment")
+    orders = t["orders"]
+    known = cust.where(F.col("c_custkey") % LATE_MOD != 0)
+    late = cust.where(F.col("c_custkey") % LATE_MOD == 0)
+
+    dim0 = known.withColumn("inferred", F.lit(False))
+    missing = (
+        orders.select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .join(dim0.select("c_custkey"), "c_custkey", "left_anti")
+    )
+    inferred = missing.select(
+        "c_custkey",
+        F.lit("UNKNOWN").alias("c_mktsegment"),
+        F.lit(True).alias("inferred"),
+    )
+    dim1 = with_global_row_number(
+        dim0.unionByName(inferred), ["c_custkey"], "sk"
+    ).localCheckpoint(eager=True)
+
+    # correction: same natural key -> real attributes, flag cleared,
+    # surrogate CARRIED THROUGH the join (never renumbered)
+    lt = late.select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("__late_seg")
+    )
+    dim2 = (
+        dim1.join(lt, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("__late_seg"), F.col("c_mktsegment")).alias(
+                "c_mktsegment"
+            ),
+            (F.col("inferred") & F.col("__late_seg").isNull()).alias("inferred"),
+            (F.col("inferred") | F.col("__late_seg").isNotNull()).alias(
+                "was_late"
+            ),
+            "sk",
+        )
+        .localCheckpoint(eager=True)
+    )
+    stable = (
+        dim2.select("c_custkey", "sk")
+        .exceptAll(dim1.select("c_custkey", "sk"))
+        .count()
+        == 0
+    )
+    uncorrected_with_facts = (
+        orders.join(
+            dim2.where("inferred"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        ).count()
+        == 0
+    )
+    return (
+        orders.join(dim2, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            fixed_sum("o_totalprice", 2).alias("revenue"),
+            F.count_distinct(
+                F.when(F.col("c_custkey") % LATE_MOD == 0, F.col("c_custkey"))
+            ).alias("n_inferred_members"),
+        )
+        .withColumn("all_corrected", F.lit(bool(uncorrected_with_facts)))
+        .withColumn("surrogates_stable", F.lit(bool(stable)))
+    )
+
+
+FACT_LATE_ARRIVING_DIM_ORACLE = f"""
+SELECT c_mktsegment AS segment,
+       count(*) AS n_orders,
+       {sql_stable_sum("o_totalprice")} AS revenue,
+       CAST(count(DISTINCT CASE WHEN c_custkey % {LATE_MOD} = 0
+                                THEN c_custkey END) AS BIGINT)
+         AS n_inferred_members,
+       TRUE AS all_corrected,
+       TRUE AS surrogates_stable
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Federated multi-source join (the reference's namesake integration hub)
 # ---------------------------------------------------------------------------
 
@@ -1450,6 +1558,7 @@ SELECT TRUE AS zorder_skips_secondary,
 
 
 QUERIES = {
+    "fact_late_arriving_dim": fact_late_arriving_dim,
     "federated_segment_revenue": federated_segment_revenue,
     "warehouse_key_erasure": warehouse_key_erasure,
     "fact_layout_skipping": fact_layout_skipping,
@@ -1470,6 +1579,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fact_late_arriving_dim": FACT_LATE_ARRIVING_DIM_ORACLE,
     "federated_segment_revenue": FEDERATED_SEGMENT_REVENUE_ORACLE,
     "warehouse_key_erasure": WAREHOUSE_KEY_ERASURE_ORACLE,
     "fact_layout_skipping": FACT_LAYOUT_SKIPPING_ORACLE,

@@ -71,6 +71,9 @@ def main() -> None:
         # stages the dim through a live embedded-Derby JDBC round-trip
         # per invocation; the oracle is one three-way join
         "federated_segment_revenue",
+        # builds + corrects the dimension (two checkpoints, stability
+        # audits) per invocation; the oracle is one join+aggregate
+        "fact_late_arriving_dim",
         # writes + reads back the day-partitioned sketch-cell table per
         # invocation; the oracle is three plain SELECTs
         "events_sketch_cube",
