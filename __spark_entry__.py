@@ -30,13 +30,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # window is r04+r05; _PRIORITY pins, in order:
 #   (a) the 6 llmops-tail names whose last green row is r03 (the failing
 #       rotation guard in r05 listed exactly these — 2 rounds stale);
-#   (b) the 9 queries NEW in r06 (persisted sketch cube, audit replay,
+#   (b) the 20 queries NEW in r06 (persisted sketch cube, audit replay,
 #       partition-merge SCD2 publish, ANN quality report, batch +
 #       streaming IVM, heavy hitters, fixed-point PageRank, observed
-#       load) with no row yet;
+#       load, edit-distance near-dup, batch + streaming CDC compaction,
+#       MAD outliers, layout skipping, Pareto, dedup decisions, mixture
+#       allocation, key erasure, federated join, late-arriving dim)
+#       with no row yet;
 #   (c) the 49 names whose last green row is r04 (relational, warehouse,
-#       vectors, quality families) — 35 of them fit the remaining
-#       budget; the ~14 at the tail (most-stable scalar queries last)
+#       vectors, quality families) — ~24 of them fit the remaining
+#       budget; the ~25 at the tail (most-stable scalar queries last)
 #       rotate to the front of r07 if they slide
 #       (tests/test_rotation_staleness.py enforces that rotation).
 # Names recorded green in r05 come last via _modules() and are skipped
