@@ -73,6 +73,7 @@ _PRIORITY = [
     "warehouse_key_erasure",
     "federated_segment_revenue",
     "fact_late_arriving_dim",
+    "orders_price_drift_screen",
     # (c) last green r04 — relational core
     "flagship_star_revenue",
     "pricing_summary",

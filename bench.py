@@ -97,6 +97,7 @@ HEADLINE = [
     "warehouse_key_erasure",
     "federated_segment_revenue",
     "fact_late_arriving_dim",
+    "orders_price_drift_screen",
     "join_key_skew_report",
     "salted_hot_key_join",
     "orders_approx_distinct_sketch",

@@ -217,7 +217,100 @@ LEFT JOIN (SELECT DISTINCT {pk} AS pk FROM {parent}) p ON c.k = p.pk"""
     return "\nUNION ALL\n".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# Distribution drift screen (PSI-shaped, rational arithmetic only)
+# ---------------------------------------------------------------------------
+
+DRIFT_DECILES = [i / 10 for i in range(1, 10)]
+
+
+def orders_price_drift_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-over-batch distribution drift for the order-price column:
+    the reference batch (even order keys) defines decile edges; both
+    batches are histogrammed against those SAME edges; per bucket the
+    screen emits the triangular discrepancy ``(p-q)^2 / (p+q)`` — a
+    PSI-style statistic built from RATIONAL arithmetic only (PSI's
+    ``ln(p/q)`` is libm-dependent across engines; this one is exactly
+    portable and shares PSI's zero-at-identical, grows-with-shift
+    shape).
+
+    Scale shape: edges come from the reference batch's quantiles (exact
+    twin here under the ``SORTED_VALS_MAX`` oracle-scaffolding contract;
+    KLL edges at 100 TB), then ONE pass histogramming both batches —
+    bucket assignment is a 9-comparison array fold against broadcast
+    edge literals, and the counts partial-aggregate map-side."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    ref = orders.where(F.col("o_orderkey") % 2 == 0)
+    arr = ref.agg(sorted_vals(F.col("o_totalprice")).alias("__v"))
+    edges = [
+        float(x)
+        for x in arr.select(
+            *[quantile_interp(F.col("__v"), p).alias(f"e{i}") for i, p in enumerate(DRIFT_DECILES)]
+        ).collect()[0]
+    ]
+    bucket = sum(
+        (F.col("o_totalprice") >= F.lit(e)).cast("int") for e in edges
+    ).alias("bucket")
+    hist = (
+        orders.select(
+            bucket, (F.col("o_orderkey") % 2 == 0).alias("is_ref")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    totals = hist.agg(
+        F.sum("n_ref").alias("__r"), F.sum("n_cur").alias("__c")
+    )
+    p = F.col("n_ref").cast("double") / F.col("__r").cast("double")
+    q = F.col("n_cur").cast("double") / F.col("__c").cast("double")
+    return hist.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        p.alias("share_ref"),
+        q.alias("share_cur"),
+        ((p - q) * (p - q) / (p + q)).alias("drift"),
+    )
+
+
+def _sql_drift_oracle() -> str:
+    probs = ", ".join(str(p) for p in DRIFT_DECILES)
+    return f"""
+WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 2 = 0),
+e AS (SELECT unnest(quantile_cont(v, [{probs}])) AS edge FROM ref),
+b AS (
+  SELECT (SELECT CAST(count(*) AS INT) FROM e WHERE o.o_totalprice >= e.edge)
+           AS bucket,
+         (o_orderkey % 2 = 0) AS is_ref
+  FROM orders o
+),
+hist AS (
+  SELECT bucket,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+  FROM b GROUP BY 1
+),
+t AS (SELECT sum(n_ref) AS r, sum(n_cur) AS c FROM hist)
+SELECT bucket,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       CAST(n_ref AS DOUBLE) / CAST(r AS DOUBLE) AS share_ref,
+       CAST(n_cur AS DOUBLE) / CAST(c AS DOUBLE) AS share_cur,
+       (CAST(n_ref AS DOUBLE) / CAST(r AS DOUBLE)
+          - CAST(n_cur AS DOUBLE) / CAST(c AS DOUBLE))
+       * (CAST(n_ref AS DOUBLE) / CAST(r AS DOUBLE)
+          - CAST(n_cur AS DOUBLE) / CAST(c AS DOUBLE))
+       / (CAST(n_ref AS DOUBLE) / CAST(r AS DOUBLE)
+          + CAST(n_cur AS DOUBLE) / CAST(c AS DOUBLE)) AS drift
+FROM hist, t
+"""
+
+
 QUERIES = {
+    "orders_price_drift_screen": orders_price_drift_screen,
     "lineitem_validation_summary": lineitem_validation_summary,
     "order_price_percentiles": order_price_percentiles,
     "fk_integrity_audit": fk_integrity_audit,
@@ -225,6 +318,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "orders_price_drift_screen": _sql_drift_oracle(),
     "lineitem_validation_summary": LINEITEM_VALIDATION_ORACLE,
     "order_price_percentiles": ORDER_PERCENTILES_ORACLE,
     "fk_integrity_audit": _sql_fk_audit_oracle(),
