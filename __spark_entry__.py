@@ -74,6 +74,7 @@ _PRIORITY = [
     "federated_segment_revenue",
     "fact_late_arriving_dim",
     "orders_price_drift_screen",
+    "events_rolling_distinct_users",
     # (c) last green r04 — relational core
     "flagship_star_revenue",
     "pricing_summary",

@@ -98,6 +98,7 @@ HEADLINE = [
     "federated_segment_revenue",
     "fact_late_arriving_dim",
     "orders_price_drift_screen",
+    "events_rolling_distinct_users",
     "join_key_skew_report",
     "salted_hot_key_join",
     "orders_approx_distinct_sketch",

@@ -848,6 +848,75 @@ FROM r WHERE rank <= {HH_TOPN}
 
 
 # ---------------------------------------------------------------------------
+# Rolling distinct users (windowed HLL-sketch merge — the rolling-MAU op)
+# ---------------------------------------------------------------------------
+
+
+def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day — the rolling-MAU shape that
+    plain counts cannot deliver (distinct does not sum across days) and
+    a per-window re-scan cannot afford at scale. The at-scale path:
+    ONE pass builds a day-grain HLL sketch table, then a RANGE-framed
+    window merges the trailing sketches (``hll_union_agg`` over the
+    frame) — per day the merge touches 7 constant-size sketches, never
+    the events. The calendar RANGE frame (not ROWS) keeps missing days
+    from silently widening the window.
+
+    The exact twin (calendar range join + count_distinct, a full rescan
+    per window) is oracle scaffolding; the sketch estimate is gated by
+    the ``SKETCH_USERS_BOUND`` boolean, same contract as the other
+    sketch queries."""
+    from pyspark.sql import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    day = F.col("ts").cast("date")
+    daily = (
+        events.select(day.alias("d"), "user_id")
+        .groupBy("d")
+        .agg(F.hll_sketch_agg("user_id", HLL_LG_K).alias("__sk"))
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    est = daily.select(
+        "d",
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col("__sk"), F.lit(True)).over(w)
+        ).alias("__est"),
+    )
+    ev = events.select(day.alias("ed"), "user_id")
+    exact = (
+        daily.select("d")
+        .join(
+            ev,
+            (F.col("ed") >= F.date_sub(F.col("d"), 6))
+            & (F.col("ed") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("n_users_7d"))
+    )
+    return exact.join(est, "d").select(
+        "d",
+        "n_users_7d",
+        (
+            F.abs(F.col("__est") - F.col("n_users_7d"))
+            <= SKETCH_USERS_BOUND * F.col("n_users_7d")
+        ).alias("sketch_ok"),
+    )
+
+
+EVENTS_ROLLING_MAU_ORACLE = """
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+SELECT d,
+       (SELECT count(DISTINCT user_id) FROM events e
+        WHERE CAST(e.ts AS DATE) BETWEEN d - 6 AND d) AS n_users_7d,
+       TRUE AS sketch_ok
+FROM days
+"""
+
+
+# ---------------------------------------------------------------------------
 # Robust outlier detection (median / MAD)
 # ---------------------------------------------------------------------------
 
@@ -932,6 +1001,7 @@ FROM m JOIN dv USING (event_type) JOIN o USING (event_type)
 
 
 QUERIES = {
+    "events_rolling_distinct_users": events_rolling_distinct_users,
     "events_mad_outliers": events_mad_outliers,
     "customer_revenue_deciles": customer_revenue_deciles,
     "order_grouping_sets": order_grouping_sets,
@@ -947,6 +1017,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_rolling_distinct_users": EVENTS_ROLLING_MAU_ORACLE,
     "events_mad_outliers": EVENTS_MAD_ORACLE,
     "customer_revenue_deciles": CUSTOMER_REVENUE_DECILES_ORACLE,
     "order_grouping_sets": ORDER_GROUPING_SETS_ORACLE,
