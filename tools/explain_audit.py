@@ -191,6 +191,19 @@ AUDITED = {
         "expect": ["Window"],
         "forbid_pattern": r"CartesianProduct|BroadcastNestedLoopJoin",
     },
+    "orders_price_drift_screen": {
+        # one pass histograms both batches (map-side partial counts);
+        # the totals join is an intended 1-row broadcast
+        "expect": ["HashAggregate"],
+        "forbid_pattern": r"CartesianProduct",
+    },
+    "events_rolling_distinct_users": {
+        # day-grain HLL sketches (ObjectHashAggregate) + RANGE-framed
+        # window merge; the exact twin's calendar range join broadcasts
+        # the day list (BNLJ intended — non-equi condition)
+        "expect": ["ObjectHashAggregate", "Window"],
+        "forbid_pattern": r"CartesianProduct",
+    },
     "doc_dedup_decisions": {
         # cluster labels + quality join on doc_id; keeper via max_by to
         # the cluster grain (struct-ordered max_by buffers are sort-based
