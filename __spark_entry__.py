@@ -75,6 +75,7 @@ _PRIORITY = [
     "fact_late_arriving_dim",
     "orders_price_drift_screen",
     "events_rolling_distinct_users",
+    "doc_media_resized",
     # (c) last green r04 — relational core
     "flagship_star_revenue",
     "pricing_summary",

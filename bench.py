@@ -99,6 +99,7 @@ HEADLINE = [
     "fact_late_arriving_dim",
     "orders_price_drift_screen",
     "events_rolling_distinct_users",
+    "doc_media_resized",
     "join_key_skew_report",
     "salted_hot_key_join",
     "orders_approx_distinct_sketch",

@@ -106,3 +106,85 @@ def sample_frames(
     the partition-local, shuffle-free sampling pattern used to thin video
     frames or huge media corpora before expensive decode."""
     return df.filter((F.col(id_col) % every_n) == 0)
+
+
+RESIZED_META_SCHEMA = (
+    "media_id long, src_width int, src_height int, "
+    "width int, height int, byte_len int, resize_ok boolean"
+)
+
+HEADER_LEN = struct.calcsize(_HEADER)
+_BODY_CAP = 256  # fake_image_bytes caps pseudo-pixels at 256 bytes
+
+
+def resize_image(payload: bytes, max_side: int) -> bytes:
+    """STUB resize on the fake format: integer scale-to-fit ``max_side``
+    preserving aspect (floor division — exactly portable arithmetic),
+    header rewritten, body nearest-neighbor-subsampled from the capped
+    pseudo-pixel array. A real deployment swaps this one function for
+    Pillow/libvips ``thumbnail``; the Spark plumbing is unchanged."""
+    w, h, c = decode_image_meta(payload)
+    m = max(w, h)
+    dw = max(1, (w * max_side) // m)
+    dh = max(1, (h * max_side) // m)
+    body = payload[HEADER_LEN:]
+    n_dst = min(dw * dh * c, _BODY_CAP)
+    n_src = len(body)
+    out = bytes(body[(i * n_src) // n_dst] for i in range(n_dst)) if n_src else b""
+    return struct.pack(_HEADER, _FAKE_MAGIC, dw, dh, c) + out
+
+
+def resize_media(df: DataFrame, max_side: int) -> DataFrame:
+    """Arrow-batched resize stage: per row build/accept the payload,
+    resize, RE-DECODE the result (the round-trip check a pipeline wants
+    before shipping thumbnails), and emit source + target metadata.
+    Expects columns (media_id, content); one Python batch per Arrow
+    record batch — same memory posture as ``extract_image_meta``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [], "src_width": [], "src_height": [],
+                "width": [], "height": [], "byte_len": [], "resize_ok": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                sw, sh, sc = decode_image_meta(bytes(payload))
+                resized = resize_image(bytes(payload), max_side)
+                try:
+                    dw, dh, dc = decode_image_meta(resized)
+                    ok = dc == sc and max(dw, dh) <= max_side
+                except (NotImplementedError, struct.error):
+                    dw = dh = 0
+                    ok = False
+                out["media_id"].append(mid)
+                out["src_width"].append(sw)
+                out["src_height"].append(sh)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["byte_len"].append(len(resized))
+                out["resize_ok"].append(ok)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=RESIZED_META_SCHEMA)
+
+
+def generate_fake_media(df: DataFrame) -> DataFrame:
+    """Arrow-batched fake-media generator for tests/demos: (media_id,
+    width, height) -> (media_id, content) with deterministic payloads.
+    Stands in for the binary scan of a real media corpus."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [
+                        fake_image_bytes(int(m), int(w), int(h))
+                        for m, w, h in zip(
+                            pdf["media_id"], pdf["width"], pdf["height"]
+                        )
+                    ],
+                }
+            )
+
+    return df.mapInPandas(batches, schema="media_id long, content binary")
