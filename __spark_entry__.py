@@ -76,6 +76,7 @@ _PRIORITY = [
     "orders_price_drift_screen",
     "events_rolling_distinct_users",
     "doc_media_resized",
+    "warehouse_compaction_report",
     # (c) last green r04 — relational core
     "flagship_star_revenue",
     "pricing_summary",

@@ -100,6 +100,7 @@ HEADLINE = [
     "orders_price_drift_screen",
     "events_rolling_distinct_users",
     "doc_media_resized",
+    "warehouse_compaction_report",
     "join_key_skew_report",
     "salted_hot_key_join",
     "orders_approx_distinct_sketch",

@@ -1127,6 +1127,83 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Small-file compaction as a recorded maintenance op
+# ---------------------------------------------------------------------------
+
+COMPACT_FRAGMENTS = 64  # deliberately fragmented ingest to compact
+
+
+def warehouse_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-files maintenance pass, recorded end to end: a
+    deliberately fragmented append-sink layout (64 files) is compacted
+    to footprint-sized files (``sources/writers.compact_parquet`` — the
+    streaming-sink cleanup every 100 TB table needs), and the report
+    proves (a) the file count actually dropped, (b) not one row or
+    value changed across the rewrite — the row count and an
+    order-insensitive value checksum are value-gated against the source
+    recomputation. Work-asymmetric (two table writes per invocation)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.text import md5_long
+    from ..sources.writers import compact_parquet
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="compact_demo_")
+    path = f"{base}/fragmented"
+    try:
+        orders.repartition(COMPACT_FRAGMENTS).write.mode("overwrite").parquet(path)
+
+        def n_files() -> int:
+            return len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
+        files_before = n_files()
+        compact_parquet(spark, path)
+        files_after = n_files()
+        after = spark.read.parquet(path)
+        # order-insensitive key checksum: 60-bit md5 of the key pair,
+        # folded mod 2^31 so the sum stays exact in BIGINT on both engines
+        h = md5_long(F.concat_ws("|", "o_orderkey", "o_custkey")) % F.lit(1 << 31)
+        checked = after.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(h).alias("key_checksum"),
+            fixed_sum("o_totalprice", 2).alias("total_price"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                bool(files_before == COMPACT_FRAGMENTS),
+                bool(files_after < files_before),
+                int(checked["n_rows"]),
+                int(checked["key_checksum"]),
+                float(checked["total_price"]),
+            )
+        ],
+        "was_fragmented BOOLEAN, compacted BOOLEAN, n_rows BIGINT, "
+        "key_checksum BIGINT, total_price DOUBLE",
+    )
+
+
+def _sql_compaction_oracle() -> str:
+    from ..functions.text import sql_md5_long
+
+    h = sql_md5_long("o_orderkey || '|' || o_custkey")
+    return f"""
+SELECT TRUE AS was_fragmented,
+       TRUE AS compacted,
+       count(*) AS n_rows,
+       CAST(sum(({h}) % {1 << 31}) AS BIGINT) AS key_checksum,
+       {sql_stable_sum("o_totalprice")} AS total_price
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
 # Late-arriving dimension (inferred members, surrogate-stable correction)
 # ---------------------------------------------------------------------------
 
@@ -1558,6 +1635,7 @@ SELECT TRUE AS zorder_skips_secondary,
 
 
 QUERIES = {
+    "warehouse_compaction_report": warehouse_compaction_report,
     "fact_late_arriving_dim": fact_late_arriving_dim,
     "federated_segment_revenue": federated_segment_revenue,
     "warehouse_key_erasure": warehouse_key_erasure,
@@ -1579,6 +1657,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "warehouse_compaction_report": _sql_compaction_oracle(),
     "fact_late_arriving_dim": FACT_LATE_ARRIVING_DIM_ORACLE,
     "federated_segment_revenue": FEDERATED_SEGMENT_REVENUE_ORACLE,
     "warehouse_key_erasure": WAREHOUSE_KEY_ERASURE_ORACLE,

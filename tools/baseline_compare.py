@@ -74,6 +74,9 @@ def main() -> None:
         # builds + corrects the dimension (two checkpoints, stability
         # audits) per invocation; the oracle is one join+aggregate
         "fact_late_arriving_dim",
+        # fragmented write + compaction rewrite per invocation; the
+        # oracle is one aggregation over the source
+        "warehouse_compaction_report",
         # writes + reads back the day-partitioned sketch-cell table per
         # invocation; the oracle is three plain SELECTs
         "events_sketch_cube",
