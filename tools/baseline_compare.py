@@ -77,6 +77,9 @@ def main() -> None:
         # fragmented write + compaction rewrite per invocation; the
         # oracle is one aggregation over the source
         "warehouse_compaction_report",
+        # generates + resizes real payload bytes through two Arrow
+        # stages; the oracle re-derives the metadata arithmetically
+        "doc_media_resized",
         # writes + reads back the day-partitioned sketch-cell table per
         # invocation; the oracle is three plain SELECTs
         "events_sketch_cube",
