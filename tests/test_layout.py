@@ -97,3 +97,26 @@ def test_layouts_preserve_data(spark, clustered_paths):
     rows_a = sorted(map(tuple, a.collect()))
     rows_b = sorted(map(tuple, b.collect()))
     assert rows_a == rows_b and len(rows_a) > 0
+
+
+def test_morton_key_roundtrip_bijective(spark):
+    # the interleave must be invertible: deinterleaving the key in Python
+    # recovers the scaled coordinates exactly for arbitrary in-domain
+    # points (identity domain -> scale is a no-op)
+    import random
+
+    rng = random.Random(42)
+    pts = [(rng.randrange(65536), rng.randrange(65536)) for _ in range(64)]
+    dom = {"x": (0.0, 65535.0), "y": (0.0, 65535.0)}
+    df = spark.createDataFrame(pts, "x INT, y INT")
+    rows = df.select("x", "y", layout.zorder_key("x", "y", dom).alias("z")).collect()
+
+    def deinterleave(z):
+        x = y = 0
+        for b in range(16):
+            x |= ((z >> (2 * b)) & 1) << b
+            y |= ((z >> (2 * b + 1)) & 1) << b
+        return x, y
+
+    for r in rows:
+        assert deinterleave(r["z"]) == (r["x"], r["y"])
