@@ -77,6 +77,13 @@ _PRIORITY = [
     "events_rolling_distinct_users",
     "doc_media_resized",
     "warehouse_compaction_report",
+    # (d) new in r07 (no CORRECTNESS row exists yet): substring dedup,
+    # unicode cleaning, classifier scoring, join-size estimate, k-anon
+    "doc_substring_dup_spans",
+    "doc_unicode_clean",
+    "doc_classifier_quality_score",
+    "orders_join_cardinality",
+    "customer_k_anonymity",
     # (c) last green r04 — relational core
     "flagship_star_revenue",
     "pricing_summary",
@@ -142,6 +149,7 @@ def _modules():
     # curation, llmops, profiling) last — they are one round stale at
     # worst and rotate to the front in r07.
     return [
+        q.pipelineops,
         q.relational,
         q.relational_ext,
         q.quality,

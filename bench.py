@@ -58,6 +58,11 @@ HEADLINE = [
     "doc_winnowing_pairs",
     "doc_incremental_dedup",
     "doc_source_stats",
+    "doc_substring_dup_spans",
+    "doc_unicode_clean",
+    "doc_classifier_quality_score",
+    "orders_join_cardinality",
+    "customer_k_anonymity",
     "doc_contamination",
     "vocab_top_tokens",
     "doc_tfidf_top_terms",

@@ -115,6 +115,18 @@ def md5_long(c: Column) -> Column:
 # expensive alias, so a two-step select keeps the split evaluated once.
 
 
+def _index_range(hi: Column) -> Column:
+    """``[1 .. hi]``, EMPTY when ``hi < 1``. Spark's ``sequence(1, 0)``
+    counts DOWN to ``[1, 0]`` (step defaults to sign(stop-start)), unlike
+    DuckDB's ``generate_series(1, 0) = []`` — unguarded, a row shorter
+    than the shingle width feeds ``slice`` a 0 start and aborts the whole
+    stage. The guard keeps short/empty rows producing empty shingle sets,
+    matching the SQL twins."""
+    return F.when(hi >= 1, F.sequence(F.lit(1), hi)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def shingles_from_tokens(toks: Column, n: int) -> Column:
     """Distinct word n-gram shingles from a MATERIALIZED token-array
     column (see performance note above; pass a plain column reference).
@@ -123,7 +135,7 @@ def shingles_from_tokens(toks: Column, n: int) -> Column:
     ``list_distinct(list_transform(generate_series(1, len(t)-n+1),
     i -> array_to_string(t[i:i+n-1], ' ')))``.
     """
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    idx = _index_range(F.size(toks) - (n - 1))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     return F.array_distinct(grams)
 
@@ -131,7 +143,7 @@ def shingles_from_tokens(toks: Column, n: int) -> Column:
 def positional_hashes_from_tokens(toks: Column, n: int) -> Column:
     """Position-ordered (no dedup) shingle hashes from a materialized
     token-array column — input for rolling-window schemes (winnowing)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    idx = _index_range(F.size(toks) - (n - 1))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     return F.transform(grams, md5_long)
 
@@ -139,7 +151,7 @@ def positional_hashes_from_tokens(toks: Column, n: int) -> Column:
 def winnowing_from_hashes(h: Column, window: int) -> Column:
     """Winnowing window-min pass over a MATERIALIZED positional-hash array
     column (``h`` is sliced inside the lambda — stage it first)."""
-    starts = F.sequence(F.lit(1), F.greatest(F.size(h) - (window - 1), F.lit(0)))
+    starts = _index_range(F.size(h) - (window - 1))
     mins = F.transform(starts, lambda i: F.array_min(F.slice(h, i, window)))
     return F.array_distinct(mins)
 

@@ -1,0 +1,168 @@
+"""Substring-level exact dedup: duplicated token-window span detection.
+
+Document-level dedup (``operators/dedup.py``) removes whole near-identical
+documents; this operator finds *substring* duplication — runs of >= W
+consecutive tokens that occur more than once anywhere in the corpus — the
+ExactSubstr pass of Lee et al., "Deduplicating Training Data Makes
+Language Models Better" (ACL 2022), re-expressed as relational algebra
+instead of a suffix array:
+
+1. every document emits its positional W-token window hashes
+   (tokenize once per row, hash each window — a flat (doc, pos, hash)
+   relation);
+2. a window is *duplicated* iff its hash occurs at more than one
+   (doc, pos) location corpus-wide — one count-over-hash-partition pass;
+3. per document, overlapping/adjacent duplicated windows merge into
+   maximal spans (gaps-and-islands over window start positions): window
+   starts p and q (p > q) belong to one span iff p <= q + W, because the
+   token intervals [p, p+W-1] and [q, q+W-1] then overlap or adjoin.
+
+A suffix array finds duplicated runs of *any* length >= W in one global
+sort; the windowed relational form finds exactly the same spans (every
+duplicated run of length L >= W is covered by its L - W + 1 duplicated
+windows, which merge back into the run in step 3) at the cost of W-gram
+instead of suffix granularity — and in exchange every step is a plain
+shuffle Catalyst/AQE can plan: no global order, no single-machine array.
+
+Scale shape (the 100 TB plan):
+- step 1 is a stateless per-row explode — scan-parallel, no shuffle;
+- step 2 shuffles (doc, pos, hash) by hash — the one unavoidable
+  all-to-all, balanced because md5 keys are uniform (no skew salt
+  needed); the count runs as a window aggregate so positions ride the
+  same shuffle instead of a second groupBy+join pass over the postings;
+- step 3 shuffles only the *duplicated* windows by doc_id (a small
+  fraction on a healthy corpus) and merges islands with two
+  sort-within-partition window passes.
+Hash collisions (60-bit keys): ~n_windows^2 / 2^61 false duplicate
+windows — negligible below ~10^8 windows per collision; acceptable for
+a dedup *report*, and a 128-bit key swap is one helper change.
+
+Reference parity: the reference repo has no substring dedup (its dedup
+surface is ``drop_duplicates``, reference ``etl/transform.py``); this is
+part of the training-data extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+
+def duplicated_window_positions(
+    df: DataFrame, text_col: str, id_col: str, w: int
+) -> DataFrame:
+    """(id, n_toks, i, hv) rows for every W-token window whose hash occurs
+    at more than one (doc, pos) location corpus-wide. ``i`` is 1-based.
+
+    The duplicate test is a count over a hash-partitioned window — one
+    shuffle carries both the count and the positions (a groupBy+semi-join
+    formulation would shuffle the postings twice).
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        # stage the token array: the positional-hash lambda re-evaluates
+        # its input per element (see functions/text.py performance note)
+        TX.ws_tokens(TX.normalized_text(F.col(text_col))).alias("__tl"),
+    )
+    pos = toks.select(
+        "__id",
+        F.size("__tl").alias("n_toks"),
+        F.posexplode(TX.positional_hashes_from_tokens(F.col("__tl"), w)).alias(
+            "__p0", "hv"
+        ),
+    ).select(
+        F.col("__id").alias(id_col),
+        "n_toks",
+        (F.col("__p0") + 1).alias("i"),  # 1-based, matches the SQL twin
+        "hv",
+    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("hv"))
+    return pos.withColumn("__cnt", cnt).where(F.col("__cnt") > 1).drop("__cnt")
+
+
+def merge_spans(dpos: DataFrame, id_col: str, w: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicated window starts into maximal
+    spans: one row per (id, span) with ``span_toks`` (merged token length)
+    and ``n_wins`` (windows merged). Shuffles by document id only."""
+    wdoc = Window.partitionBy(id_col).orderBy("i")
+    # first row per doc: lag is NULL -> the WHEN predicate is NULL -> new
+    # island (1), identical CASE semantics in Spark and DuckDB
+    brk = F.when(F.col("i") <= F.lag("i").over(wdoc) + w, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    grp = dpos.withColumn("__brk", brk).withColumn(
+        "isl", F.sum("__brk").over(wdoc)
+    )
+    return grp.groupBy(id_col, "isl").agg(
+        F.min("n_toks").alias("n_toks"),  # constant per doc
+        (F.max("i") - F.min("i") + w).alias("span_toks"),
+        F.count(F.lit(1)).alias("n_wins"),
+    )
+
+
+def substring_dup_report(
+    df: DataFrame, text_col: str, id_col: str, w: int
+) -> DataFrame:
+    """Per-document duplicated-substring report: documents carrying at
+    least one duplicated W-token window, with merged-span counts and the
+    duplicated-token fraction. Columns: (id, n_toks, n_dup_spans,
+    n_dup_windows, dup_tokens, dup_fraction)."""
+    dpos = duplicated_window_positions(df, text_col, id_col, w)
+    spans = merge_spans(dpos, id_col, w)
+    return spans.groupBy(id_col, "n_toks").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("n_wins").alias("n_dup_windows"),
+        F.sum("span_toks").alias("dup_tokens"),
+        (F.sum("span_toks").cast("double") / F.col("n_toks")).alias(
+            "dup_fraction"
+        ),
+    )
+
+
+def sql_substring_dup_report(
+    w: int, source: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`substring_dup_report` — same tokenize /
+    window-hash / count>1 / islands pipeline (positions staged through
+    MATERIALIZED CTEs so the tokenizer runs once per row)."""
+    hv = TX.sql_md5_long(f"array_to_string(tl[i:i+{w - 1}], ' ')")
+    return f"""
+WITH __toks AS MATERIALIZED (
+  SELECT {id_col}, string_split_regex({TX.sql_normalized(text_col)}, '\\s+') AS tl
+  FROM {source}
+),
+__pos AS MATERIALIZED (
+  SELECT {id_col}, len(tl) AS n_toks, i, {hv} AS hv
+  FROM __toks,
+       LATERAL unnest(generate_series(1, greatest(len(tl) - {w} + 1, 0))) AS u(i)
+),
+__dpos AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY hv) AS __cnt FROM __pos
+  ) WHERE __cnt > 1
+),
+__isl AS (
+  SELECT {id_col}, n_toks, i,
+         CASE WHEN i <= lag(i) OVER (PARTITION BY {id_col} ORDER BY i) + {w}
+              THEN 0 ELSE 1 END AS __brk
+  FROM __dpos
+),
+__grp AS (
+  SELECT {id_col}, n_toks, i,
+         sum(__brk) OVER (PARTITION BY {id_col} ORDER BY i) AS isl
+  FROM __isl
+),
+__spans AS (
+  SELECT {id_col}, min(n_toks) AS n_toks, isl,
+         max(i) - min(i) + {w} AS span_toks, count(*) AS n_wins
+  FROM __grp GROUP BY {id_col}, isl
+)
+SELECT {id_col}, n_toks,
+       count(*) AS n_dup_spans,
+       CAST(sum(n_wins) AS BIGINT) AS n_dup_windows,
+       CAST(sum(span_toks) AS BIGINT) AS dup_tokens,
+       CAST(sum(span_toks) AS DOUBLE) / n_toks AS dup_fraction
+FROM __spans GROUP BY {id_col}, n_toks
+"""

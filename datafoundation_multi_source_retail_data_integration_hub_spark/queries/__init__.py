@@ -15,6 +15,7 @@ from . import (
     eventops,
     llmops,
     multimodalops,
+    pipelineops,
     profiling,
     quality,
     relational,
@@ -29,6 +30,7 @@ __all__ = [
     "eventops",
     "llmops",
     "multimodalops",
+    "pipelineops",
     "profiling",
     "quality",
     "relational",

@@ -1,0 +1,367 @@
+"""Training-pipeline governance + planning queries (round 7).
+
+Five operator families a 100 TB curation pipeline needs beyond document-
+level dedup, each with an exact DuckDB oracle twin:
+
+- substring-level exact dedup (``doc_substring_dup_spans``): the
+  ExactSubstr pass of Lee et al. 2022, as relational algebra
+  (``operators/spans.py``);
+- unicode normalization cleaning (``doc_unicode_clean``): NFC +
+  control-char strip + whitespace collapse — the canonicalization stage
+  every multilingual corpus runs before hashing/dedup. NFC itself is an
+  Arrow-batched pandas UDF (no JVM builtin); everything around it stays
+  codegen'd;
+- quality-classifier inference (``doc_classifier_quality_score``): a
+  hashed-bigram linear model evaluated as a pure-expression map — the
+  fasttext-style keep/drop scorer shape. Weights are a deterministic
+  integer formula so the scorer is engine-exact: the real-model swap
+  changes one weight lookup, none of the plumbing;
+- join-size estimation (``orders_join_cardinality``): per-key count
+  products over a deterministic 1/8 key-hash sample vs the exact join
+  cardinality — the planner-style estimate you run BEFORE committing a
+  100 TB shuffle to size partitions / pick strategy;
+- k-anonymity audit (``customer_k_anonymity``): equivalence-class size
+  histogram over quasi-identifiers — the privacy gate run before a
+  table leaves the governed zone.
+
+Reference parity: none of these exist in the reference (its governance
+surface is drop_duplicates + fillna, reference ``etl/transform.py``);
+they extend the training-data surface mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from ..functions import text as TX
+from ..operators import spans as SP
+from ..sources.tables import load_tables
+
+SUBSTR_W = 8  # duplicated-run threshold, in tokens (ExactSubstr length)
+CLS_BUCKETS = 4096  # hashed-feature dimensionality
+CLS_MIX = 2654435761  # Knuth multiplicative-hash constant
+SAMPLE_MOD = 8  # 1/8 deterministic key sample for the join estimate
+K_ANON = 5  # classes smaller than this are re-identification risks
+
+
+# ---------------------------------------------------------------------------
+# Substring-level exact dedup
+# ---------------------------------------------------------------------------
+
+
+def doc_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents carrying duplicated runs of >= SUBSTR_W consecutive
+    tokens, with maximal-span merge and duplicated-token fraction. See
+    ``operators/spans.py`` for the shuffle-shape analysis."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return SP.substring_dup_report(docs, "text", "doc_id", SUBSTR_W)
+
+
+DOC_SUBSTRING_DUP_SPANS_ORACLE = SP.sql_substring_dup_report(SUBSTR_W)
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization cleaning
+# ---------------------------------------------------------------------------
+
+# Combining-mark probe appended to every row: the corpus is ASCII, where
+# NFC is the identity — the suffix (two decomposed accents, U+0301) makes
+# the normalization path *observable*, so the oracle hash actually pins
+# Python-unicodedata NFC == DuckDB (utf8proc) NFC on composed output.
+_NFC_PROBE = " cafe\u0301 deja\u0301"  # decomposed: e + COMBINING ACUTE
+_CTRL_CLASS = r"[\x00-\x1F\x7F]"
+
+
+@pandas_udf(StringType())  # DataType instance: no session-time DDL parse
+def _nfc_normalize(s: pd.Series) -> pd.Series:
+    """Arrow-batched NFC: one Python call per ~64k-row batch, string data
+    moved via Arrow — the sanctioned slow path for the one transform
+    (canonical composition) Spark has no builtin for."""
+    import unicodedata
+
+    return s.map(
+        lambda x: x if x is None else unicodedata.normalize("NFC", x)
+    )
+
+
+def doc_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    raw = F.concat(F.col("text"), F.lit(_NFC_PROBE))
+    staged = docs.select(
+        "doc_id",
+        F.length(raw).alias("n_raw_chars"),
+        _nfc_normalize(raw).alias("__nfc"),
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("__nfc"), _CTRL_CLASS, " "), r"\s+", " "
+        )
+    )
+    return staged.select(
+        "doc_id",
+        "n_raw_chars",
+        clean.alias("clean_text"),
+        F.length(clean).alias("n_clean_chars"),
+        (F.col("n_raw_chars") - F.length(F.col("__nfc"))).alias("nfc_delta"),
+    )
+
+
+DOC_UNICODE_CLEAN_ORACLE = f"""
+WITH __u AS MATERIALIZED (
+  SELECT doc_id,
+         length(text || ' cafe' || chr(769) || ' deja' || chr(769)) AS n_raw_chars,
+         nfc_normalize(text || ' cafe' || chr(769) || ' deja' || chr(769)) AS nfc
+  FROM documents
+)
+SELECT doc_id,
+       n_raw_chars,
+       trim(regexp_replace(regexp_replace(nfc, '{_CTRL_CLASS}', ' ', 'g'),
+                           '\\s+', ' ', 'g')) AS clean_text,
+       length(trim(regexp_replace(regexp_replace(nfc, '{_CTRL_CLASS}', ' ', 'g'),
+                                  '\\s+', ' ', 'g'))) AS n_clean_chars,
+       n_raw_chars - length(nfc) AS nfc_delta
+FROM __u
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear quality classifier
+# ---------------------------------------------------------------------------
+
+
+def doc_classifier_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear keep/drop scorer over hashed bigram features. The per-doc
+    logit is an INTEGER sum (milli-units), so it is associativity-free —
+    bit-identical under any aggregation order on any engine; the single
+    final division produces the float score. Pure-expression map: no
+    shuffle, no UDF, scan-parallel at any corpus size."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    staged = docs.select(
+        "doc_id",
+        TX.ws_tokens(TX.normalized_text(F.col("text"))).alias("__tl"),
+    ).select(
+        "doc_id",
+        TX.positional_hashes_from_tokens(F.col("__tl"), 2).alias("__hl"),
+    )
+    mixed = lambda h: (  # noqa: E731 — shared weight formula
+        ((h % F.lit(CLS_BUCKETS)) * F.lit(CLS_MIX)) % F.lit(2001) - F.lit(1000)
+    )
+    logit = F.aggregate(
+        F.col("__hl"),
+        F.lit(0).cast("long"),
+        lambda acc, h: acc + mixed(h),
+    )
+    out = staged.select(
+        "doc_id",
+        F.size("__hl").alias("n_grams"),
+        logit.alias("logit_milli"),
+    )
+    score = F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+        F.col("logit_milli").cast("double") / (1000.0 * F.col("n_grams"))
+    )
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "logit_milli",
+        score.alias("quality_logit"),
+        (score > 0.0).alias("keep"),
+    )
+
+
+_CLS_GRAM_HASH = TX.sql_md5_long("array_to_string(tl[i:i+1], ' ')")
+_CLS_HL = (
+    "list_transform(generate_series(1, greatest(len(tl) - 1, 0)), "
+    f"i -> {_CLS_GRAM_HASH})"
+)
+_CLS_W = f"((h % {CLS_BUCKETS}) * {CLS_MIX}) % 2001 - 1000"
+
+DOC_CLASSIFIER_QUALITY_ORACLE = f"""
+WITH __ctoks AS MATERIALIZED (
+  SELECT doc_id, string_split_regex({TX.sql_normalized("text")}, '\\s+') AS tl
+  FROM documents
+),
+__feat AS MATERIALIZED (
+  SELECT doc_id, {_CLS_HL} AS hl FROM __ctoks
+),
+__lg AS (
+  SELECT doc_id, len(hl) AS n_grams,
+         COALESCE(CAST(list_sum(list_transform(hl, h -> {_CLS_W})) AS BIGINT),
+                  0) AS logit_milli
+  FROM __feat
+)
+SELECT doc_id, n_grams, logit_milli,
+       CASE WHEN n_grams = 0 THEN 0.0
+            ELSE CAST(logit_milli AS DOUBLE) / (1000.0 * n_grams)
+       END AS quality_logit,
+       (CASE WHEN n_grams = 0 THEN 0.0
+             ELSE CAST(logit_milli AS DOUBLE) / (1000.0 * n_grams)
+        END) > 0.0 AS keep
+FROM __lg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality estimation
+# ---------------------------------------------------------------------------
+
+
+def _key_sampled(key: F.Column) -> F.Column:
+    """Deterministic 1/SAMPLE_MOD key-hash sample — the same keys are
+    sampled on both join sides (sampling must be key-coordinated: row
+    sampling would bias |join| down by the sample rate squared)."""
+    return TX.md5_long(key.cast("string")) % SAMPLE_MOD == 0
+
+
+def orders_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict |orders JOIN lineitem ON orderkey| from per-key count
+    products over a 1/8 key sample, beside the exact cardinality.
+
+    At 100 TB only the sampled branch runs: the key-hash filter pushes to
+    both scans (1/8 of key groups survive), the per-key counts combine
+    map-side, and the estimate costs ~1/8 of a counting pass — versus
+    materializing the join. The exact branch here is the oracle twin that
+    gates the estimator's math; ``within_20pct`` is the planner contract
+    (uniform key sampling concentrates: the estimator is unbiased and
+    this corpus' per-key fanout is bounded)."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    oc = t["orders"].groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("__oc"))
+    lc = (
+        t["lineitem"]
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.count(F.lit(1)).alias("__lc"))
+    )
+    exact = (
+        oc.join(lc, "o_orderkey")
+        .agg(F.sum(F.col("__oc") * F.col("__lc")).alias("exact_join_rows"))
+    )
+
+    so = (
+        t["orders"]
+        .where(_key_sampled(F.col("o_orderkey")))
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("__oc"))
+    )
+    sl = (
+        t["lineitem"]
+        .where(_key_sampled(F.col("l_orderkey")))
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.count(F.lit(1)).alias("__lc"))
+    )
+    est = so.join(sl, "o_orderkey").agg(
+        F.count(F.lit(1)).alias("sampled_keys"),
+        (F.sum(F.col("__oc") * F.col("__lc")) * SAMPLE_MOD).alias(
+            "estimated_join_rows"
+        ),
+    )
+    rel_err = (
+        F.abs(F.col("estimated_join_rows") - F.col("exact_join_rows")).cast(
+            "double"
+        )
+        / F.col("exact_join_rows")
+    )
+    # both frames are single-row aggregates — constant-size crossJoin
+    return exact.crossJoin(est).select(
+        "exact_join_rows",
+        "sampled_keys",
+        "estimated_join_rows",
+        rel_err.alias("rel_err"),
+        (rel_err <= 0.2).alias("within_20pct"),
+    )
+
+
+_SAMPLED = (
+    lambda col: f"{TX.sql_md5_long(f'CAST({col} AS VARCHAR)')} % {SAMPLE_MOD} = 0"
+)
+
+ORDERS_JOIN_CARDINALITY_ORACLE = f"""
+WITH __oc AS (SELECT o_orderkey, count(*) AS oc FROM orders GROUP BY 1),
+__lc AS (SELECT l_orderkey AS o_orderkey, count(*) AS lc FROM lineitem GROUP BY 1),
+__exact AS (
+  SELECT CAST(sum(oc * lc) AS BIGINT) AS exact_join_rows
+  FROM __oc JOIN __lc USING (o_orderkey)
+),
+__so AS (SELECT o_orderkey, count(*) AS oc FROM orders
+         WHERE {_SAMPLED("o_orderkey")} GROUP BY 1),
+__sl AS (SELECT l_orderkey AS o_orderkey, count(*) AS lc FROM lineitem
+         WHERE {_SAMPLED("l_orderkey")} GROUP BY 1),
+__est AS (
+  SELECT count(*) AS sampled_keys,
+         CAST(sum(oc * lc) * {SAMPLE_MOD} AS BIGINT) AS estimated_join_rows
+  FROM __so JOIN __sl USING (o_orderkey)
+)
+SELECT exact_join_rows, sampled_keys, estimated_join_rows,
+       CAST(abs(estimated_join_rows - exact_join_rows) AS DOUBLE)
+         / exact_join_rows AS rel_err,
+       (CAST(abs(estimated_join_rows - exact_join_rows) AS DOUBLE)
+         / exact_join_rows) <= 0.2 AS within_20pct
+FROM __exact, __est
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit
+# ---------------------------------------------------------------------------
+
+
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equivalence-class size histogram over the quasi-identifier tuple
+    (nation, market segment, balance-per-1000 bucket): how many classes
+    of each size exist, how many rows they hold, and whether the size is
+    below the K_ANON re-identification threshold. Two map-side-combining
+    aggregations; the second input is one row per class — at any scale
+    the histogram is tiny."""
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    qi = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("__bal_bucket"),
+    )
+    classes = qi.groupBy(
+        "c_nationkey", "c_mktsegment", "__bal_bucket"
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    return (
+        classes.groupBy("class_size")
+        .agg(F.count(F.lit(1)).alias("n_classes"))
+        .select(
+            "class_size",
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes")).alias("n_rows"),
+            (F.col("class_size") < K_ANON).alias("at_risk"),
+        )
+    )
+
+
+CUSTOMER_K_ANONYMITY_ORACLE = f"""
+WITH __cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+         count(*) AS class_size
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT class_size,
+       count(*) AS n_classes,
+       class_size * count(*) AS n_rows,
+       class_size < {K_ANON} AS at_risk
+FROM __cls GROUP BY class_size
+"""
+
+
+QUERIES = {
+    "doc_substring_dup_spans": doc_substring_dup_spans,
+    "doc_unicode_clean": doc_unicode_clean,
+    "doc_classifier_quality_score": doc_classifier_quality_score,
+    "orders_join_cardinality": orders_join_cardinality,
+    "customer_k_anonymity": customer_k_anonymity,
+}
+
+ORACLES = {
+    "doc_substring_dup_spans": DOC_SUBSTRING_DUP_SPANS_ORACLE,
+    "doc_unicode_clean": DOC_UNICODE_CLEAN_ORACLE,
+    "doc_classifier_quality_score": DOC_CLASSIFIER_QUALITY_ORACLE,
+    "orders_join_cardinality": ORDERS_JOIN_CARDINALITY_ORACLE,
+    "customer_k_anonymity": CUSTOMER_K_ANONYMITY_ORACLE,
+}

@@ -1,0 +1,141 @@
+"""Round-7 governance/planning queries match their DuckDB oracles, plus
+semantic invariants: span-merge islands math, classifier determinism on
+empty docs, coordinated key sampling, and the k-anonymity histogram
+conservation law."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafoundation_multi_source_retail_data_integration_hub_spark.operators import spans as SP
+from datafoundation_multi_source_retail_data_integration_hub_spark.queries import pipelineops
+
+from .conftest import SF_SMOKE
+from .oracle import compare
+
+
+@pytest.mark.parametrize("name", sorted(pipelineops.QUERIES))
+def test_pipelineops_query_matches_oracle(spark, name):
+    compare(
+        spark,
+        SF_SMOKE,
+        pipelineops.QUERIES[name],
+        pipelineops.ORACLES[name],
+        name,
+    )
+
+
+def test_span_merge_islands(spark):
+    """Gaps-and-islands: windows at starts {1,2,3} (overlapping), {10}
+    (disjoint), {13} (adjacent to 10 for W=3: 13 <= 10+3) merge into two
+    spans; a second doc's single window is independent."""
+    w = 3
+    rows = [
+        ("a", 100, 1), ("a", 100, 2), ("a", 100, 3),
+        ("a", 100, 10), ("a", 100, 13),
+        ("b", 50, 7),
+    ]
+    dpos = spark.createDataFrame(rows, "doc_id string, n_toks long, i long")
+    out = {
+        (r["doc_id"], r["isl"]): r
+        for r in SP.merge_spans(dpos, "doc_id", w).collect()
+    }
+    assert len([k for k in out if k[0] == "a"]) == 2
+    assert len([k for k in out if k[0] == "b"]) == 1
+    spans_a = sorted(
+        (r["span_toks"], r["n_wins"]) for k, r in out.items() if k[0] == "a"
+    )
+    # {1,2,3}: max-min+W = 3-1+3 = 5 tokens from 3 windows;
+    # {10,13}: 13-10+3 = 6 tokens from 2 windows
+    assert spans_a == [(5, 3), (6, 2)]
+    ((span_b, wins_b),) = [
+        (r["span_toks"], r["n_wins"]) for k, r in out.items() if k[0] == "b"
+    ]
+    assert (span_b, wins_b) == (w, 1)
+
+
+def test_substring_report_detects_planted_duplicate(spark):
+    """Two docs sharing an 8-token run (and nothing else long enough)
+    both appear with exactly that run's tokens marked duplicated."""
+    run = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"unique one two three {run} tail1 tailx"),
+        (2, f"{run} completely different suffix here now"),
+        (3, "no duplication in this document at all whatsoever truly"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in SP.substring_dup_report(docs, "text", "doc_id", 8).collect()
+    }
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert r["n_dup_spans"] == 1
+        assert r["n_dup_windows"] == 1  # exactly one 8-token window matches
+        assert r["dup_tokens"] == 8
+
+
+def test_classifier_handles_empty_doc(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "only"), (2, "two words")], "doc_id long, text string"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in pipelineops.doc_classifier_quality_score(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # one token -> zero bigrams -> zero logit, score 0.0, keep False
+    assert out[1]["n_grams"] == 0
+    assert out[1]["logit_milli"] == 0
+    assert out[1]["quality_logit"] == 0.0
+    assert out[1]["keep"] is False
+    assert out[2]["n_grams"] == 1
+
+
+def test_join_cardinality_sampling_is_key_coordinated(spark):
+    """The estimate uses the SAME sampled keys on both sides: every
+    sampled key contributes its full oc*lc product, so on a corpus where
+    every key is sampled the estimate is exactly SAMPLE_MOD x exact."""
+    row = pipelineops.orders_join_cardinality(spark, SF_SMOKE).collect()[0]
+    assert row["exact_join_rows"] > 0
+    assert row["estimated_join_rows"] % pipelineops.SAMPLE_MOD == 0
+    assert row["rel_err"] >= 0.0
+
+
+def test_k_anonymity_conserves_rows(spark):
+    rows = pipelineops.customer_k_anonymity(spark, SF_SMOKE).collect()
+    total = sum(r["n_rows"] for r in rows)
+    n_customers = (
+        spark.read.parquet(f"{SF_SMOKE}/customer.parquet").count()
+    )
+    assert total == n_customers
+    for r in rows:
+        assert r["n_rows"] == r["class_size"] * r["n_classes"]
+        assert r["at_risk"] == (r["class_size"] < pipelineops.K_ANON)
+
+
+def test_short_docs_produce_empty_shingle_sets(spark):
+    """Rows shorter than the shingle width yield EMPTY gram arrays —
+    Spark's sequence(1, 0) counts DOWN unless guarded (functions/text.py
+    _index_range), which used to abort the stage with a slice(0) error."""
+    from datafoundation_multi_source_retail_data_integration_hub_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [("",), ("one",), ("one two",), ("one two three four",)],
+        "text string",
+    )
+    toks = df.select(TX.ws_tokens(TX.normalized_text(F.col("text"))).alias("t"))
+    out = toks.select(
+        F.size(TX.shingles_from_tokens(F.col("t"), 3)).alias("n_sh"),
+        F.size(TX.positional_hashes_from_tokens(F.col("t"), 3)).alias("n_ph"),
+        F.size(TX.winnowing_from_hashes(
+            TX.positional_hashes_from_tokens(F.col("t"), 3), 4
+        )).alias("n_wf"),
+    ).collect()
+    assert [r["n_sh"] for r in out] == [0, 0, 0, 2]
+    assert [r["n_ph"] for r in out] == [0, 0, 0, 2]
+    # 2 positional hashes < window 4 -> no winnowing fingerprints
+    assert [r["n_wf"] for r in out] == [0, 0, 0, 0]

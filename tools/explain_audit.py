@@ -211,6 +211,38 @@ AUDITED = {
         "expect": ["SortAggregate", "BroadcastHashJoin"],
         "forbid_pattern": r"CartesianProduct|BroadcastNestedLoopJoin",
     },
+    "doc_substring_dup_spans": {
+        # duplicate test = count over the hash partition (one balanced
+        # exchange carries positions AND the count); islands merge =
+        # Window over doc_id on the duplicated subset only; no joins at
+        # all — a groupBy+semi-join regression would show a Join node
+        "expect": ["Window"],
+        "forbid_pattern": r"\bJoin\b|CartesianProduct",
+    },
+    "doc_classifier_quality_score": {
+        # pure-expression map: scan -> project, codegen'd end-to-end;
+        # no exchange, no aggregate, no Python
+        "expect": ["codegen id"],
+        "forbid_pattern": r"\bExchange\b|HashAggregate|BatchEvalPython",
+    },
+    "doc_unicode_clean": {
+        # exactly ONE Arrow-batched Python stage (the NFC hop); the
+        # regex strip/collapse must stay in codegen around it
+        "expect": ["ArrowEvalPython", "codegen id"],
+        "forbid_pattern": r"BatchEvalPython|\bExchange\b",
+    },
+    "orders_join_cardinality": {
+        # both branches: map-side partial counts (HashAggregate pairs);
+        # sampled branch filters at the scan; final assembly is an
+        # intended 1-row broadcast cross
+        "expect": ["HashAggregate", "Filter"],
+        "forbid_pattern": r"CartesianProduct",
+    },
+    "customer_k_anonymity": {
+        # two map-side-combining aggregations, nothing else
+        "expect": ["HashAggregate"],
+        "forbid_pattern": r"\bJoin\b|\bWindow\b|CartesianProduct",
+    },
 }
 
 
