@@ -24,26 +24,29 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.relational.flagship_star_revenue(spark, "/root/testdata/sf0.001")
 
 
-# Round-6 rotation: the driver records exactly 50 rows per round (count
-# cap, observed r01-r05) against 105+ declared queries, so ordering
-# decides which names get rows. After r05 recorded its 50, the staleness
-# window is r04+r05; _PRIORITY pins, in order:
+# Round-7 rotation: the driver records ~50 rows per round (count cap,
+# observed r01-r05; NO r06 artifacts landed, so the recorded window is
+# still r04+r05) against 137 declared queries — ordering decides which
+# names get rows. _PRIORITY pins, in order:
 #   (a) the 6 llmops-tail names whose last green row is r03 (the failing
 #       rotation guard in r05 listed exactly these — 2 rounds stale);
-#   (b) the 20 queries NEW in r06 (persisted sketch cube, audit replay,
+#   (b) the 24 queries NEW in r06 (persisted sketch cube, audit replay,
 #       partition-merge SCD2 publish, ANN quality report, batch +
 #       streaming IVM, heavy hitters, fixed-point PageRank, observed
 #       load, edit-distance near-dup, batch + streaming CDC compaction,
 #       MAD outliers, layout skipping, Pareto, dedup decisions, mixture
 #       allocation, key erasure, federated join, late-arriving dim)
 #       with no row yet;
-#   (c) the 49 names whose last green row is r04 (relational, warehouse,
-#       vectors, quality families) — ~24 of them fit the remaining
-#       budget; the ~25 at the tail (most-stable scalar queries last)
-#       rotate to the front of r07 if they slide
-#       (tests/test_rotation_staleness.py enforces that rotation).
+#   (d) the 8 queries NEW in r07 (substring dup report + keep-first
+#       trim, language-balanced sample, partition planner, unicode NFC
+#       clean, classifier score, join-cardinality estimate, k-anonymity)
+#       with no row yet — (a)+(b)+(d) = 38, inside the front-40 guard;
+#   (c) the names whose last green row is r04 (relational, warehouse,
+#       vectors, quality families) — ~12 fit the remaining ~50-row
+#       budget; the tail (most-stable scalar queries last) rotates to
+#       the front of r08 (tests/test_rotation_staleness.py enforces it).
 # Names recorded green in r05 come last via _modules() and are skipped
-# by the r06 budget — they re-enter the front in r07.
+# by the r07 budget — they re-enter the front in r08.
 _PRIORITY = [
     # (a) last green r03 — 2 rounds stale, must record in r06
     "doc_contamination",
@@ -80,6 +83,9 @@ _PRIORITY = [
     # (d) new in r07 (no CORRECTNESS row exists yet): substring dedup,
     # unicode cleaning, classifier scoring, join-size estimate, k-anon
     "doc_substring_dup_spans",
+    "doc_substring_dedup_trim",
+    "doc_language_balanced_sample",
+    "scan_partition_planner",
     "doc_unicode_clean",
     "doc_classifier_quality_score",
     "orders_join_cardinality",

@@ -59,6 +59,9 @@ HEADLINE = [
     "doc_incremental_dedup",
     "doc_source_stats",
     "doc_substring_dup_spans",
+    "doc_substring_dedup_trim",
+    "doc_language_balanced_sample",
+    "scan_partition_planner",
     "doc_unicode_clean",
     "doc_classifier_quality_score",
     "orders_join_cardinality",

@@ -97,6 +97,8 @@ def merge_spans(dpos: DataFrame, id_col: str, w: int) -> DataFrame:
     )
     return grp.groupBy(id_col, "isl").agg(
         F.min("n_toks").alias("n_toks"),  # constant per doc
+        F.min("i").alias("span_start"),
+        (F.max("i") + w - 1).alias("span_end"),
         (F.max("i") - F.min("i") + w).alias("span_toks"),
         F.count(F.lit(1)).alias("n_wins"),
     )
@@ -119,6 +121,137 @@ def substring_dup_report(
             "dup_fraction"
         ),
     )
+
+
+def trim_duplicated_spans(
+    df: DataFrame, text_col: str, id_col: str, w: int
+) -> DataFrame:
+    """Keep-first substring dedup: every token covered by a NON-FIRST
+    occurrence of a duplicated W-token window is removed; the globally
+    first occurrence (lowest ``(id, position)``) keeps its copy. Returns
+    one row per input document: (id, n_toks, kept_tokens, trimmed_text)
+    — ``trimmed_text`` rebuilt from the normalized kept tokens (a doc
+    fully covered by later-occurrence spans trims to '').
+
+    Plan: the rank and the duplicate count ride the SAME hash-partition
+    window pass as the report's duplicate test; only rank>1 windows (the
+    drop set) re-shuffle for the islands merge, collapse to per-doc span
+    arrays (doc-grain), and join back to the documents on id. Token
+    removal is then a map-side higher-order filter over the staged token
+    array — the corpus token stream itself never shuffles (an exploded
+    (doc, pos, token) anti-join formulation would move every token)."""
+    toks = df.select(
+        F.col(id_col).alias(id_col),
+        TX.ws_tokens(TX.normalized_text(F.col(text_col))).alias("__tl"),
+    )
+    pos = toks.select(
+        id_col,
+        F.lit(0).alias("n_toks"),  # unused by the trim; merge_spans wants it
+        F.posexplode(TX.positional_hashes_from_tokens(F.col("__tl"), w)).alias(
+            "__p0", "hv"
+        ),
+    ).select(id_col, "n_toks", (F.col("__p0") + 1).alias("i"), "hv")
+    whash = Window.partitionBy("hv")
+    marked = pos.withColumn(
+        "__cnt", F.count(F.lit(1)).over(whash)
+    ).withColumn(
+        "__rnk",
+        F.row_number().over(Window.partitionBy("hv").orderBy(id_col, "i")),
+    )
+    drop = marked.where((F.col("__cnt") > 1) & (F.col("__rnk") > 1)).drop(
+        "__cnt", "__rnk"
+    )
+    spans = merge_spans(drop, id_col, w)
+    span_arr = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("__spans")
+    )
+    joined = toks.join(span_arr, id_col, "left").select(
+        id_col,
+        "__tl",
+        # no drops -> empty span set (NULL would null the exists() below
+        # and silently drop every token)
+        F.coalesce(
+            F.col("__spans"), F.array().cast("array<struct<s:long,e:long>>")
+        ).alias("__sp"),
+    )
+    kept = F.filter(
+        F.col("__tl"),
+        lambda tok, i0: ~F.exists(
+            F.col("__sp"),
+            lambda sp: (i0 + 1 >= sp["s"]) & (i0 + 1 <= sp["e"]),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.size("__tl").alias("n_toks"),
+        F.size(kept).alias("kept_tokens"),
+        F.array_join(kept, " ").alias("trimmed_text"),
+    )
+
+
+def sql_trim_duplicated_spans(
+    w: int, source: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`trim_duplicated_spans`. The token removal is
+    expressed as unnest + NOT EXISTS + ordered string_agg (the oracle can
+    afford the exploded form; the Spark side must not)."""
+    hv = TX.sql_md5_long(f"array_to_string(tl[i:i+{w - 1}], ' ')")
+    return f"""
+WITH __ttoks AS MATERIALIZED (
+  SELECT {id_col}, string_split_regex({TX.sql_normalized(text_col)}, '\\s+') AS tl
+  FROM {source}
+),
+__tpos AS MATERIALIZED (
+  SELECT {id_col}, i, {hv} AS hv
+  FROM __ttoks,
+       LATERAL unnest(generate_series(1, greatest(len(tl) - {w} + 1, 0))) AS u(i)
+),
+__tmark AS (
+  SELECT {id_col}, i,
+         count(*) OVER (PARTITION BY hv) AS cnt,
+         row_number() OVER (PARTITION BY hv ORDER BY {id_col}, i) AS rnk
+  FROM __tpos
+),
+__tdrop AS (SELECT {id_col}, i FROM __tmark WHERE cnt > 1 AND rnk > 1),
+__tisl AS (
+  SELECT {id_col}, i,
+         CASE WHEN i <= lag(i) OVER (PARTITION BY {id_col} ORDER BY i) + {w}
+              THEN 0 ELSE 1 END AS __brk
+  FROM __tdrop
+),
+__tgrp AS (
+  SELECT {id_col}, i,
+         sum(__brk) OVER (PARTITION BY {id_col} ORDER BY i) AS isl
+  FROM __tisl
+),
+__tspans AS (
+  SELECT {id_col}, min(i) AS s, max(i) + {w} - 1 AS e
+  FROM __tgrp GROUP BY {id_col}, isl
+),
+__ttok AS (
+  SELECT {id_col}, i, tl[i] AS tok
+  FROM __ttoks, LATERAL unnest(generate_series(1, len(tl))) AS u(i)
+),
+__tkept AS (
+  SELECT t.{id_col}, count(*) AS kept_tokens,
+         string_agg(t.tok, ' ' ORDER BY t.i) AS trimmed_text
+  FROM __ttok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM __tspans s
+    WHERE s.{id_col} = t.{id_col} AND t.i BETWEEN s.s AND s.e
+  )
+  GROUP BY t.{id_col}
+)
+SELECT d.{id_col},
+       len(d.tl) AS n_toks,
+       COALESCE(k.kept_tokens, 0) AS kept_tokens,
+       COALESCE(k.trimmed_text, '') AS trimmed_text
+FROM __ttoks d LEFT JOIN __tkept k USING ({id_col})
+"""
 
 
 def sql_substring_dup_report(

@@ -1,11 +1,18 @@
 """Training-pipeline governance + planning queries (round 7).
 
-Five operator families a 100 TB curation pipeline needs beyond document-
+Eight operator families a 100 TB curation pipeline needs beyond document-
 level dedup, each with an exact DuckDB oracle twin:
 
-- substring-level exact dedup (``doc_substring_dup_spans``): the
+- substring-level exact dedup, report + actionable keep-first trim
+  (``doc_substring_dup_spans`` / ``doc_substring_dedup_trim``): the
   ExactSubstr pass of Lee et al. 2022, as relational algebra
   (``operators/spans.py``);
+- temperature-balanced multilingual sampling
+  (``doc_language_balanced_sample``): sqrt(n)-weighted Hamilton quotas —
+  the tau=0.5 rebalancing multilingual corpora train with;
+- scan/partition sizing probe (``scan_partition_planner``): exact
+  logical bytes per table and the split count that hits the target
+  partition size — run before setting maxPartitionBytes at 100 TB;
 - unicode normalization cleaning (``doc_unicode_clean``): NFC +
   control-char strip + whitespace collapse — the canonicalization stage
   every multilingual corpus runs before hashing/dedup. NFC itself is an
@@ -32,7 +39,7 @@ they extend the training-data surface mandated by the build brief.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
@@ -350,8 +357,219 @@ FROM __cls GROUP BY class_size
 """
 
 
+# ---------------------------------------------------------------------------
+# Keep-first substring dedup (the actionable trim)
+# ---------------------------------------------------------------------------
+
+
+def doc_substring_dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable counterpart of ``doc_substring_dup_spans``: remove
+    every token covered by a non-first occurrence of a duplicated
+    SUBSTR_W-token window (global keep-first by (doc_id, position)) and
+    emit the trimmed corpus. One row per document."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return SP.trim_duplicated_spans(docs, "text", "doc_id", SUBSTR_W)
+
+
+DOC_SUBSTRING_DEDUP_TRIM_ORACLE = SP.sql_trim_duplicated_spans(SUBSTR_W)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-balanced multilingual sampling
+# ---------------------------------------------------------------------------
+
+LANG_QUOTA = 200  # total docs the balanced sample takes
+LANG_TEMP_SCALE = 1000  # milli-precision integer weights from sqrt(n)
+
+
+def doc_language_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual rebalancing: per-language quotas proportional to
+    sqrt(n_lang) (temperature tau=0.5 — upsamples the tail languages an
+    n-proportional mix would starve), apportioned with largest-remainder
+    (Hamilton) in INTEGER math, then a deterministic id-hash-ranked take
+    per language. sqrt is IEEE-correctly-rounded, so floor(sqrt(n)*1000)
+    is engine-exact; everything after is integer arithmetic.
+
+    Scale shape: the quota table derives from language COUNTS (a
+    vocabulary-sized aggregate; the global windows below run over
+    |languages| rows, not the corpus); the take is one per-language
+    shuffle+sort of (id, hash) pairs — the text never moves."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    wl = F.floor(
+        F.sqrt(F.col("n_docs").cast("double")) * LANG_TEMP_SCALE
+    ).alias("w")
+    glob = Window.partitionBy()  # |languages| rows — global window is fine
+    weighted = counts.select("lang", "n_docs", wl).select(
+        "lang",
+        "n_docs",
+        "w",
+        (F.lit(LANG_QUOTA) * F.col("w")).alias("__x"),
+        F.sum("w").over(glob).alias("__tot"),
+    )
+    apportioned = weighted.select(
+        "lang",
+        "n_docs",
+        (
+            (F.col("__x") - F.col("__x") % F.col("__tot")) / F.col("__tot")
+        ).cast("long").alias("__base"),
+        (F.col("__x") % F.col("__tot")).alias("__rem"),
+    )
+    ranked = apportioned.select(
+        "lang",
+        "n_docs",
+        "__base",
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.desc("__rem"), F.asc("lang")))
+        .alias("__rr"),
+        (F.lit(LANG_QUOTA) - F.sum("__base").over(glob)).alias("__left"),
+    )
+    quotas = ranked.select(
+        "lang",
+        "n_docs",
+        (
+            F.col("__base")
+            + F.when(F.col("__rr") <= F.col("__left"), 1).otherwise(0)
+        ).alias("lang_quota"),
+    )
+    take = Window.partitionBy("lang").orderBy(
+        TX.md5_long(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", F.row_number().over(take).alias("sample_rank")
+        )
+        # |languages|-row quota table: broadcast equi-join
+        .join(F.broadcast(quotas.select("lang", "lang_quota")), "lang")
+        .where(F.col("sample_rank") <= F.col("lang_quota"))
+        .select("doc_id", "lang", "sample_rank", "lang_quota")
+    )
+
+
+_LB_HASH = TX.sql_md5_long("CAST(doc_id AS VARCHAR)")
+
+DOC_LANGUAGE_BALANCED_ORACLE = f"""
+WITH __lc AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * {LANG_TEMP_SCALE}) AS BIGINT) AS w
+  FROM documents GROUP BY lang
+),
+__ap AS (
+  SELECT lang, n_docs,
+         ({LANG_QUOTA} * w) // sum(w) OVER () AS base,
+         ({LANG_QUOTA} * w) % sum(w) OVER () AS rem
+  FROM __lc
+),
+__qt AS (
+  SELECT lang, n_docs,
+         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang ASC)
+                       <= {LANG_QUOTA} - sum(base) OVER () THEN 1 ELSE 0 END
+           AS lang_quota
+  FROM __ap
+)
+SELECT d.doc_id, d.lang, d.sample_rank, q.lang_quota
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY {_LB_HASH}, doc_id) AS sample_rank
+  FROM documents
+) d JOIN __qt q USING (lang)
+WHERE d.sample_rank <= q.lang_quota
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scan/partition sizing planner
+# ---------------------------------------------------------------------------
+
+# bench-scale target so the ceiling math is exercised on the test corpus;
+# production sets this to the classic 128 MiB split size
+SCAN_TARGET_BYTES = 1 << 20
+
+
+def _width_bytes(dtypes: list[tuple[str, str]]) -> F.Column:
+    """Per-row logical byte width: 8 per fixed-width column + the actual
+    character length of every string column (NULL -> 0). The same
+    expression is hand-written per table in the oracle."""
+    total = F.lit(0).cast("long")
+    for name, dt in dtypes:
+        if dt == "string":
+            total = total + F.coalesce(F.length(F.col(name)), F.lit(0))
+        else:
+            total = total + F.lit(8)
+    return total
+
+
+def scan_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sizing probe a job runs BEFORE setting
+    ``spark.sql.files.maxPartitionBytes`` / ``spark.sql.shuffle.partitions``:
+    exact row counts and logical data bytes per table (8 B per fixed-width
+    column + measured string lengths), and the partition count that hits
+    SCAN_TARGET_BYTES. One map-side-combining aggregation per table —
+    integer math end-to-end, so the recommendation is engine-exact."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    outs = []
+    for name in ("orders", "lineitem"):
+        df = t[name]
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_width_bytes(df.dtypes)).alias("est_bytes"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(name).alias("table_name"),
+                "n_rows",
+                "est_bytes",
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    (
+                        (
+                            F.col("est_bytes")
+                            + F.lit(SCAN_TARGET_BYTES - 1)
+                            - (F.col("est_bytes") + F.lit(SCAN_TARGET_BYTES - 1))
+                            % F.lit(SCAN_TARGET_BYTES)
+                        )
+                        / F.lit(SCAN_TARGET_BYTES)
+                    ).cast("long"),
+                ).alias("recommended_partitions"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+_PLAN_ORD_W = (
+    "8 + 8 + COALESCE(length(o_orderstatus), 0) + 8 + 8 "
+    "+ COALESCE(length(o_orderpriority), 0)"
+)
+_PLAN_LI_W = (
+    "8 * 9 + COALESCE(length(l_returnflag), 0) "
+    "+ COALESCE(length(l_linestatus), 0)"
+)
+
+SCAN_PARTITION_PLANNER_ORACLE = f"""
+WITH __po AS (
+  SELECT 'orders' AS table_name, count(*) AS n_rows,
+         CAST(sum({_PLAN_ORD_W}) AS BIGINT) AS est_bytes
+  FROM orders
+),
+__pl AS (
+  SELECT 'lineitem' AS table_name, count(*) AS n_rows,
+         CAST(sum({_PLAN_LI_W}) AS BIGINT) AS est_bytes
+  FROM lineitem
+),
+__pu AS (SELECT * FROM __po UNION ALL SELECT * FROM __pl)
+SELECT table_name, n_rows, est_bytes,
+       greatest(1, (est_bytes + {SCAN_TARGET_BYTES - 1}) // {SCAN_TARGET_BYTES})
+         AS recommended_partitions
+FROM __pu
+"""
+
+
 QUERIES = {
     "doc_substring_dup_spans": doc_substring_dup_spans,
+    "doc_substring_dedup_trim": doc_substring_dedup_trim,
+    "doc_language_balanced_sample": doc_language_balanced_sample,
+    "scan_partition_planner": scan_partition_planner,
     "doc_unicode_clean": doc_unicode_clean,
     "doc_classifier_quality_score": doc_classifier_quality_score,
     "orders_join_cardinality": orders_join_cardinality,
@@ -360,6 +578,9 @@ QUERIES = {
 
 ORACLES = {
     "doc_substring_dup_spans": DOC_SUBSTRING_DUP_SPANS_ORACLE,
+    "doc_substring_dedup_trim": DOC_SUBSTRING_DEDUP_TRIM_ORACLE,
+    "doc_language_balanced_sample": DOC_LANGUAGE_BALANCED_ORACLE,
+    "scan_partition_planner": SCAN_PARTITION_PLANNER_ORACLE,
     "doc_unicode_clean": DOC_UNICODE_CLEAN_ORACLE,
     "doc_classifier_quality_score": DOC_CLASSIFIER_QUALITY_ORACLE,
     "orders_join_cardinality": ORDERS_JOIN_CARDINALITY_ORACLE,

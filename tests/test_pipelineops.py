@@ -139,3 +139,63 @@ def test_short_docs_produce_empty_shingle_sets(spark):
     assert [r["n_ph"] for r in out] == [0, 0, 0, 2]
     # 2 positional hashes < window 4 -> no winnowing fingerprints
     assert [r["n_wf"] for r in out] == [0, 0, 0, 0]
+
+
+def test_trim_keeps_first_occurrence_only(spark):
+    """Keep-first: doc 1 (lower id) keeps the shared 8-token run, doc 2
+    loses exactly those 8 tokens, the unrelated doc is untouched."""
+    run = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"unique one two three {run} tail1 tailx"),
+        (2, f"{run} completely different suffix here now"),
+        (3, "no duplication in this document at all whatsoever truly"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in SP.trim_duplicated_spans(docs, "text", "doc_id", 8).collect()
+    }
+    assert len(out) == 3
+    assert out[1]["kept_tokens"] == out[1]["n_toks"]  # first copy kept
+    assert run in out[1]["trimmed_text"]
+    assert out[2]["kept_tokens"] == out[2]["n_toks"] - 8
+    assert run not in out[2]["trimmed_text"]
+    assert out[2]["trimmed_text"] == "completely different suffix here now"
+    assert out[3]["kept_tokens"] == out[3]["n_toks"]
+
+
+def test_language_balance_upsamples_tail_languages(spark):
+    """sqrt-temperature quotas: the sample sums to LANG_QUOTA and every
+    minority language gets a LARGER share of the sample than its share
+    of the corpus (the point of tau=0.5)."""
+    rows = pipelineops.doc_language_balanced_sample(spark, SF_SMOKE).collect()
+    assert len(rows) == pipelineops.LANG_QUOTA
+    import collections
+    taken = collections.Counter(r["lang"] for r in rows)
+    corpus = {
+        r["lang"]: r["n"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(corpus.values())
+    majority = max(corpus, key=corpus.get)
+    for lang, n in corpus.items():
+        if lang == majority:
+            continue
+        assert taken[lang] / pipelineops.LANG_QUOTA >= n / n_total, lang
+    # ranks within quota and no duplicates
+    assert all(r["sample_rank"] <= r["lang_quota"] for r in rows)
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+
+
+def test_partition_planner_ceiling_math(spark):
+    rows = {
+        r["table_name"]: r
+        for r in pipelineops.scan_partition_planner(spark, SF_SMOKE).collect()
+    }
+    t = pipelineops.SCAN_TARGET_BYTES
+    for r in rows.values():
+        assert r["est_bytes"] > 0
+        assert r["recommended_partitions"] == max(
+            1, -(-r["est_bytes"] // t)
+        )

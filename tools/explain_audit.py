@@ -243,6 +243,24 @@ AUDITED = {
         "expect": ["HashAggregate"],
         "forbid_pattern": r"\bJoin\b|\bWindow\b|CartesianProduct",
     },
+    "doc_substring_dedup_trim": {
+        # rank+count share one hash window pass; span arrays join back
+        # at doc grain (broadcast at test scale); token removal must be
+        # the higher-order filter — never an exploded token anti-join
+        "expect": ["Window", "HashAggregate"],
+        "forbid_pattern": r"CartesianProduct|BatchEvalPython",
+    },
+    "doc_language_balanced_sample": {
+        # per-language rank window + broadcast quota join; the global
+        # quota windows run over the |languages|-row aggregate only
+        "expect": ["Window", "BroadcastHashJoin"],
+        "forbid_pattern": r"CartesianProduct|BroadcastNestedLoopJoin",
+    },
+    "scan_partition_planner": {
+        # two single-table aggregations unioned; pure codegen arithmetic
+        "expect": ["HashAggregate", "Union"],
+        "forbid_pattern": r"\bJoin\b|\bWindow\b|CartesianProduct",
+    },
 }
 
 
