@@ -199,3 +199,32 @@ def test_partition_planner_ceiling_math(spark):
         assert r["recommended_partitions"] == max(
             1, -(-r["est_bytes"] // t)
         )
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    starts=st.sets(st.integers(min_value=1, max_value=60), min_size=1, max_size=25),
+    w=st.integers(min_value=2, max_value=6),
+)
+def test_span_merge_covers_exactly_the_window_union(spark, starts, w):
+    """Property: merged spans tile the union of the window intervals —
+    sum(span_toks) == |union of [i, i+w-1]| and sum(n_wins) == #windows;
+    spans never overlap (python reference interval-merge)."""
+    rows = [("d", 999, i) for i in sorted(starts)]
+    dpos = spark.createDataFrame(rows, "doc_id string, n_toks long, i long")
+    out = SP.merge_spans(dpos, "doc_id", w).collect()
+    covered = set()
+    for i in sorted(starts):
+        covered.update(range(i, i + w))
+    assert sum(r["span_toks"] for r in out) == len(covered)
+    assert sum(r["n_wins"] for r in out) == len(starts)
+    # span bounds are disjoint and each equals its token count
+    ivs = sorted((r["span_start"], r["span_end"]) for r in out)
+    for (s1, e1), (s2, e2) in zip(ivs, ivs[1:]):
+        assert e1 < s2 - 1  # a gap of >= 1 token separates maximal spans
+    for r in out:
+        assert r["span_end"] - r["span_start"] + 1 == r["span_toks"]
