@@ -84,6 +84,7 @@ _PRIORITY = [
     # unicode cleaning, classifier scoring, join-size estimate, k-anon
     "doc_substring_dup_spans",
     "doc_substring_dedup_trim",
+    "doc_substring_dedup_ingest",
     "doc_language_balanced_sample",
     "scan_partition_planner",
     "doc_unicode_clean",

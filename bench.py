@@ -60,6 +60,7 @@ HEADLINE = [
     "doc_source_stats",
     "doc_substring_dup_spans",
     "doc_substring_dedup_trim",
+    "doc_substring_dedup_ingest",
     "doc_language_balanced_sample",
     "scan_partition_planner",
     "doc_unicode_clean",

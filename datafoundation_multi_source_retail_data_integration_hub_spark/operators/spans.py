@@ -193,6 +193,172 @@ def trim_duplicated_spans(
     )
 
 
+def incremental_substring_report(
+    new_batch: DataFrame,
+    store_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    w: int,
+) -> DataFrame:
+    """Ingest-time substring dedup: flag every W-token window of the
+    incoming batch that (a) already exists in the established corpus's
+    window-hash STORE (``hit_store`` — wins when both hold, mirroring
+    ``incremental_dedup``'s dup_of_seen precedence) or (b) duplicates an
+    earlier ``(id, position)`` within the batch itself (``hit_batch``,
+    keep-first). Returns one row per incoming document that carries at
+    least one flagged window: (id, n_toks, n_store_windows,
+    n_batch_windows, dup_tokens, dup_fraction) with ``dup_tokens`` the
+    gaps-and-islands merged coverage of all flagged windows.
+
+    Scale shape: the store side collapses to DISTINCT window hashes —
+    8 bytes per window, the artifact a pipeline PERSISTS between ingests
+    (the substring-grade analogue of the 16-byte doc fingerprint store).
+    The within-batch rank/count window runs first, hash-partitioning the
+    batch windows; the store probe is an equi-join on the same hv key,
+    so it reuses that partitioning on the probe side. Both the window
+    pass and the islands merge are ingest-sized, never corpus-sized."""
+    store_hv = (
+        store_docs.select(
+            TX.ws_tokens(TX.normalized_text(F.col(text_col))).alias("__tl")
+        )
+        .select(
+            F.explode(
+                TX.positional_hashes_from_tokens(F.col("__tl"), w)
+            ).alias("hv")
+        )
+        .distinct()
+        .withColumn("__seen", F.lit(True))
+    )
+    toks = new_batch.select(
+        F.col(id_col).alias(id_col),
+        TX.ws_tokens(TX.normalized_text(F.col(text_col))).alias("__tl"),
+    )
+    pos = toks.select(
+        id_col,
+        F.size("__tl").alias("n_toks"),
+        F.posexplode(TX.positional_hashes_from_tokens(F.col("__tl"), w)).alias(
+            "__p0", "hv"
+        ),
+    ).select(id_col, "n_toks", (F.col("__p0") + 1).alias("i"), "hv")
+    marked = pos.withColumn(
+        "__cnt", F.count(F.lit(1)).over(Window.partitionBy("hv"))
+    ).withColumn(
+        "__rnk",
+        F.row_number().over(Window.partitionBy("hv").orderBy(id_col, "i")),
+    )
+    flagged = (
+        marked.join(store_hv, "hv", "left")
+        .select(
+            id_col,
+            "n_toks",
+            "i",
+            F.coalesce(F.col("__seen"), F.lit(False)).alias("hit_store"),
+            (
+                (F.col("__cnt") > 1)
+                & (F.col("__rnk") > 1)
+                & F.col("__seen").isNull()
+            ).alias("hit_batch"),
+        )
+        .where(F.col("hit_store") | F.col("hit_batch"))
+    )
+    counts = flagged.groupBy(id_col).agg(
+        F.sum(F.col("hit_store").cast("long")).alias("n_store_windows"),
+        F.sum(F.col("hit_batch").cast("long")).alias("n_batch_windows"),
+    )
+    spans = merge_spans(flagged, id_col, w)
+    coverage = spans.groupBy(id_col, "n_toks").agg(
+        F.sum("span_toks").alias("dup_tokens")
+    )
+    return coverage.join(counts, id_col).select(
+        id_col,
+        "n_toks",
+        "n_store_windows",
+        "n_batch_windows",
+        "dup_tokens",
+        (F.col("dup_tokens").cast("double") / F.col("n_toks")).alias(
+            "dup_fraction"
+        ),
+    )
+
+
+def sql_incremental_substring_report(
+    w: int,
+    source: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split: str = "doc_id % 2",
+) -> str:
+    """DuckDB twin of :func:`incremental_substring_report` with the
+    established corpus = ``split`` == 0 rows and the incoming batch =
+    ``split`` == 1 rows (the recorded query's deterministic partition)."""
+    hv = TX.sql_md5_long(f"array_to_string(tl[i:i+{w - 1}], ' ')")
+    return f"""
+WITH __sitoks AS MATERIALIZED (
+  SELECT {id_col}, string_split_regex({TX.sql_normalized(text_col)}, '\\s+') AS tl
+  FROM {source} WHERE {split} = 0
+),
+__istore AS MATERIALIZED (
+  SELECT DISTINCT {hv} AS hv
+  FROM __sitoks,
+       LATERAL unnest(generate_series(1, greatest(len(tl) - {w} + 1, 0))) AS u(i)
+),
+__iitoks AS MATERIALIZED (
+  SELECT {id_col}, string_split_regex({TX.sql_normalized(text_col)}, '\\s+') AS tl
+  FROM {source} WHERE {split} = 1
+),
+__ipos AS MATERIALIZED (
+  SELECT {id_col}, len(tl) AS n_toks, i, {hv} AS hv
+  FROM __iitoks,
+       LATERAL unnest(generate_series(1, greatest(len(tl) - {w} + 1, 0))) AS u(i)
+),
+__imark AS (
+  SELECT *,
+         count(*) OVER (PARTITION BY hv) AS cnt,
+         row_number() OVER (PARTITION BY hv ORDER BY {id_col}, i) AS rnk
+  FROM __ipos
+),
+__iflag AS (
+  SELECT m.{id_col}, m.n_toks, m.i,
+         (s.hv IS NOT NULL) AS hit_store,
+         (m.cnt > 1 AND m.rnk > 1 AND s.hv IS NULL) AS hit_batch
+  FROM __imark m LEFT JOIN __istore s USING (hv)
+  WHERE (s.hv IS NOT NULL) OR (m.cnt > 1 AND m.rnk > 1)
+),
+__icnt AS (
+  SELECT {id_col},
+         CAST(sum(CASE WHEN hit_store THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_store_windows,
+         CAST(sum(CASE WHEN hit_batch THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_batch_windows
+  FROM __iflag GROUP BY {id_col}
+),
+__iisl AS (
+  SELECT {id_col}, n_toks, i,
+         CASE WHEN i <= lag(i) OVER (PARTITION BY {id_col} ORDER BY i) + {w}
+              THEN 0 ELSE 1 END AS __brk
+  FROM __iflag
+),
+__igrp AS (
+  SELECT {id_col}, n_toks, i,
+         sum(__brk) OVER (PARTITION BY {id_col} ORDER BY i) AS isl
+  FROM __iisl
+),
+__ispans AS (
+  SELECT {id_col}, min(n_toks) AS n_toks, isl,
+         max(i) - min(i) + {w} AS span_toks
+  FROM __igrp GROUP BY {id_col}, isl
+),
+__icov AS (
+  SELECT {id_col}, n_toks, CAST(sum(span_toks) AS BIGINT) AS dup_tokens
+  FROM __ispans GROUP BY {id_col}, n_toks
+)
+SELECT c.{id_col}, c.n_toks, n.n_store_windows, n.n_batch_windows,
+       c.dup_tokens,
+       CAST(c.dup_tokens AS DOUBLE) / c.n_toks AS dup_fraction
+FROM __icov c JOIN __icnt n USING ({id_col})
+"""
+
+
 def sql_trim_duplicated_spans(
     w: int, source: str = "documents", text_col: str = "text", id_col: str = "doc_id"
 ) -> str:

@@ -374,6 +374,24 @@ def doc_substring_dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_SUBSTRING_DEDUP_TRIM_ORACLE = SP.sql_trim_duplicated_spans(SUBSTR_W)
 
 
+def doc_substring_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time substring dedup against a persisted window-hash store:
+    even doc_ids play the established corpus (whose DISTINCT window
+    hashes are the 8-byte-per-window store a pipeline keeps between
+    ingests), odd doc_ids the incoming batch. Flags store hits and
+    within-batch keep-first duplicates separately; coverage is
+    islands-merged. See ``operators/spans.py``."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    store = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    return SP.incremental_substring_report(
+        batch, store, "text", "doc_id", SUBSTR_W
+    )
+
+
+DOC_SUBSTRING_DEDUP_INGEST_ORACLE = SP.sql_incremental_substring_report(SUBSTR_W)
+
+
 # ---------------------------------------------------------------------------
 # Temperature-balanced multilingual sampling
 # ---------------------------------------------------------------------------
@@ -568,6 +586,7 @@ FROM __pu
 QUERIES = {
     "doc_substring_dup_spans": doc_substring_dup_spans,
     "doc_substring_dedup_trim": doc_substring_dedup_trim,
+    "doc_substring_dedup_ingest": doc_substring_dedup_ingest,
     "doc_language_balanced_sample": doc_language_balanced_sample,
     "scan_partition_planner": scan_partition_planner,
     "doc_unicode_clean": doc_unicode_clean,
@@ -579,6 +598,7 @@ QUERIES = {
 ORACLES = {
     "doc_substring_dup_spans": DOC_SUBSTRING_DUP_SPANS_ORACLE,
     "doc_substring_dedup_trim": DOC_SUBSTRING_DEDUP_TRIM_ORACLE,
+    "doc_substring_dedup_ingest": DOC_SUBSTRING_DEDUP_INGEST_ORACLE,
     "doc_language_balanced_sample": DOC_LANGUAGE_BALANCED_ORACLE,
     "scan_partition_planner": SCAN_PARTITION_PLANNER_ORACLE,
     "doc_unicode_clean": DOC_UNICODE_CLEAN_ORACLE,

@@ -228,3 +228,36 @@ def test_span_merge_covers_exactly_the_window_union(spark, starts, w):
         assert e1 < s2 - 1  # a gap of >= 1 token separates maximal spans
     for r in out:
         assert r["span_end"] - r["span_start"] + 1 == r["span_toks"]
+
+
+def test_ingest_substring_dedup_flag_precedence(spark):
+    """Store hits win over within-batch duplication; within-batch dups
+    are keep-first; a batch doc with fresh content is not reported."""
+    run = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    batchrun = "one two three four five six seven eight"
+    store = spark.createDataFrame(
+        [(0, f"established corpus text holds {run} exactly once here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, f"incoming doc repeating {run} from the store"),
+            (3, f"{batchrun} appears first in the batch"),
+            (5, f"later copy of {batchrun} inside the batch"),
+            (7, "entirely novel content with nothing repeated at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in SP.incremental_substring_report(
+            batch, store, "text", "doc_id", 8
+        ).collect()
+    }
+    assert set(out) == {1, 5}  # 3 keeps first batch copy; 7 is clean
+    assert out[1]["n_store_windows"] == 1
+    assert out[1]["n_batch_windows"] == 0
+    assert out[1]["dup_tokens"] == 8
+    assert out[5]["n_store_windows"] == 0
+    assert out[5]["n_batch_windows"] == 1
+    assert out[5]["dup_tokens"] == 8

@@ -261,6 +261,12 @@ AUDITED = {
         "expect": ["HashAggregate", "Union"],
         "forbid_pattern": r"\bJoin\b|\bWindow\b|CartesianProduct",
     },
+    "doc_substring_dedup_ingest": {
+        # within-batch window pass + store equi-join on hv; islands at
+        # doc grain; never a cross product, never a Python stage
+        "expect": ["Window", "HashAggregate"],
+        "forbid_pattern": r"CartesianProduct|BatchEvalPython|ArrowEvalPython",
+    },
 }
 
 
