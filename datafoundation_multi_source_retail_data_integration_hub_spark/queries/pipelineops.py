@@ -1,12 +1,13 @@
 """Training-pipeline governance + planning queries (round 7).
 
-Eight operator families a 100 TB curation pipeline needs beyond document-
+Nine operator families a 100 TB curation pipeline needs beyond document-
 level dedup, each with an exact DuckDB oracle twin:
 
-- substring-level exact dedup, report + actionable keep-first trim
-  (``doc_substring_dup_spans`` / ``doc_substring_dedup_trim``): the
-  ExactSubstr pass of Lee et al. 2022, as relational algebra
-  (``operators/spans.py``);
+- substring-level exact dedup — report, actionable keep-first trim, and
+  ingest-time incremental form against a persisted window-hash store
+  (``doc_substring_dup_spans`` / ``doc_substring_dedup_trim`` /
+  ``doc_substring_dedup_ingest``): the ExactSubstr pass of Lee et al.
+  2022, as relational algebra (``operators/spans.py``);
 - temperature-balanced multilingual sampling
   (``doc_language_balanced_sample``): sqrt(n)-weighted Hamilton quotas —
   the tau=0.5 rebalancing multilingual corpora train with;

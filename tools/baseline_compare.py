@@ -121,18 +121,29 @@ def main() -> None:
         dedup.unpersist_all()
         clustering.unpersist_all()
 
+    # one warm pass, then min of REPS timed passes — SYMMETRIC for both
+    # engines. Sub-second queries here are scheduling-constant-dominated
+    # and single samples swing +-40% run-to-run (r06 vs r07 showed the
+    # same binary drifting 1.2x-1.6x on identical code); the min is the
+    # honest steady-state estimate of a constant, and taking it on both
+    # sides cannot bias the ratio.
+    REPS = 3
     rows = []
     for name in names:
         unpersist_all()
         qs[name](spark, sf_dir).toPandas()  # warm spark plan
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).toPandas()
-        t_spark = time.perf_counter() - t0
+        t_spark = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).toPandas()
+            t_spark = min(t_spark, time.perf_counter() - t0)
 
         con.execute(osql[name]).arrow()  # warm duckdb (buffer cache)
-        t0 = time.perf_counter()
-        con.execute(osql[name]).arrow()
-        t_duck = time.perf_counter() - t0
+        t_duck = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            con.execute(osql[name]).arrow()
+            t_duck = min(t_duck, time.perf_counter() - t0)
         rows.append((name, t_spark, t_duck))
         print(f"{name}: spark={t_spark:.2f}s duckdb={t_duck:.2f}s")
 
@@ -185,7 +196,13 @@ def main() -> None:
         "",
         "Methodology: both engines deliver results over their Arrow",
         "bulk-transfer path (Spark `toPandas()`, DuckDB `.arrow()`) — the",
-        "round-4 change from row-at-a-time fetch on both sides. This is",
+        "round-4 change from row-at-a-time fetch on both sides. Timing is",
+        "one warm pass then min-of-3 timed passes, SYMMETRIC for both",
+        "engines (round-7 change: single samples of the sub-second,",
+        "constant-dominated queries swung +-40% run-to-run — the same",
+        "binary measured 1.2x one day and 1.6x the next; the min is the",
+        "steady-state estimate of a constant and cannot bias a ratio",
+        "taken the same way on both sides). This is",
         "stricter on the ratio than the old methodology: row fetch billed",
         "DuckDB ~45 s of Python tuple construction across the suite, noise",
         "that flattered Spark. Reading the ratios: Spark carries a fixed",
