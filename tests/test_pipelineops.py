@@ -261,3 +261,29 @@ def test_ingest_substring_dedup_flag_precedence(spark):
     assert out[5]["n_store_windows"] == 0
     assert out[5]["n_batch_windows"] == 1
     assert out[5]["dup_tokens"] == 8
+
+
+def test_report_and_trim_are_consistent_on_corpus(spark):
+    """Cross-operator invariant on the real corpus: the report flags ALL
+    occurrences of duplicated windows while the trim drops only NON-FIRST
+    occurrences — so for every document, tokens kept by the trim >=
+    n_toks - report.dup_tokens, and any doc the trim shortened must
+    appear in the report."""
+    report = {
+        r["doc_id"]: r
+        for r in pipelineops.doc_substring_dup_spans(spark, SF_SMOKE).collect()
+    }
+    trim = {
+        r["doc_id"]: r
+        for r in pipelineops.doc_substring_dedup_trim(spark, SF_SMOKE).collect()
+    }
+    assert len(trim) == 500  # trim reports every doc
+    shortened = {d for d, r in trim.items() if r["kept_tokens"] < r["n_toks"]}
+    assert shortened  # the corpus has near-dup docs, something must trim
+    assert shortened <= set(report)
+    for d in report:
+        assert trim[d]["kept_tokens"] >= (
+            trim[d]["n_toks"] - report[d]["dup_tokens"]
+        )
+    # at least one duplicated doc is the FIRST copy: reported but untrimmed
+    assert any(d in report and d not in shortened for d in trim)
