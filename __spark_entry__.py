@@ -85,6 +85,7 @@ _PRIORITY = [
     "doc_substring_dup_spans",
     "doc_substring_dedup_trim",
     "doc_substring_dedup_ingest",
+    "stream_substring_dedup",
     "doc_language_balanced_sample",
     "scan_partition_planner",
     "doc_unicode_clean",

@@ -131,6 +131,7 @@ HEADLINE = [
     "stream_audit_replay",
     "stream_mart_refresh",
     "stream_cdc_compaction",
+    "stream_substring_dedup",
 ]
 
 

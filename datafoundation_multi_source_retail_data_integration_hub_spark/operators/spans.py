@@ -193,32 +193,12 @@ def trim_duplicated_spans(
     )
 
 
-def incremental_substring_report(
-    new_batch: DataFrame,
-    store_docs: DataFrame,
-    text_col: str,
-    id_col: str,
-    w: int,
-) -> DataFrame:
-    """Ingest-time substring dedup: flag every W-token window of the
-    incoming batch that (a) already exists in the established corpus's
-    window-hash STORE (``hit_store`` — wins when both hold, mirroring
-    ``incremental_dedup``'s dup_of_seen precedence) or (b) duplicates an
-    earlier ``(id, position)`` within the batch itself (``hit_batch``,
-    keep-first). Returns one row per incoming document that carries at
-    least one flagged window: (id, n_toks, n_store_windows,
-    n_batch_windows, dup_tokens, dup_fraction) with ``dup_tokens`` the
-    gaps-and-islands merged coverage of all flagged windows.
-
-    Scale shape: the store side collapses to DISTINCT window hashes —
-    8 bytes per window, the artifact a pipeline PERSISTS between ingests
-    (the substring-grade analogue of the 16-byte doc fingerprint store).
-    The within-batch rank/count window runs first, hash-partitioning the
-    batch windows; the store probe is an equi-join on the same hv key,
-    so it reuses that partitioning on the probe side. Both the window
-    pass and the islands merge are ingest-sized, never corpus-sized."""
-    store_hv = (
-        store_docs.select(
+def window_hash_store(df: DataFrame, text_col: str, w: int) -> DataFrame:
+    """DISTINCT W-token window hashes of a corpus — 8 bytes per window,
+    the artifact a pipeline PERSISTS between ingests (the substring-grade
+    analogue of the 16-byte doc fingerprint store). One column: ``hv``."""
+    return (
+        df.select(
             TX.ws_tokens(TX.normalized_text(F.col(text_col))).alias("__tl")
         )
         .select(
@@ -227,8 +207,49 @@ def incremental_substring_report(
             ).alias("hv")
         )
         .distinct()
-        .withColumn("__seen", F.lit(True))
     )
+
+
+def incremental_substring_report(
+    new_batch: DataFrame,
+    store_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    w: int,
+) -> DataFrame:
+    """Ingest-time substring dedup against an established corpus given as
+    DOCUMENTS (builds the hash store inline); see
+    :func:`report_against_store` for the store-based form and semantics."""
+    return report_against_store(
+        new_batch, window_hash_store(store_docs, text_col, w),
+        text_col, id_col, w,
+    )
+
+
+def report_against_store(
+    new_batch: DataFrame,
+    store_hv: DataFrame,
+    text_col: str,
+    id_col: str,
+    w: int,
+) -> DataFrame:
+    """Ingest-time substring dedup: flag every W-token window of the
+    incoming batch that (a) already exists in the persisted window-hash
+    STORE (``hit_store`` — wins when both hold, mirroring
+    ``incremental_dedup``'s dup_of_seen precedence) or (b) duplicates an
+    earlier ``(id, position)`` within the batch itself (``hit_batch``,
+    keep-first). Returns one row per incoming document that carries at
+    least one flagged window: (id, n_toks, n_store_windows,
+    n_batch_windows, dup_tokens, dup_fraction) with ``dup_tokens`` the
+    gaps-and-islands merged coverage of all flagged windows.
+
+    Scale shape: the within-batch rank/count window runs first,
+    hash-partitioning the batch windows; the store probe is an equi-join
+    on the same hv key, so it reuses that partitioning on the probe
+    side. Both the window pass and the islands merge are ingest-sized,
+    never corpus-sized — the established corpus contributes only its
+    hash store."""
+    store_hv = store_hv.select("hv").withColumn("__seen", F.lit(True))
     toks = new_batch.select(
         F.col(id_col).alias(id_col),
         TX.ws_tokens(TX.normalized_text(F.col(text_col))).alias("__tl"),
@@ -283,19 +304,22 @@ def incremental_substring_report(
 
 def sql_incremental_substring_report(
     w: int,
+    store_where: str = "doc_id % 2 = 0",
+    batch_where: str = "doc_id % 2 = 1",
     source: str = "documents",
     text_col: str = "text",
     id_col: str = "doc_id",
-    split: str = "doc_id % 2",
 ) -> str:
-    """DuckDB twin of :func:`incremental_substring_report` with the
-    established corpus = ``split`` == 0 rows and the incoming batch =
-    ``split`` == 1 rows (the recorded query's deterministic partition)."""
+    """DuckDB twin of :func:`incremental_substring_report`: the
+    established corpus = rows matching ``store_where``, the incoming
+    batch = rows matching ``batch_where`` (pass ``'1 = 0'`` as
+    ``store_where`` for an empty store — the first micro-batch of the
+    streaming twin)."""
     hv = TX.sql_md5_long(f"array_to_string(tl[i:i+{w - 1}], ' ')")
     return f"""
 WITH __sitoks AS MATERIALIZED (
   SELECT {id_col}, string_split_regex({TX.sql_normalized(text_col)}, '\\s+') AS tl
-  FROM {source} WHERE {split} = 0
+  FROM {source} WHERE {store_where}
 ),
 __istore AS MATERIALIZED (
   SELECT DISTINCT {hv} AS hv
@@ -304,7 +328,7 @@ __istore AS MATERIALIZED (
 ),
 __iitoks AS MATERIALIZED (
   SELECT {id_col}, string_split_regex({TX.sql_normalized(text_col)}, '\\s+') AS tl
-  FROM {source} WHERE {split} = 1
+  FROM {source} WHERE {batch_where}
 ),
 __ipos AS MATERIALIZED (
   SELECT {id_col}, len(tl) AS n_toks, i, {hv} AS hv

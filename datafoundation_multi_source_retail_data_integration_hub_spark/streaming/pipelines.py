@@ -802,8 +802,101 @@ def _cdc_oracle() -> str:
     return EVENTS_CDC_ORACLE
 
 
+@_stream_scoped
+def stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming substring dedup at ingest: a ``foreachBatch`` sink runs
+    each micro-batch of documents through
+    ``operators/spans.report_against_store`` and then folds the batch's
+    DISTINCT window hashes into the persisted store — the corpus is
+    NEVER rescanned; every pass touches one micro-batch plus the
+    8-byte-per-window hash store. The feed arrives in two availableNow
+    micro-batches split by doc-id parity (evens first against an EMPTY
+    store, odds against the evens' windows), so the final report is
+    deterministic: the union of per-batch reports under
+    earliest-batch-then-lowest-id keep-first precedence, which is
+    exactly what the two-stage batch oracle computes.
+
+    Store versions land at per-batch paths (v{batch_id}) — the same
+    poor-man's versioned table as ``stream_cdc_compaction``; at cluster
+    scale the store merge is one idempotent MERGE/append on a hash-
+    bucketed table."""
+    import shutil
+    import tempfile
+
+    from ..operators import spans as SP
+    from ..queries.pipelineops import SUBSTR_W
+    from ..sources.tables import load_tables
+
+    base = tempfile.mkdtemp(prefix="stream_substr_")
+    src = f"{base}/incoming"
+    stores: list[str] = []
+
+    def handler(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        if stores:
+            store_hv = s.read.parquet(stores[-1])
+        else:
+            store_hv = s.createDataFrame([], "hv long")
+        report = SP.report_against_store(
+            batch, store_hv, "text", "doc_id", SUBSTR_W
+        )
+        report.write.mode("append").parquet(f"{base}/reports")
+        merged = (
+            store_hv.select("hv")
+            .union(SP.window_hash_store(batch, "text", SUBSTR_W))
+            .distinct()
+        )
+        path = f"{base}/store/v{batch_id}"
+        merged.write.mode("overwrite").parquet(path)
+        stores.append(path)
+
+    def run() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.foreachBatch(handler)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "substring-dedup stream did not finish in 300s"
+            )
+
+    try:
+        docs = load_tables(spark, sf_dir, "documents")["documents"]
+        docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        run()
+        docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+        run()
+        out = spark.read.parquet(f"{base}/reports").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def _stream_substring_oracle() -> str:
+    # batch 0: evens against an EMPTY store (within-batch keep-first
+    # only); batch 1: odds against the evens' window store — two
+    # parenthesized WITH-subqueries unioned (CTE names scope per branch)
+    from ..operators.spans import sql_incremental_substring_report
+    from ..queries.pipelineops import SUBSTR_W
+
+    evens = sql_incremental_substring_report(
+        SUBSTR_W, store_where="1 = 0", batch_where="doc_id % 2 = 0"
+    )
+    odds = sql_incremental_substring_report(
+        SUBSTR_W, store_where="doc_id % 2 = 0", batch_where="doc_id % 2 = 1"
+    )
+    return f"SELECT * FROM (\n{evens}\n) UNION ALL SELECT * FROM (\n{odds}\n)"
+
+
 QUERIES = {
     "stream_cdc_compaction": stream_cdc_compaction,
+    "stream_substring_dedup": stream_substring_dedup,
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_dedup_count": stream_dedup_count,
     "stream_session_windows": stream_session_windows,
@@ -830,6 +923,7 @@ def _scd2_two_batch_oracle() -> str:
 
 ORACLES = {
     "stream_cdc_compaction": _cdc_oracle(),
+    "stream_substring_dedup": _stream_substring_oracle(),
     "stream_tumbling_counts": STREAM_TUMBLING_ORACLE,
     "stream_dedup_count": STREAM_DEDUP_ORACLE,
     "stream_session_windows": STREAM_SESSION_ORACLE,
