@@ -95,6 +95,9 @@ def main() -> None:
         # checkpointed two-run ingest + per-batch state-table merge and
         # parquet round-trip; the oracle is one window SELECT
         "stream_cdc_compaction",
+        # two availableNow runs + per-batch store/report table writes;
+        # the oracle is one batch CTE chain
+        "stream_substring_dedup",
         # runs a deliberately broadcast-disabled plan to demonstrate the
         # at-scale bloom-injection shape — not Spark's best local plan
         "bloom_pruned_fact_join",
@@ -130,17 +133,21 @@ def main() -> None:
     REPS = 3
     rows = []
     for name in names:
+        # work-asymmetric rows are outside the gate and dominated by
+        # checkpoint/table-write machinery (the heaviest run 10-20 s per
+        # invocation) — one timed pass suffices for their side table
+        reps = 1 if name in WORK_ASYMMETRIC else REPS
         unpersist_all()
         qs[name](spark, sf_dir).toPandas()  # warm spark plan
         t_spark = float("inf")
-        for _ in range(REPS):
+        for _ in range(reps):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).toPandas()
             t_spark = min(t_spark, time.perf_counter() - t0)
 
         con.execute(osql[name]).arrow()  # warm duckdb (buffer cache)
         t_duck = float("inf")
-        for _ in range(REPS):
+        for _ in range(reps):
             t0 = time.perf_counter()
             con.execute(osql[name]).arrow()
             t_duck = min(t_duck, time.perf_counter() - t0)
