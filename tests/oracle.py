@@ -9,6 +9,7 @@ value comparison with columns sorted by name.
 from __future__ import annotations
 
 import math
+import os
 import struct
 
 import duckdb
@@ -30,6 +31,11 @@ TABLES = (
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
+        # property tests compare on synthetic single-table corpora —
+        # skip absent files (a query touching a skipped table still
+        # fails loudly: the view simply does not exist)
+        if not os.path.exists(f"{sf_dir}/{t}.parquet"):
+            continue
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )

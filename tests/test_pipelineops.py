@@ -287,3 +287,52 @@ def test_report_and_trim_are_consistent_on_corpus(spark):
         )
     # at least one duplicated doc is the FIRST copy: reported but untrimmed
     assert any(d in report and d not in shortened for d in trim)
+
+
+_PHRASES = (
+    "alpha beta gamma",
+    "delta epsilon zeta",
+    "eta theta iota kappa",
+    "lambda mu",
+    "nu xi omicron pi rho",
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(_PHRASES), min_size=0, max_size=5
+        ).map(lambda ps: " ".join(ps)),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_substring_family_cross_engine_on_random_corpora(spark, docs):
+    """Property: the whole substring family hash-matches DuckDB on
+    RANDOM corpora built from shared phrases (so multi-phrase runs
+    collide across docs), including empty and shorter-than-W documents —
+    the fixed-corpus oracles cannot exercise those shapes."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    base = tempfile.mkdtemp(prefix="prop_corpus_")
+    try:
+        # single parquet FILE (pandas/pyarrow), matching the fixed
+        # corpus layout — DuckDB cannot read a bare Spark part-file dir
+        pd.DataFrame(
+            {"doc_id": range(len(docs)), "text": docs}
+        ).to_parquet(f"{base}/documents.parquet")
+        for name in (
+            "doc_substring_dup_spans",
+            "doc_substring_dedup_trim",
+            "doc_substring_dedup_ingest",
+        ):
+            compare(
+                spark, base, pipelineops.QUERIES[name],
+                pipelineops.ORACLES[name], name,
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
