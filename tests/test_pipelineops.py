@@ -336,3 +336,75 @@ def test_substring_family_cross_engine_on_random_corpora(spark, docs):
             )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_nfc_parity_unicodedata_vs_utf8proc():
+    """The doc_unicode_clean contract rests on Python unicodedata NFC ==
+    DuckDB (utf8proc) NFC. Pin it over an adversarial alphabet: composed
+    vs decomposed Latin/Greek, decomposed Hangul jamo, combining-mark
+    REORDERING (s + dot-below + dot-above in both orders), compatibility
+    characters NFC must leave alone (fi ligature), and ANGSTROM SIGN
+    (an NFC singleton that rewrites to U+00C5). 3000 seeded random
+    strings, zero Spark involvement — pure library agreement."""
+    import random
+    import unicodedata
+
+    import duckdb
+
+    con = duckdb.connect()
+    alphabet = [
+        "a", "z", " ",
+        "é", "é",          # é composed / decomposed
+        "ñ", "ñ",          # ñ
+        "ü", "ü",          # ü
+        "ά", "ά",     # Greek ά
+        "가", "가",     # Hangul 가 / jamo
+        "ﬁ",                      # fi ligature (NFC-invariant)
+        "Å", "Å",           # ANGSTROM SIGN -> Å singleton
+        "ṩ", "ṩ",  # mark reordering
+    ]
+    rng = random.Random(7)
+    for _ in range(3000):
+        s = "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(0, 8))
+        )
+        py = unicodedata.normalize("NFC", s)
+        db = con.execute("SELECT nfc_normalize(?)", [s]).fetchone()[0]
+        assert py == db, repr(s)
+
+
+def test_unicode_clean_matches_oracle_on_unicode_corpus(spark):
+    """Full-pipeline cross-engine compare of doc_unicode_clean on a
+    seeded corpus of REAL unicode text (combining marks, Hangul jamo,
+    NFC singletons, control chars, multi-space runs) — also pins that
+    Spark length() and DuckDB length() count the same codepoints on
+    non-ASCII output."""
+    import random
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    pieces = [
+        "café", "élève", "가가",
+        "AÅngström", "ṩtack", "plain ascii",
+        "tab\tand\x01control", "  multi   space  ", "άά",
+    ]
+    rng = random.Random(11)
+    docs = [
+        " ".join(rng.choice(pieces) for _ in range(rng.randint(0, 6)))
+        for _ in range(40)
+    ]
+    base = tempfile.mkdtemp(prefix="uni_corpus_")
+    try:
+        pd.DataFrame({"doc_id": range(len(docs)), "text": docs}).to_parquet(
+            f"{base}/documents.parquet"
+        )
+        compare(
+            spark, base,
+            pipelineops.QUERIES["doc_unicode_clean"],
+            pipelineops.ORACLES["doc_unicode_clean"],
+            "doc_unicode_clean[unicode-corpus]",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
