@@ -86,6 +86,10 @@ _PRIORITY = [
     "doc_substring_dedup_trim",
     "doc_substring_dedup_ingest",
     "stream_substring_dedup",
+    "events_ewma_anomaly",
+    "lineitem_equidepth_histogram",
+    "dim_snapshot_diff",
+    "embedding_matryoshka_recall",
     "doc_language_balanced_sample",
     "scan_partition_planner",
     "doc_unicode_clean",

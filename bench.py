@@ -79,6 +79,7 @@ HEADLINE = [
     "embedding_ann_pq",
     "doc_hybrid_search_rrf",
     "ann_quality_report",
+    "embedding_matryoshka_recall",
     "embedding_cosine_neardup",
     "embedding_semantic_dedup",
     "events_tumbling_10m",
@@ -90,6 +91,7 @@ HEADLINE = [
     "events_retention_cohorts",
     "events_gapfill_10m",
     "events_rolling_anomaly",
+    "events_ewma_anomaly",
     "doc_quality_filter",
     "embedding_kmeans",
     "customer_revenue_deciles",
@@ -110,10 +112,12 @@ HEADLINE = [
     "events_rolling_distinct_users",
     "doc_media_resized",
     "warehouse_compaction_report",
+    "dim_snapshot_diff",
     "join_key_skew_report",
     "salted_hot_key_join",
     "orders_approx_distinct_sketch",
     "lineitem_quantile_sketch",
+    "lineitem_equidepth_histogram",
     "events_sketch_rollup",
     "events_sketch_cube",
     "events_heavy_hitters",
@@ -161,6 +165,7 @@ def main() -> None:
         "mart_sales_performance",
         "dashboard_extract",
         "events_rolling_anomaly",
+    "events_ewma_anomaly",
         "salted_hot_key_join",
         "scd2_customer_two_batch",
         "stream_tumbling_counts",

@@ -13,9 +13,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.parity import (
+    _s_fixed_units,
     fixed_avg,
     fixed_sum,
     fixed_sum_dec,
+    fixed_units,
     round_dp,
     sql_round_dp,
     sql_stable_avg,
@@ -635,6 +637,106 @@ WHERE rn = 1 AND event_type <> '{CDC_DELETE_OP}'
 """
 
 
+# ---------------------------------------------------------------------------
+# EWMA anomaly screen (exact dyadic weights)
+# ---------------------------------------------------------------------------
+
+EWMA_LOOKBACK = 8  # buckets of history; weight of lag k is 2^(L-k)
+
+
+def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observation-indexed EWMA anomaly screen per event type: each
+    10-minute bucket's value is compared against the exponentially
+    weighted average of its previous EWMA_LOOKBACK buckets with weight
+    2^(L-k) for lag k — alpha=1/2 TRUNCATED to L terms, so every weight
+    is a power of two and the whole statistic stays in INTEGER
+    arithmetic (bucket values as exact centi-units, numerator and
+    denominator as longs). The only floats are two final presentation
+    divisions, and the anomaly verdict |x - ewma| > ewma/2 is evaluated
+    as the integer test |2*x*den - 2*num| > num — no float sits on the
+    cut, so the boolean is engine-exact. (A true infinite-tail EWMA
+    needs pow(1-alpha, k) — libm pow is not correctly rounded and can
+    not hold the raw-bit cross-engine contract; dyadic truncation is
+    the portable form.)
+
+    Scale shape: one map-side-combining aggregation to the (type,
+    bucket) grain, then one window over the BUCKET-grain frame (lag
+    expressions share a single window spec) — the events themselves
+    never enter the window."""
+    ev = _events(spark, sf_dir)
+    buck = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.sum(fixed_units(F.col("value"), 2)).alias("x_units"))
+        .select(
+            F.col("w.start").alias("bucket_start"), "event_type", "x_units"
+        )
+    )
+    wdw = Window.partitionBy("event_type").orderBy("bucket_start")
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for k in range(1, EWMA_LOOKBACK + 1):
+        wgt = 1 << (EWMA_LOOKBACK - k)
+        lagk = F.lag("x_units", k).over(wdw)
+        num = num + F.coalesce(lagk, F.lit(0)) * F.lit(wgt)
+        den = den + F.when(lagk.isNotNull(), F.lit(wgt)).otherwise(F.lit(0))
+    staged = buck.select(
+        "event_type",
+        "bucket_start",
+        "x_units",
+        num.alias("__num"),
+        den.alias("__den"),
+    ).where(F.col("__den") > 0)
+    return staged.select(
+        "event_type",
+        "bucket_start",
+        (F.col("x_units") / F.lit(100.0)).alias("bucket_value"),
+        (F.col("__num").cast("double") / (F.col("__den") * F.lit(100.0))).alias(
+            "ewma_value"
+        ),
+        (
+            F.abs(
+                2 * F.col("x_units") * F.col("__den") - 2 * F.col("__num")
+            )
+            > F.col("__num")
+        ).alias("is_anomaly"),
+    )
+
+
+def _sql_ewma_oracle() -> str:
+    L = EWMA_LOOKBACK
+    num_terms = " + ".join(
+        f"COALESCE(lag(x_units, {k}) OVER w, 0) * {1 << (L - k)}"
+        for k in range(1, L + 1)
+    )
+    den_terms = " + ".join(
+        f"(CASE WHEN lag(x_units, {k}) OVER w IS NOT NULL"
+        f" THEN {1 << (L - k)} ELSE 0 END)"
+        for k in range(1, L + 1)
+    )
+    return f"""
+WITH __eb AS (
+  SELECT {_sql_bucket_start("ts", 600)} AS bucket_start, event_type,
+         CAST(sum({_s_fixed_units("value", 2)}) AS BIGINT) AS x_units
+  FROM events GROUP BY 1, 2
+),
+__ew AS (
+  SELECT event_type, bucket_start, x_units,
+         CAST({num_terms} AS BIGINT) AS num,
+         CAST({den_terms} AS BIGINT) AS den
+  FROM __eb
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+)
+SELECT event_type, bucket_start,
+       x_units / 100.0 AS bucket_value,
+       CAST(num AS DOUBLE) / (den * 100.0) AS ewma_value,
+       abs(2 * x_units * den - 2 * num) > num AS is_anomaly
+FROM __ew WHERE den > 0
+"""
+
+
+EVENTS_EWMA_ORACLE = _sql_ewma_oracle()
+
+
 QUERIES = {
     "events_cdc_compaction": events_cdc_compaction,
     "events_tumbling_10m": events_tumbling_10m,
@@ -648,6 +750,7 @@ QUERIES = {
     "events_retention_cohorts": events_retention_cohorts,
     "events_gapfill_10m": events_gapfill_10m,
     "events_rolling_anomaly": events_rolling_anomaly,
+    "events_ewma_anomaly": events_ewma_anomaly,
 }
 
 ORACLES = {
@@ -663,4 +766,5 @@ ORACLES = {
     "events_json_flatten": EVENTS_JSON_ORACLE,
     "events_first_per_user_type": EVENTS_FIRST_ORACLE,
     "events_rolling_anomaly": EVENTS_ROLLING_ANOMALY_ORACLE,
+    "events_ewma_anomaly": EVENTS_EWMA_ORACLE,
 }

@@ -1000,6 +1000,82 @@ FROM m JOIN dv USING (event_type) JOIN o USING (event_type)
 """
 
 
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (ANALYZE-style column statistics)
+# ---------------------------------------------------------------------------
+
+HIST_BUCKETS = 8
+
+
+def lineitem_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics for ``l_extendedprice``: an
+    equi-depth histogram with HIST_BUCKETS buckets — interior edges from
+    exact interpolated quantiles (one ``sorted_vals`` buffer; bit-equal
+    to DuckDB ``quantile_cont``, so the bucket-assignment comparisons
+    are engine-exact), then per-bucket row count, exact NDV, and the
+    observed [lo, hi] envelope. This is the stats artifact a cost-based
+    optimizer consumes for selectivity estimates.
+
+    Plan shape: the 7-edge frame is a broadcast single-row crossJoin
+    (constant-size); bucket counting is dedup-then-aggregate on
+    (bucket, value) — NOT a mixed distinct+plain aggregation, which
+    would Expand every row (the OOM shape measured in the sketch
+    family). At 100 TB the exact-NDV column swaps for
+    ``approx_count_distinct`` and the edges for KLL — the exact twins
+    here are the oracle gate, same contract as the sketch queries."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    edges = li.agg(sorted_vals(F.col("l_extendedprice")).alias("__v")).select(
+        *[
+            quantile_interp(F.col("__v"), i / HIST_BUCKETS).alias(f"__e{i}")
+            for i in range(1, HIST_BUCKETS)
+        ]
+    )
+    joined = li.select(F.col("l_extendedprice").alias("x")).crossJoin(
+        F.broadcast(edges)
+    )
+    bucket = sum(
+        [
+            F.when(F.col("x") > F.col(f"__e{i}"), 1).otherwise(0)
+            for i in range(1, HIST_BUCKETS)
+        ],
+        F.lit(0),
+    )
+    per_val = joined.groupBy(bucket.alias("bucket"), "x").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return per_val.groupBy("bucket").agg(
+        F.sum("__n").alias("n_rows"),
+        F.count("x").alias("n_distinct"),
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+    )
+
+
+def _sql_equidepth_oracle() -> str:
+    edges = ", ".join(
+        f"quantile_cont(l_extendedprice, {i / HIST_BUCKETS}) AS e{i}"
+        for i in range(1, HIST_BUCKETS)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN x > e{i} THEN 1 ELSE 0 END)"
+        for i in range(1, HIST_BUCKETS)
+    )
+    return f"""
+WITH __hedges AS (SELECT {edges} FROM lineitem),
+__hx AS (SELECT l_extendedprice AS x FROM lineitem)
+SELECT {bucket} AS bucket,
+       count(*) AS n_rows,
+       count(DISTINCT x) AS n_distinct,
+       min(x) AS lo,
+       max(x) AS hi
+FROM __hx, __hedges
+GROUP BY 1
+"""
+
+
+LINEITEM_EQUIDEPTH_ORACLE = _sql_equidepth_oracle()
+
+
 QUERIES = {
     "events_rolling_distinct_users": events_rolling_distinct_users,
     "events_mad_outliers": events_mad_outliers,
@@ -1010,6 +1086,7 @@ QUERIES = {
     "salted_hot_key_join": salted_hot_key_join,
     "orders_approx_distinct_sketch": orders_approx_distinct_sketch,
     "lineitem_quantile_sketch": lineitem_quantile_sketch,
+    "lineitem_equidepth_histogram": lineitem_equidepth_histogram,
     "events_sketch_rollup": events_sketch_rollup,
     "events_user_overlap_theta": events_user_overlap_theta,
     "events_sketch_cube": events_sketch_cube,
@@ -1026,6 +1103,7 @@ ORACLES = {
     "salted_hot_key_join": SALTED_HOT_KEY_JOIN_ORACLE,
     "orders_approx_distinct_sketch": ORDERS_APPROX_DISTINCT_ORACLE,
     "lineitem_quantile_sketch": LINEITEM_QUANTILE_SKETCH_ORACLE,
+    "lineitem_equidepth_histogram": LINEITEM_EQUIDEPTH_ORACLE,
     "events_sketch_rollup": EVENTS_SKETCH_ROLLUP_ORACLE,
     "events_user_overlap_theta": EVENTS_USER_OVERLAP_THETA_ORACLE,
     "events_sketch_cube": EVENTS_SKETCH_CUBE_ORACLE,

@@ -961,6 +961,84 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall (dimension-reduction quality report)
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = (8, 16, 32)  # evaluated prefix dims; DIM (=64) is the truth
+
+
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-truncation quality report (the Matryoshka-representation
+    question): for each truncated dimensionality, exact cosine top-k
+    over the PREFIX of every vector, scored as recall against the
+    full-dimension brute-force truth. The artifact for choosing how many
+    dimensions to keep before an index build — at 100 TB a 4x dim cut is
+    a 4x cut in index bytes, shuffle width, and scoring FLOPs, and this
+    report prices its recall cost. All scores are deterministic (shared
+    fold order, ties by neighbor id), so every value is oracle-gated."""
+    emb = _emb(spark, sf_dir)
+    truth = (
+        embedding_topk_bruteforce(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    n_truth = truth.count()
+    rows = []
+    for d in MRL_DIMS:
+        trunc = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        topk_d = brute_force_topk(
+            trunc, trunc.filter(F.col("vec_id") < N_QUERIES), TOP_K
+        )
+        hits = (
+            topk_d.select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"], "left_semi")
+            .count()
+        )
+        rows.append((d, hits, n_truth, float(hits) / float(n_truth)))
+    return spark.createDataFrame(
+        rows, "trunc_dim int, n_hits long, n_truth long, recall_at_k double"
+    )
+
+
+def _sql_matryoshka_oracle() -> str:
+    def topk_cte(name: str, vec: str) -> str:
+        return f"""{name} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY {_sql_dot("qvec", "cvec")}
+                        / ({_sql_norm("qvec")} * {_sql_norm("cvec")}) DESC,
+                      neighbor_id) AS rnk
+    FROM (SELECT vec_id AS neighbor_id, {vec} AS cvec FROM embeddings) c,
+         (SELECT vec_id AS query_id, {vec} AS qvec FROM embeddings
+          WHERE vec_id < {N_QUERIES}) q
+    WHERE query_id <> neighbor_id
+  ) WHERE rnk <= {TOP_K}
+)"""
+
+    ctes = [topk_cte("__mt_truth", "embedding")]
+    selects = []
+    for d in MRL_DIMS:
+        ctes.append(topk_cte(f"__mt_{d}", f"embedding[1:{d}]"))
+        selects.append(
+            f"""SELECT {d} AS trunc_dim,
+       (SELECT count(*) FROM __mt_{d} t
+        JOIN __mt_truth u USING (query_id, neighbor_id)) AS n_hits,
+       (SELECT count(*) FROM __mt_truth) AS n_truth,
+       CAST((SELECT count(*) FROM __mt_{d} t
+             JOIN __mt_truth u USING (query_id, neighbor_id)) AS DOUBLE)
+         / (SELECT count(*) FROM __mt_truth) AS recall_at_k"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+EMBEDDING_MATRYOSHKA_ORACLE = _sql_matryoshka_oracle()
+
+
 QUERIES = {
     "embedding_semantic_dedup": embedding_semantic_dedup,
     "embedding_topk_bruteforce": embedding_topk_bruteforce,
@@ -972,6 +1050,7 @@ QUERIES = {
     "embedding_ann_pq": embedding_ann_pq,
     "doc_hybrid_search_rrf": doc_hybrid_search_rrf,
     "ann_quality_report": ann_quality_report,
+    "embedding_matryoshka_recall": embedding_matryoshka_recall,
 }
 
 ORACLES = {
@@ -979,6 +1058,7 @@ ORACLES = {
     "embedding_semantic_dedup": _sql_semdedup_oracle(),
     "embedding_kmeans": _sql_kmeans_oracle(),
     "embedding_topk_bruteforce": EMBEDDING_TOPK_ORACLE,
+    "embedding_matryoshka_recall": EMBEDDING_MATRYOSHKA_ORACLE,
     "embedding_ann_lsh": _sql_ann_oracle(),
     "embedding_ann_ivf": _sql_ivf_oracle(),
     "embedding_cosine_neardup": _sql_neardup_oracle(),

@@ -1634,8 +1634,131 @@ SELECT TRUE AS zorder_skips_secondary,
 """
 
 
+# ---------------------------------------------------------------------------
+# Snapshot diff (table-version change audit)
+# ---------------------------------------------------------------------------
+
+
+def dim_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-over-version change audit of a dimension snapshot — the
+    lakehouse "what changed between v1 and v2" artifact. v2 is a
+    deterministic evolution of the customer dim derived from the input
+    (updates: +100.00 balance where custkey%7=0; deletes: custkey%11=3;
+    inserts: negated-key copies where custkey%13=5), and the diff is one
+    FULL OUTER join on the key classifying every key as added / removed
+    / changed / unchanged, with the exact change-set signature (which
+    columns differ, null-safe compares) for changed keys. Output: one
+    row per (status, changed_cols) signature with its key count — the
+    change histogram a publish gate inspects before promoting v2.
+
+    Scale shape: the diff is ONE co-shuffled full join at dimension
+    grain (bucket both snapshots by key at 100 TB and it is
+    exchange-free); the histogram is signature-count-sized."""
+    c = load_tables(spark, sf_dir, "customer")["customer"]
+    v1 = c.select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    surviving = v1.where(F.col("c_custkey") % 11 != 3)
+    updated = surviving.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + F.lit(100.0)
+        ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    inserts = v1.where(F.col("c_custkey") % 13 == 5).select(
+        (-F.col("c_custkey")).alias("c_custkey"),
+        F.concat(F.col("c_name"), F.lit(" (new)")).alias("c_name"),
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    v2 = updated.unionByName(inserts)
+
+    a = v1.select([F.col(col).alias(f"a_{col}") for col in v1.columns])
+    b = v2.select([F.col(col).alias(f"b_{col}") for col in v2.columns])
+    j = a.join(
+        b, a["a_c_custkey"] == b["b_c_custkey"], "full_outer"
+    )
+    attrs = ("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    diff_flags = [
+        (~F.col(f"a_{col}").eqNullSafe(F.col(f"b_{col}"))).alias(f"__d_{col}")
+        for col in attrs
+    ]
+    flagged = j.select(
+        F.col("a_c_custkey").alias("__ka"),
+        F.col("b_c_custkey").alias("__kb"),
+        *diff_flags,
+    )
+    any_diff = None
+    for col in attrs:
+        d = F.col(f"__d_{col}")
+        any_diff = d if any_diff is None else (any_diff | d)
+    status = (
+        F.when(F.col("__ka").isNull(), F.lit("added"))
+        .when(F.col("__kb").isNull(), F.lit("removed"))
+        .when(any_diff, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    changed_cols = F.when(
+        F.col("__ka").isNotNull() & F.col("__kb").isNotNull(),
+        F.concat_ws(
+            ",",
+            *[
+                F.when(F.col(f"__d_{col}"), F.lit(col))
+                for col in attrs
+            ],
+        ),
+    ).otherwise(F.lit(""))
+    return (
+        flagged.select(status.alias("status"), changed_cols.alias("changed_cols"))
+        .groupBy("status", "changed_cols")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
+_SNAP_ATTRS = ("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+_SNAP_DIFFS = " OR ".join(
+    f"(a.{col} IS DISTINCT FROM b.{col})" for col in _SNAP_ATTRS
+)
+_SNAP_CHANGED = ", ".join(
+    f"CASE WHEN a.{col} IS DISTINCT FROM b.{col} THEN '{col}' END"
+    for col in _SNAP_ATTRS
+)
+
+DIM_SNAPSHOT_DIFF_ORACLE = f"""
+WITH __v1 AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+),
+__v2 AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+              ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM __v1 WHERE c_custkey % 11 <> 3
+  UNION ALL
+  SELECT -c_custkey, c_name || ' (new)', c_nationkey, c_acctbal, c_mktsegment
+  FROM __v1 WHERE c_custkey % 13 = 5
+),
+__j AS (
+  SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+         CASE WHEN a.c_custkey IS NULL THEN 'added'
+              WHEN b.c_custkey IS NULL THEN 'removed'
+              WHEN {_SNAP_DIFFS} THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         CASE WHEN a.c_custkey IS NOT NULL AND b.c_custkey IS NOT NULL
+              THEN concat_ws(',', {_SNAP_CHANGED})
+              ELSE '' END AS changed_cols
+  FROM __v1 a FULL OUTER JOIN __v2 b ON a.c_custkey = b.c_custkey
+)
+SELECT status, changed_cols, count(*) AS n_keys
+FROM __j GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "warehouse_compaction_report": warehouse_compaction_report,
+    "dim_snapshot_diff": dim_snapshot_diff,
     "fact_late_arriving_dim": fact_late_arriving_dim,
     "federated_segment_revenue": federated_segment_revenue,
     "warehouse_key_erasure": warehouse_key_erasure,
@@ -1657,6 +1780,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dim_snapshot_diff": DIM_SNAPSHOT_DIFF_ORACLE,
     "warehouse_compaction_report": _sql_compaction_oracle(),
     "fact_late_arriving_dim": FACT_LATE_ARRIVING_DIM_ORACLE,
     "federated_segment_revenue": FEDERATED_SEGMENT_REVENUE_ORACLE,

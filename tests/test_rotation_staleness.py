@@ -25,9 +25,12 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 MAX_STALE_ROUNDS = 2
-# conservative vs the ~50 rows the driver has recorded per round: a query
-# this deep in the ordering still reliably gets a row
-BUDGET = 40
+# conservative vs the driver's recording budget: CORRECTNESS_r01-r05
+# each hold EXACTLY 50 rows (a deterministic count cap, not a time
+# budget), so position < 48 still reliably gets a row with a 2-row
+# safety margin. This bounds the sustainable query surface at
+# 2*50 recent + 48 front = ~148 declared queries.
+BUDGET = 48
 
 
 def _entry():

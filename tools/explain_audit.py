@@ -261,6 +261,23 @@ AUDITED = {
         "expect": ["HashAggregate", "Union"],
         "forbid_pattern": r"\bJoin\b|\bWindow\b|CartesianProduct",
     },
+    "events_ewma_anomaly": {
+        # one agg to bucket grain, ONE window spec shared by all 16 lag
+        # expressions; events never enter the window
+        "expect": ["HashAggregate", "Window"],
+        "forbid_pattern": r"CartesianProduct|BroadcastNestedLoopJoin",
+    },
+    "lineitem_equidepth_histogram": {
+        # edges = 1-row broadcast cross (intended BNLJ); bucket counting
+        # is dedup-then-aggregate — a mixed distinct agg would Expand
+        "expect": ["BroadcastNestedLoopJoin", "ObjectHashAggregate"],
+        "forbid_pattern": r"\bExpand\b|CartesianProduct",
+    },
+    "dim_snapshot_diff": {
+        # one co-shuffled full outer join at dimension grain
+        "expect": ["SortMergeJoin"],
+        "forbid_pattern": r"CartesianProduct|BroadcastNestedLoopJoin",
+    },
     "doc_substring_dedup_ingest": {
         # within-batch window pass + store equi-join on hv; islands at
         # doc grain; never a cross product, never a Python stage
