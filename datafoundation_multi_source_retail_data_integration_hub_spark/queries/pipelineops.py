@@ -486,7 +486,11 @@ __qt AS (
            AS lang_quota
   FROM __ap
 )
-SELECT d.doc_id, d.lang, d.sample_rank, q.lang_quota
+SELECT d.doc_id, d.lang, d.sample_rank,
+       -- lang_quota descends from sum(BIGINT) (HUGEINT in DuckDB);
+       -- pandas canonicalizes HUGEINT to float64, breaking the
+       -- raw-value hash vs Spark's int64 — pin the dtype here.
+       CAST(q.lang_quota AS BIGINT) AS lang_quota
 FROM (
   SELECT doc_id, lang,
          row_number() OVER (

@@ -42,6 +42,7 @@ from ..functions.parity import (
     sql_stable_sum_raw,
 )
 from ..operators.keys import with_global_row_number
+from ..operators.quantiles import exact_quantile_edges
 from ..operators.skew import salted_join
 from ..sources.tables import load_tables
 
@@ -1010,37 +1011,32 @@ HIST_BUCKETS = 8
 def lineitem_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style column statistics for ``l_extendedprice``: an
     equi-depth histogram with HIST_BUCKETS buckets — interior edges from
-    exact interpolated quantiles (one ``sorted_vals`` buffer; bit-equal
-    to DuckDB ``quantile_cont``, so the bucket-assignment comparisons
-    are engine-exact), then per-bucket row count, exact NDV, and the
+    exact interpolated quantiles (order statistics via
+    ``operators.quantiles.exact_quantile_edges``; bit-equal to DuckDB
+    ``quantile_cont``, so the bucket-assignment comparisons are
+    engine-exact), then per-bucket row count, exact NDV, and the
     observed [lo, hi] envelope. This is the stats artifact a cost-based
     optimizer consumes for selectivity estimates.
 
-    Plan shape: the 7-edge frame is a broadcast single-row crossJoin
-    (constant-size); bucket counting is dedup-then-aggregate on
-    (bucket, value) — NOT a mixed distinct+plain aggregation, which
-    would Expand every row (the OOM shape measured in the sketch
-    family). At 100 TB the exact-NDV column swaps for
-    ``approx_count_distinct`` and the edges for KLL — the exact twins
-    here are the oracle gate, same contract as the sketch queries."""
+    Plan shape: the 7 edges land as broadcast LITERALS (<=14 rank rows
+    leave the executors — the old ``sorted_vals`` form reduced the whole
+    column into one array buffer, the 5.6x bench gap in r07); bucket
+    counting is dedup-then-aggregate on (bucket, value) — NOT a mixed
+    distinct+plain aggregation, which would Expand every row (the OOM
+    shape measured in the sketch family). At 100 TB the exact-NDV column
+    swaps for ``approx_count_distinct`` and the edges for KLL — the
+    exact twins here are the oracle gate, same contract as the sketch
+    queries."""
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
-    edges = li.agg(sorted_vals(F.col("l_extendedprice")).alias("__v")).select(
-        *[
-            quantile_interp(F.col("__v"), i / HIST_BUCKETS).alias(f"__e{i}")
-            for i in range(1, HIST_BUCKETS)
-        ]
+    edges = exact_quantile_edges(
+        li, "l_extendedprice", [i / HIST_BUCKETS for i in range(1, HIST_BUCKETS)]
     )
-    joined = li.select(F.col("l_extendedprice").alias("x")).crossJoin(
-        F.broadcast(edges)
-    )
+    x = li.select(F.col("l_extendedprice").alias("x"))
     bucket = sum(
-        [
-            F.when(F.col("x") > F.col(f"__e{i}"), 1).otherwise(0)
-            for i in range(1, HIST_BUCKETS)
-        ],
+        [F.when(F.col("x") > F.lit(e), 1).otherwise(0) for e in edges],
         F.lit(0),
     )
-    per_val = joined.groupBy(bucket.alias("bucket"), "x").agg(
+    per_val = x.groupBy(bucket.alias("bucket"), "x").agg(
         F.count(F.lit(1)).alias("__n")
     )
     return per_val.groupBy("bucket").agg(

@@ -8,15 +8,11 @@ only affordable shape (never row-by-row assertion)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.parity import (
-    fixed_sum,
-    quantile_interp,
-    sorted_vals,
-    sql_stable_sum,
-)
+from ..functions.parity import fixed_sum, sql_stable_sum
+from ..operators.quantiles import exact_quantile_edges
 from ..sources.tables import load_tables
 
 
@@ -111,19 +107,23 @@ GROUP BY 1
 
 def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (sort-based, order-independent — the
-    same doubles fall out of any engine, no rounding needed). All three
-    ranks, min, and max come from ONE sorted-array buffer
-    (``parity.sorted_vals``; measured ~4.5x faster than Spark's
-    ImperativeAggregate ``percentile`` — see functions/parity.py)."""
+    same doubles fall out of any engine, no rounding needed). All five
+    statistics come from ONE order-statistics pass
+    (``operators.quantiles.exact_quantile_edges``; p=0.0/1.0 are the
+    min/max ranks) — the earlier ``sorted_vals`` form reduced the whole
+    column into a single-task array buffer, which this replaces with a
+    count + rank-filter plan that stays distributed at any size."""
     orders = load_tables(spark, sf_dir, "orders")["orders"]
-    agg = orders.agg(sorted_vals(F.col("o_totalprice")).alias("__v"))
-    v = F.col("__v")
-    return agg.select(
-        quantile_interp(v, 0.5).alias("p50"),
-        quantile_interp(v, 0.9).alias("p90"),
-        quantile_interp(v, 0.99).alias("p99"),
-        F.element_at(v, 1).alias("min_price"),
-        F.element_at(v, F.size(v)).alias("max_price"),
+    stats = exact_quantile_edges(
+        orders, "o_totalprice", [0.5, 0.9, 0.99, 0.0, 1.0]
+    )
+    cols = ["p50", "p90", "p99", "min_price", "max_price"]
+    if not stats:
+        return spark.range(1).select(
+            *[F.lit(None).cast("double").alias(c) for c in cols]
+        )
+    return spark.range(1).select(
+        *[F.lit(x).alias(c) for x, c in zip(stats, cols)]
     )
 
 
@@ -234,22 +234,21 @@ def orders_price_drift_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable and shares PSI's zero-at-identical, grows-with-shift
     shape).
 
-    Scale shape: edges come from the reference batch's quantiles (exact
-    twin here under the ``SORTED_VALS_MAX`` oracle-scaffolding contract;
-    KLL edges at 100 TB), then ONE pass histogramming both batches —
-    bucket assignment is a 9-comparison array fold against broadcast
-    edge literals, and the counts partial-aggregate map-side."""
+    Scale shape: edges are exact order statistics
+    (``operators.quantiles.exact_quantile_edges`` — <=18 rows leave the
+    executors; distributed numbering above the bench threshold), then
+    ONE pass histogramming both batches — bucket
+    assignment is a 9-comparison fold against broadcast edge literals,
+    the counts partial-aggregate map-side, and the grand totals come
+    from an unbounded window over the 10-row bucket aggregate (the old
+    ``crossJoin(totals)`` recomputed the histogram scan twice)."""
     orders = load_tables(spark, sf_dir, "orders")["orders"]
     ref = orders.where(F.col("o_orderkey") % 2 == 0)
-    arr = ref.agg(sorted_vals(F.col("o_totalprice")).alias("__v"))
-    edges = [
-        float(x)
-        for x in arr.select(
-            *[quantile_interp(F.col("__v"), p).alias(f"e{i}") for i, p in enumerate(DRIFT_DECILES)]
-        ).collect()[0]
-    ]
-    bucket = sum(
-        (F.col("o_totalprice") >= F.lit(e)).cast("int") for e in edges
+    edges = exact_quantile_edges(ref, "o_totalprice", DRIFT_DECILES)
+    bucket = (
+        sum((F.col("o_totalprice") >= F.lit(e)).cast("int") for e in edges)
+        if edges
+        else F.lit(0)
     ).alias("bucket")
     hist = (
         orders.select(
@@ -261,12 +260,15 @@ def orders_price_drift_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("n_cur"),
         )
     )
-    totals = hist.agg(
-        F.sum("n_ref").alias("__r"), F.sum("n_cur").alias("__c")
+    # grand totals over the <=10-row bucket aggregate: an unbounded
+    # window on the aggregate output (single tiny partition) instead of
+    # a separate agg + crossJoin, which re-ran the orders scan twice
+    tot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    p = F.col("n_ref").cast("double") / F.col("__r").cast("double")
-    q = F.col("n_cur").cast("double") / F.col("__c").cast("double")
-    return hist.crossJoin(F.broadcast(totals)).select(
+    p = F.col("n_ref").cast("double") / F.sum("n_ref").over(tot).cast("double")
+    q = F.col("n_cur").cast("double") / F.sum("n_cur").over(tot).cast("double")
+    return hist.select(
         "bucket",
         "n_ref",
         "n_cur",

@@ -422,7 +422,10 @@ top AS (
 )
 SELECT CASE WHEN node % 2 = 0 THEN 'c:' || (node // 2)
             ELSE 's:' || ((node - 1) // 2) END AS node,
-       ru AS rank_units,
+       -- ru descends from sum(BIGINT) (HUGEINT in DuckDB); pandas
+       -- canonicalizes HUGEINT to float64, breaking the raw-value hash
+       -- vs Spark's int64 — pin the client dtype at the projection.
+       CAST(ru AS BIGINT) AS rank_units,
        pos
 FROM top
 """

@@ -81,15 +81,69 @@ def _norm_rows(rows, colnames):
     return sorted(out, key=repr)
 
 
+def _int_to_float_cols(rows, n_cols, int_cols) -> set[int]:
+    """Column indices pandas would canonicalize int -> float64: integer
+    dtype with at least one NULL (classic pandas has no nullable int)."""
+    out = set()
+    for i in int_cols:
+        if i in out:
+            continue
+        for r in rows:
+            if r[i] is None:
+                out.add(i)
+                break
+    return out
+
+
+def _coerce_float64(rows, float_cols):
+    if not float_cols:
+        return [tuple(r) for r in rows]
+    return [
+        tuple(
+            float(v)
+            if i in float_cols and isinstance(v, int) and not isinstance(v, bool)
+            else v
+            for i, v in enumerate(r)
+        )
+        for r in rows
+    ]
+
+
 def compare(spark, sf_dir: str, spark_fn, sql: str, name: str = "?") -> None:
     sdf = spark_fn(spark, sf_dir)
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = sdf.columns
+    # Mirror the driver's pandas canonicalization on the SPARK side: an
+    # integral column holding any NULL becomes float64 under toPandas
+    # (classic pandas has no nullable int64), so its hashed values are
+    # floats at the driver even though collect() hands back Python ints.
+    spark_int_cols = {
+        i
+        for i, f in enumerate(sdf.schema.fields)
+        if f.dataType.typeName() in ("byte", "short", "integer", "long")
+    }
+    spark_rows = _coerce_float64(
+        spark_rows, _int_to_float_cols(spark_rows, len(spark_cols), spark_int_cols)
+    )
 
     con = duckdb_conn(sf_dir)
+    # Same canonicalization on the ORACLE side, via DuckDB's own pandas
+    # conversion: HUGEINT (the result type of sum(BIGINT)) and nullable
+    # integers land as float64 under ``.df()``, so their raw-value hash
+    # diverges from Spark's int64 even though ``fetchall()`` hands back
+    # equal Python ints. Probe the pandas dtypes once, then coerce
+    # integer cells in float64-canonicalized columns to float — an
+    # uncast sum() oracle now fails locally exactly the way it fails at
+    # the driver (r07: purchase_graph_pagerank,
+    # doc_language_balanced_sample).
+    float64_cols = {
+        i
+        for i, c in enumerate(con.execute(sql).df().dtypes)
+        if str(c) == "float64"
+    }
     res = con.execute(sql)
     oracle_cols = [d[0] for d in res.description]
-    oracle_rows = res.fetchall()
+    oracle_rows = _coerce_float64(res.fetchall(), float64_cols)
 
     assert sorted(spark_cols) == sorted(oracle_cols), (
         f"{name}: column mismatch spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}"
