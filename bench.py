@@ -165,7 +165,7 @@ def main() -> None:
         "mart_sales_performance",
         "dashboard_extract",
         "events_rolling_anomaly",
-    "events_ewma_anomaly",
+        "events_ewma_anomaly",
         "salted_hot_key_join",
         "scd2_customer_two_batch",
         "stream_tumbling_counts",

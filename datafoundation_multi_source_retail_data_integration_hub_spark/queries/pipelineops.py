@@ -76,10 +76,13 @@ DOC_SUBSTRING_DUP_SPANS_ORACLE = SP.sql_substring_dup_report(SUBSTR_W)
 # Unicode normalization cleaning
 # ---------------------------------------------------------------------------
 
-# Combining-mark probe appended to every row: the corpus is ASCII, where
-# NFC is the identity — the suffix (two decomposed accents, U+0301) makes
-# the normalization path *observable*, so the oracle hash actually pins
-# Python-unicodedata NFC == DuckDB (utf8proc) NFC on composed output.
+# Combining-mark probe: the corpus is ASCII, where NFC is the identity —
+# the suffix (two decomposed accents, U+0301) makes the normalization
+# path *observable*, so the oracle hash actually pins Python-unicodedata
+# NFC == DuckDB (utf8proc) NFC on composed output. The probe feeds ONLY
+# the ``nfc_delta`` gate column: ``clean_text`` is the real artifact,
+# cleaned from the document's own text, consumable downstream (the r07
+# form appended the probe to the emitted text itself).
 _NFC_PROBE = " cafe\u0301 deja\u0301"  # decomposed: e + COMBINING ACUTE
 _CTRL_CLASS = r"[\x00-\x1F\x7F]"
 
@@ -98,11 +101,16 @@ def _nfc_normalize(s: pd.Series) -> pd.Series:
 
 def doc_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    raw = F.concat(F.col("text"), F.lit(_NFC_PROBE))
+    probed = F.concat(F.col("text"), F.lit(_NFC_PROBE))
     staged = docs.select(
         "doc_id",
-        F.length(raw).alias("n_raw_chars"),
-        _nfc_normalize(raw).alias("__nfc"),
+        F.length("text").alias("n_raw_chars"),
+        _nfc_normalize(F.col("text")).alias("__nfc"),
+        # gate-only column: NFC applied to text+probe so composition is
+        # observable per row without polluting the emitted clean_text
+        (F.length(probed) - F.length(_nfc_normalize(probed))).alias(
+            "nfc_delta"
+        ),
     )
     clean = F.trim(
         F.regexp_replace(
@@ -114,15 +122,19 @@ def doc_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_raw_chars",
         clean.alias("clean_text"),
         F.length(clean).alias("n_clean_chars"),
-        (F.col("n_raw_chars") - F.length(F.col("__nfc"))).alias("nfc_delta"),
+        "nfc_delta",
     )
 
 
 DOC_UNICODE_CLEAN_ORACLE = f"""
 WITH __u AS MATERIALIZED (
   SELECT doc_id,
-         length(text || ' cafe' || chr(769) || ' deja' || chr(769)) AS n_raw_chars,
-         nfc_normalize(text || ' cafe' || chr(769) || ' deja' || chr(769)) AS nfc
+         length(text) AS n_raw_chars,
+         nfc_normalize(text) AS nfc,
+         length(text || ' cafe' || chr(769) || ' deja' || chr(769))
+           - length(nfc_normalize(
+               text || ' cafe' || chr(769) || ' deja' || chr(769)))
+           AS nfc_delta
   FROM documents
 )
 SELECT doc_id,
@@ -131,7 +143,7 @@ SELECT doc_id,
                            '\\s+', ' ', 'g')) AS clean_text,
        length(trim(regexp_replace(regexp_replace(nfc, '{_CTRL_CLASS}', ' ', 'g'),
                                   '\\s+', ' ', 'g'))) AS n_clean_chars,
-       n_raw_chars - length(nfc) AS nfc_delta
+       nfc_delta
 FROM __u
 """
 
@@ -545,15 +557,14 @@ def scan_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "est_bytes",
                 F.greatest(
                     F.lit(1).cast("long"),
-                    (
-                        (
-                            F.col("est_bytes")
-                            + F.lit(SCAN_TARGET_BYTES - 1)
-                            - (F.col("est_bytes") + F.lit(SCAN_TARGET_BYTES - 1))
-                            % F.lit(SCAN_TARGET_BYTES)
-                        )
-                        / F.lit(SCAN_TARGET_BYTES)
-                    ).cast("long"),
+                    # ceiling via long `div` — true integer division, so
+                    # the arithmetic matches DuckDB's `//` at ANY
+                    # magnitude (a double-division form is only exact
+                    # while the numerator stays under 2^53 ~ 9 PB)
+                    F.expr(
+                        f"(est_bytes + {SCAN_TARGET_BYTES - 1})"
+                        f" div {SCAN_TARGET_BYTES}"
+                    ),
                 ).alias("recommended_partitions"),
             )
         )

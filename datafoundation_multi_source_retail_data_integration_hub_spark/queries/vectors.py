@@ -7,7 +7,9 @@ in both engines (verified bit-exact; note DuckDB's builtin
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (
@@ -17,6 +19,8 @@ from ..operators.similarity import (
     ivf_ann_topk,
     lsh_ann_topk,
     planes_for_corpus,
+    sql_dot,
+    sql_norm,
 )
 from ..sources.tables import load_tables
 
@@ -977,30 +981,97 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 4x cut in index bytes, shuffle width, and scoring FLOPs, and this
     report prices its recall cost. All scores are deterministic (shared
     fold order, ties by neighbor id), so every value is oracle-gated."""
+    # ONE fused plan instead of 4 sequential brute-force jobs (truth +
+    # one per prefix dim — the r07 form, 2.5x weak): a single pair scan
+    # scores every prefix cosine at once (prefix dot folds are
+    # left-to-right, so a sliced fold is bit-identical to the per-pass
+    # sliced-corpus fold), one (query, partition)-local prune keeps any
+    # row that is a local top-k candidate for ANY dim (exact: a row that
+    # outranks a global top-k row of dim d is itself in dim d's global
+    # top-k, hence a dim-d local survivor), and one per-query window
+    # pass ranks all dims together. The report falls out of a single
+    # aggregation — no driver loop, no checkpoint, no repeated scans.
     emb = _emb(spark, sf_dir)
-    truth = (
-        embedding_topk_bruteforce(spark, sf_dir)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
+    dims = [*MRL_DIMS, None]  # None = full-dimension truth
+    tag = lambda d: str(d) if d is not None else "t"
+    vec = lambda side, d: (
+        f"slice({side}, 1, {d})" if d is not None else side
     )
-    n_truth = truth.count()
-    rows = []
-    for d in MRL_DIMS:
-        trunc = emb.select(
-            "vec_id", F.slice("embedding", 1, d).alias("embedding")
-        )
-        topk_d = brute_force_topk(
-            trunc, trunc.filter(F.col("vec_id") < N_QUERIES), TOP_K
-        )
-        hits = (
-            topk_d.select("query_id", "neighbor_id")
-            .join(truth, ["query_id", "neighbor_id"], "left_semi")
-            .count()
-        )
-        rows.append((d, hits, n_truth, float(hits) / float(n_truth)))
-    return spark.createDataFrame(
-        rows, "trunc_dim int, n_hits long, n_truth long, recall_at_k double"
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        *[
+            F.expr(sql_norm(vec("embedding", d))).alias(f"__qn{tag(d)}")
+            for d in dims
+        ],
     )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        *[
+            F.expr(sql_norm(vec("embedding", d))).alias(f"__cn{tag(d)}")
+            for d in dims
+        ],
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        *[
+            F.expr(
+                f"{sql_dot(vec('qvec', d), vec('cvec', d))}"
+                f" / (`__qn{tag(d)}` * `__cn{tag(d)}`)"
+            ).alias(f"__cos{tag(d)}")
+            for d in dims
+        ],
+    )
+    order = lambda d: (F.col(f"__cos{tag(d)}").desc(), F.col("neighbor_id"))
+    local = scored.withColumn("__pid", F.spark_partition_id())
+    for d in dims:
+        local = local.withColumn(
+            f"__l{tag(d)}",
+            F.row_number().over(
+                Window.partitionBy("query_id", "__pid").orderBy(*order(d))
+            ),
+        )
+    survivors = local.filter(
+        reduce(
+            lambda a, b: a | b,
+            [F.col(f"__l{tag(d)}") <= TOP_K for d in dims],
+        )
+    )
+    ranked = survivors
+    for d in dims:
+        ranked = ranked.withColumn(
+            f"__r{tag(d)}",
+            F.row_number().over(Window.partitionBy("query_id").orderBy(*order(d))),
+        )
+    in_truth = F.col("__rt") <= TOP_K
+    agg = ranked.agg(
+        *[
+            F.sum(
+                F.when((F.col(f"__r{d}") <= TOP_K) & in_truth, 1).otherwise(0)
+            ).alias(f"__h{d}")
+            for d in MRL_DIMS
+        ],
+        F.sum(F.when(in_truth, 1).otherwise(0)).alias("__nt"),
+    )
+    per_dim = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("trunc_dim"),
+                F.col(f"__h{d}").alias("n_hits"),
+                F.col("__nt").alias("n_truth"),
+                (
+                    F.col(f"__h{d}").cast("double")
+                    / F.col("__nt").cast("double")
+                ).alias("recall_at_k"),
+            )
+            for d in MRL_DIMS
+        ]
+    )
+    return agg.select(F.explode(per_dim).alias("__s")).select("__s.*")
 
 
 def _sql_matryoshka_oracle() -> str:

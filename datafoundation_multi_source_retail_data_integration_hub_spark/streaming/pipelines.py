@@ -832,6 +832,17 @@ def stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stores: list[str] = []
 
     def handler(batch: DataFrame, batch_id: int) -> None:
+        # the oracle parity proof assumes each availableNow run folds
+        # into EXACTLY one micro-batch (stores[-1] and the within-batch
+        # keep-first both depend on it); a session conf like
+        # maxFilesPerTrigger, or a source that splits batches, would
+        # silently diverge — fail loudly instead
+        if batch_id != len(stores):
+            raise AssertionError(
+                f"stream_substring_dedup: expected micro-batch "
+                f"{len(stores)}, got {batch_id} — the one-batch-per-run "
+                "assumption of the two-batch oracle no longer holds"
+            )
         s = batch.sparkSession
         if stores:
             store_hv = s.read.parquet(stores[-1])
