@@ -50,6 +50,43 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 
 
+def window_hash_positions(
+    df: DataFrame, text_col: str, id_col: str, w: int
+) -> DataFrame:
+    """(id, n_toks, i, hv) — one row per W-token window of every document;
+    ``i`` is 1-based, ``hv`` the 60-bit window hash (``TX.md5_long`` of the
+    space-joined gram, identical to the DuckDB twins' expression).
+
+    The window index is EXPLODED FIRST and the gram + hash are top-level
+    projections: a ``transform``-lambda body evaluates OUTSIDE whole-stage
+    codegen (interpreted expression eval per element), measured 2.5x
+    slower at sf0.1 (0.54 s vs 0.21 s for the corpus's 236k windows) than
+    this generate-then-project form, where concat/md5/conv all stay inside
+    one codegen stage. The exploded rows carry the token array only within
+    the stage (pruned before any exchange), so nothing wider than
+    (id, n_toks, i, hv) ever shuffles."""
+    toks = df.select(
+        F.col(id_col).alias(id_col),
+        # stage the token array once; a multi-referenced split alias is
+        # NOT inlined by CollapseProject (functions/text.py note)
+        TX.ws_tokens(TX.normalized_text(F.col(text_col))).alias("__tl"),
+    )
+    idx = TX._index_range(F.size("__tl") - (w - 1))
+    return toks.select(
+        id_col,
+        F.size("__tl").alias("n_toks"),
+        "__tl",
+        F.explode(idx).alias("i"),  # 1-based, matches the SQL twin
+    ).select(
+        id_col,
+        "n_toks",
+        "i",
+        TX.md5_long(F.concat_ws(" ", F.slice(F.col("__tl"), F.col("i"), w))).alias(
+            "hv"
+        ),
+    )
+
+
 def duplicated_window_positions(
     df: DataFrame, text_col: str, id_col: str, w: int
 ) -> DataFrame:
@@ -60,24 +97,7 @@ def duplicated_window_positions(
     shuffle carries both the count and the positions (a groupBy+semi-join
     formulation would shuffle the postings twice).
     """
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        # stage the token array: the positional-hash lambda re-evaluates
-        # its input per element (see functions/text.py performance note)
-        TX.ws_tokens(TX.normalized_text(F.col(text_col))).alias("__tl"),
-    )
-    pos = toks.select(
-        "__id",
-        F.size("__tl").alias("n_toks"),
-        F.posexplode(TX.positional_hashes_from_tokens(F.col("__tl"), w)).alias(
-            "__p0", "hv"
-        ),
-    ).select(
-        F.col("__id").alias(id_col),
-        "n_toks",
-        (F.col("__p0") + 1).alias("i"),  # 1-based, matches the SQL twin
-        "hv",
-    )
+    pos = window_hash_positions(df, text_col, id_col, w)
     cnt = F.count(F.lit(1)).over(Window.partitionBy("hv"))
     return pos.withColumn("__cnt", cnt).where(F.col("__cnt") > 1).drop("__cnt")
 
@@ -144,13 +164,7 @@ def trim_duplicated_spans(
         F.col(id_col).alias(id_col),
         TX.ws_tokens(TX.normalized_text(F.col(text_col))).alias("__tl"),
     )
-    pos = toks.select(
-        id_col,
-        F.lit(0).alias("n_toks"),  # unused by the trim; merge_spans wants it
-        F.posexplode(TX.positional_hashes_from_tokens(F.col("__tl"), w)).alias(
-            "__p0", "hv"
-        ),
-    ).select(id_col, "n_toks", (F.col("__p0") + 1).alias("i"), "hv")
+    pos = window_hash_positions(df, text_col, id_col, w)
     whash = Window.partitionBy("hv")
     marked = pos.withColumn(
         "__cnt", F.count(F.lit(1)).over(whash)
@@ -193,21 +207,26 @@ def trim_duplicated_spans(
     )
 
 
+def _window_hashes_raw(df: DataFrame, text_col: str, w: int) -> DataFrame:
+    """All W-token window hashes of a corpus, WITH multiplicity — the
+    pre-distinct form of :func:`window_hash_store`. One column: ``hv``."""
+    toks = df.select(
+        TX.ws_tokens(TX.normalized_text(F.col(text_col))).alias("__tl")
+    )
+    idx = TX._index_range(F.size("__tl") - (w - 1))
+    # explode-first + top-level hash: see window_hash_positions
+    return toks.select("__tl", F.explode(idx).alias("__i")).select(
+        TX.md5_long(
+            F.concat_ws(" ", F.slice(F.col("__tl"), F.col("__i"), w))
+        ).alias("hv")
+    )
+
+
 def window_hash_store(df: DataFrame, text_col: str, w: int) -> DataFrame:
     """DISTINCT W-token window hashes of a corpus — 8 bytes per window,
     the artifact a pipeline PERSISTS between ingests (the substring-grade
     analogue of the 16-byte doc fingerprint store). One column: ``hv``."""
-    return (
-        df.select(
-            TX.ws_tokens(TX.normalized_text(F.col(text_col))).alias("__tl")
-        )
-        .select(
-            F.explode(
-                TX.positional_hashes_from_tokens(F.col("__tl"), w)
-            ).alias("hv")
-        )
-        .distinct()
-    )
+    return _window_hashes_raw(df, text_col, w).distinct()
 
 
 def incremental_substring_report(
@@ -218,10 +237,19 @@ def incremental_substring_report(
     w: int,
 ) -> DataFrame:
     """Ingest-time substring dedup against an established corpus given as
-    DOCUMENTS (builds the hash store inline); see
-    :func:`report_against_store` for the store-based form and semantics."""
+    DOCUMENTS; see :func:`report_against_store` for the store-based form
+    and semantics.
+
+    The inline store build deliberately SKIPS the distinct: the fused
+    probe is multiplicity-insensitive (store rows contribute only through
+    ``max(__src)`` over the hv partition; the within-batch count/rank are
+    batch-conditional), so deduplicating first would pay a full extra
+    exchange + hash aggregate of the store's windows for identical
+    results. Only a pipeline that PERSISTS the store between ingests
+    should pay the distinct (:func:`window_hash_store`) — once, at write
+    time, for the 8-bytes-per-distinct-window artifact."""
     return report_against_store(
-        new_batch, window_hash_store(store_docs, text_col, w),
+        new_batch, _window_hashes_raw(store_docs, text_col, w),
         text_col, id_col, w,
     )
 
@@ -259,22 +287,8 @@ def report_against_store(
       shuffle's partitioning) instead of a second consumer + join.
     Both passes are ingest-sized plus the store's 8-byte rows — the
     established corpus contributes only its hash store."""
-    toks = new_batch.select(
-        F.col(id_col).alias(id_col),
-        TX.ws_tokens(TX.normalized_text(F.col(text_col))).alias("__tl"),
-    )
-    pos = toks.select(
-        id_col,
-        F.size("__tl").alias("n_toks"),
-        F.posexplode(TX.positional_hashes_from_tokens(F.col("__tl"), w)).alias(
-            "__p0", "hv"
-        ),
-    ).select(
-        id_col,
-        "n_toks",
-        (F.col("__p0") + 1).alias("i"),
-        "hv",
-        F.lit(0).alias("__src"),
+    pos = window_hash_positions(new_batch, text_col, id_col, w).withColumn(
+        "__src", F.lit(0)
     )
     id_type, n_type, i_type = [f.dataType for f in pos.schema.fields[:3]]
     store_rows = store_hv.select(
