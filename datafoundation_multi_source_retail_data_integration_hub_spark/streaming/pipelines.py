@@ -126,16 +126,21 @@ def dedup_within_watermark(stream: DataFrame) -> DataFrame:
 # Driver-facing queries (batch-equivalent semantics -> oracle-checkable)
 # ---------------------------------------------------------------------------
 
-# Stateful streaming runs one state-store instance PER shuffle partition,
-# and every micro-batch pays task-launch + store-commit per instance —
-# so the partition count must be sized to the stream's STATE volume, not
-# inherited from the batch shuffle default (32 here). The local replays
-# hold ~100k events / ~1.5k users of state: 8 instances is plenty, and
-# measured 2-3x faster end-to-end than 32 (store commits dominate at
-# this volume). On a production firehose this constant scales up with
-# state size; it is a conf, not a plan property — checkpoints pin it per
-# query, and every query here starts from a fresh checkpoint.
-STREAM_SHUFFLE_PARTITIONS = 8
+# Stateful streaming runs one state-store instance PER shuffle partition
+# (a stream-stream join runs FOUR: two per side), and every micro-batch
+# pays task-launch + store-commit per instance — so the partition count
+# must be sized to the stream's STATE volume, not inherited from the
+# batch shuffle default (32 here). The local replays hold ~100k events /
+# ~1.5k users of state; store commits dominate end-to-end time, measured
+# near-linear in the instance count at sf0.1 (interval join: 2.5 s at 4
+# partitions, 4.4 s at 8, 8.2 s at 32; the replay family shows the same
+# slope — audit replay 2.5 s vs 4.8 s, substring dedup 5.4 s vs 9.8 s at
+# 4 vs 8). RocksDB provider measured no better at this volume (4.8 s vs
+# 4.4 s, HDFS-backed, interval join at 8). On a production firehose this
+# constant scales up with state size; it is a conf, not a plan property —
+# checkpoints pin it per query, and every query here starts from a fresh
+# checkpoint.
+STREAM_SHUFFLE_PARTITIONS = 4
 
 
 def _stream_scoped(fn):
