@@ -24,8 +24,50 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 MAX_ITERATIONS = 50
+
+# Edge-count gate for the driver union-find fast path. A near-dup edge
+# set is usually FAR smaller than the corpus (only duplicated documents
+# carry edges), and below this bound the distributed fixpoint is pure
+# scheduling constant: each round is ~5 driver-scheduled jobs (two hash
+# joins, a groupBy, a checkpoint, a convergence count), so a 4-round run
+# on a 50-edge graph costs ~20 job launches to label 60 nodes. Collected
+# edges are two longs each — 1M edges is ~16 MB of driver memory, the
+# same bound discipline as ``keys.SMALL_DIM_THRESHOLD`` (whose estimator
+# deliberately overestimates so borderline inputs stay distributed).
+DRIVER_UNION_FIND_MAX_EDGES = 1_000_000
+
+
+def _driver_union_find(rows) -> tuple:
+    """Path-compressed union-find over collected (a, b) edge rows;
+    returns (nodes, labels) lists where labels[i] is the MIN node id of
+    nodes[i]'s component — the same labeling the distributed fixpoint
+    converges to."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN root so the representative invariant holds
+            # incrementally (min-id root absorbs the other)
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+    nodes = sorted(parent)
+    return nodes, [find(n) for n in nodes]
 
 
 def connected_components(
@@ -33,14 +75,49 @@ def connected_components(
     src: str = "id1",
     dst: str = "id2",
     checkpoint_dir: str | None = None,
+    driver_max_edges: int = DRIVER_UNION_FIND_MAX_EDGES,
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; the component label
     is the minimum node id in the component.
 
-    ``checkpoint_dir``: when set, rounds checkpoint RELIABLY to that
-    directory (``sparkContext.setCheckpointDir`` + ``DataFrame.checkpoint``)
-    instead of to executor-local storage.
+    Two execution paths, chosen by edge count (same exact result):
+
+    - ``<= driver_max_edges``: collect the edge list and run a
+      path-compressed union-find on the driver — one job total. The
+      probe is a ``limit(max + 1).collect()``: when the limit returns
+      everything, those rows ARE the edge set (no second evaluation of
+      an expensive upstream candidate query); when it overflows, fall
+      through without materializing more than the bound.
+    - larger: the distributed min-label-propagation fixpoint below —
+      correct at any scale, O(log diameter) rounds.
+
+    Pass ``driver_max_edges=0`` to force the distributed path (tests do,
+    to pin both paths to the same labeling).
+
+    ``checkpoint_dir``: when set, fixpoint rounds checkpoint RELIABLY to
+    that directory (``sparkContext.setCheckpointDir`` +
+    ``DataFrame.checkpoint``) instead of to executor-local storage.
     """
+    node_field = pairs.schema[src]
+    if driver_max_edges > 0:
+        probe = (
+            pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .limit(driver_max_edges + 1)
+            .collect()
+        )
+        if len(probe) <= driver_max_edges:
+            nodes, labels = _driver_union_find(
+                [(r["a"], r["b"]) for r in probe]
+            )
+            return pairs.sparkSession.createDataFrame(
+                list(zip(nodes, labels)),
+                T.StructType(
+                    [
+                        T.StructField("node", node_field.dataType, True),
+                        T.StructField("cluster_rep", node_field.dataType, True),
+                    ]
+                ),
+            )
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 

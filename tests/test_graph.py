@@ -29,7 +29,9 @@ def test_long_chain_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "id1 long, id2 long"
     )
-    out = connected_components(pairs).collect()
+    # driver_max_edges=0 forces the distributed fixpoint — the iteration
+    # machinery is the subject here, not the union-find fast path
+    out = connected_components(pairs, driver_max_edges=0).collect()
     assert all(r["cluster_rep"] == 0 for r in out)
     assert len(out) == n + 1
 
@@ -45,8 +47,47 @@ def test_reliable_checkpoint_dir(spark, tmp_path):
     )
     got = {
         (r["node"], r["cluster_rep"])
-        for r in connected_components(pairs, checkpoint_dir=ckpt).collect()
+        for r in connected_components(
+            pairs, checkpoint_dir=ckpt, driver_max_edges=0
+        ).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
     walked = [f for _, _, fs in os.walk(ckpt) for f in fs]
     assert walked, "no checkpoint files written to the reliable dir"
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    """The union-find fast path and the min-label fixpoint produce the
+    identical (node, cluster_rep) labeling on a random multi-component
+    graph — including when the probe limit sits exactly at the edge
+    count (limit returns everything -> driver path) and one below it
+    (overflow -> distributed path)."""
+    import random
+
+    rng = random.Random(8)
+    edges = list(
+        {
+            (rng.randrange(60), rng.randrange(60))
+            for _ in range(70)
+        }
+    )
+    pairs = spark.createDataFrame(edges, "id1 long, id2 long")
+    via_driver = {
+        (r["node"], r["cluster_rep"])
+        for r in connected_components(
+            pairs, driver_max_edges=len(edges)
+        ).collect()
+    }
+    via_fixpoint = {
+        (r["node"], r["cluster_rep"])
+        for r in connected_components(pairs, driver_max_edges=0).collect()
+    }
+    assert via_driver == via_fixpoint
+    # one under the edge count: probe overflows, distributed path runs
+    via_overflow = {
+        (r["node"], r["cluster_rep"])
+        for r in connected_components(
+            pairs, driver_max_edges=len(edges) - 1
+        ).collect()
+    }
+    assert via_overflow == via_fixpoint

@@ -268,10 +268,18 @@ AUDITED = {
         "forbid_pattern": r"CartesianProduct|BroadcastNestedLoopJoin",
     },
     "lineitem_equidepth_histogram": {
-        # edges = 1-row broadcast cross (intended BNLJ); bucket counting
-        # is dedup-then-aggregate — a mixed distinct agg would Expand
-        "expect": ["BroadcastNestedLoopJoin", "ObjectHashAggregate"],
-        "forbid_pattern": r"\bExpand\b|CartesianProduct",
+        # r08 rewrite: the 7 edges are computed by a separate
+        # order-statistics job (operators/quantiles) and land as LITERALS
+        # in the bucket expression — no edge join exists in this plan at
+        # all (the r07 form broadcast a 1-row edge array via BNLJ and
+        # reduced the column into an ObjectHashAggregate sorted_vals
+        # buffer). Bucket counting is dedup-then-aggregate — a mixed
+        # distinct agg would Expand every row
+        "expect": ["HashAggregate"],
+        "forbid_pattern": (
+            r"\bExpand\b|CartesianProduct|BroadcastNestedLoopJoin"
+            r"|ObjectHashAggregate"
+        ),
     },
     "dim_snapshot_diff": {
         # one co-shuffled full outer join at dimension grain
