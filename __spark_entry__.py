@@ -91,6 +91,7 @@ _PRIORITY = [
     "doc_length_histogram",
     "doc_source_stats",
     # (c) new in r08 — must stay inside the front 48
+    "doc_curation_manifest",
 ]
 
 

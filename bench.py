@@ -102,6 +102,7 @@ HEADLINE = [
     "doc_edit_distance_pairs",
     "events_cdc_compaction",
     "doc_dedup_decisions",
+    "doc_curation_manifest",
     "doc_mixture_allocation",
     "events_mad_outliers",
     "fact_layout_skipping",

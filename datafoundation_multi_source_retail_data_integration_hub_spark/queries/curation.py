@@ -41,6 +41,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import text as TX
+from ..functions.parity import round_dp, sql_round_dp
+from ..operators import dedup as DD
 from ..sources.tables import load_tables
 from . import textops as TO
 
@@ -332,11 +334,177 @@ FROM customer
 """
 
 
+# ---------------------------------------------------------------------------
+# End-to-end curation manifest (quality gate -> dedup over survivors ->
+# per-document verdict)
+# ---------------------------------------------------------------------------
+
+
+def doc_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated-corpus MANIFEST: one row per input document with the
+    final pipeline verdict and why — ``drop_quality`` (failed the
+    Gopher-style rule gate), ``drop_duplicate`` (near-dup-clustered
+    among the quality survivors and not the cluster's keeper), or
+    ``kept``. This is the artifact a pretraining build actually applies
+    and audits: the composition of the rule gate
+    (``textops.doc_quality_filter``), candidate generation + clustering
+    over the SURVIVORS ONLY (``dedup.jaccard_pairs`` ->
+    ``graph.connected_components`` — stage order matters: deduping
+    pre-gate wastes pair work on documents the gate drops anyway), and
+    the keeper policy (argmax composite quality score, ties to the
+    lowest id — the same policy as ``doc_dedup_decisions``).
+
+    Scale shape: the rule gate and both scores are one codegen'd
+    projection over the corpus (computed once, staged); the pair graph
+    inherits the Jaccard join's inverted-index bounds (df cap + lossless
+    prefix filter), shrunk further by the gate's selectivity; clustering
+    takes the bounded driver union-find below 1M edges and the
+    distributed fixpoint above; the verdict assembly joins only
+    doc-grain frames. ``cluster_rep`` is -1 for unclustered documents —
+    a sentinel instead of NULL so the integral column survives the
+    driver's pandas canonicalization as int64 on both engines."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    staged = d.select("doc_id", t.alias("text"), TX.ws_tokens(t).alias("__toks"))
+    n = F.size("__toks")
+    wl = F.aggregate(
+        F.transform(F.col("__toks"), lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double") / n
+    keep_rules = ~(
+        (n < TO.QF_MIN_WORDS)
+        | (n > TO.QF_MAX_WORDS)
+        | (wl < TO.QF_WL_MIN)
+        | (wl > TO.QF_WL_MAX)
+        | (TX.stopword_ratio(t) < TO.QF_STOP_MIN)
+        | (TX.punct_ratio(t) > TO.QF_PUNCT_MAX)
+    )
+    scored = staged.select(
+        "doc_id",
+        "text",
+        n.alias("n_words"),
+        TX.quality_score(t).alias("__q"),
+        keep_rules.alias("__keepq"),
+    )
+    survivors = scored.where(F.col("__keepq"))
+    pairs = DD.jaccard_pairs(
+        survivors,
+        "text",
+        "doc_id",
+        n=TO.N_SHINGLE,
+        threshold=TO.JACCARD_TAU,
+        max_doc_freq=TO.MAX_DOC_FREQ,
+        prefix_filter=True,
+    )
+    from ..operators.graph import connected_components
+
+    clusters = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    cj = clusters.join(survivors.select("doc_id", "__q"), "doc_id")
+    keepers = cj.groupBy("cluster_rep").agg(
+        F.max_by(
+            F.col("doc_id"), F.struct(F.col("__q"), (-F.col("doc_id")).alias("n"))
+        ).alias("__keep_id")
+    )
+    labeled = clusters.join(keepers, "cluster_rep")
+    out = scored.join(labeled, "doc_id", "left")
+    verdict = (
+        F.when(~F.col("__keepq"), F.lit("drop_quality"))
+        .when(
+            F.col("cluster_rep").isNotNull()
+            & (F.col("doc_id") != F.col("__keep_id")),
+            F.lit("drop_duplicate"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        round_dp(F.col("__q")).alias("quality_score"),
+        F.coalesce(F.col("cluster_rep"), F.lit(-1)).alias("cluster_rep"),
+        verdict.alias("verdict"),
+    )
+
+
+def _sql_curation_manifest() -> str:
+    # survivors-only shingle table: the WHERE repeats the rule gate over
+    # raw documents (oracle-side recompute is fine; the Spark side stages
+    # the flags once)
+    rules_where = (
+        f"NOT (len({TO._SQL_TOKS}) < {TO.QF_MIN_WORDS}"
+        f" OR len({TO._SQL_TOKS}) > {TO.QF_MAX_WORDS}"
+        f" OR CAST(list_sum(list_transform({TO._SQL_TOKS}, t -> len(t))) AS DOUBLE)"
+        f"    / len({TO._SQL_TOKS}) < {TO.QF_WL_MIN}"
+        f" OR CAST(list_sum(list_transform({TO._SQL_TOKS}, t -> len(t))) AS DOUBLE)"
+        f"    / len({TO._SQL_TOKS}) > {TO.QF_WL_MAX}"
+        f" OR {TO._SQL_STOPR} < {TO.QF_STOP_MIN}"
+        f" OR {TO._SQL_PUNCT} > {TO.QF_PUNCT_MAX})"
+    )
+    shingles = TX.sql_hashed_shingle_table(
+        "text", TO.N_SHINGLE, where=rules_where
+    )
+    return f"""
+WITH RECURSIVE cq AS (
+  SELECT doc_id,
+         len({TO._SQL_TOKS}) AS n_words,
+         {TO._SQL_QSCORE} AS qs,
+         {rules_where} AS keepq
+  FROM documents
+),
+d0 AS MATERIALIZED ({shingles}),
+dd AS (SELECT * FROM d0 WHERE len(sh) > 0),
+sizes AS (SELECT doc_id, len(sh) AS sz FROM dd),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM dd),
+rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= {TO.MAX_DOC_FREQ}),
+exr AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+  FROM exr a JOIN exr b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+cpairs AS (
+  SELECT id1, id2
+  FROM inter
+  JOIN sizes s1 ON id1 = s1.doc_id
+  JOIN sizes s2 ON id2 = s2.doc_id
+  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= {TO.JACCARD_TAU}
+),
+cedges AS (
+  SELECT id1 AS a, id2 AS b FROM cpairs
+  UNION
+  SELECT id2 AS a, id1 AS b FROM cpairs
+),
+creach (src, dst) AS (
+  SELECT a, a FROM cedges
+  UNION
+  SELECT r.src, e.b FROM creach r JOIN cedges e ON r.dst = e.a
+),
+ccomp AS (SELECT src AS doc_id, min(dst) AS cluster_rep FROM creach GROUP BY src),
+ckeep AS (
+  SELECT c.doc_id, c.cluster_rep,
+         row_number() OVER (
+           PARTITION BY c.cluster_rep ORDER BY q.qs DESC, c.doc_id) AS rn
+  FROM ccomp c JOIN cq q USING (doc_id)
+)
+SELECT q.doc_id,
+       q.n_words,
+       {sql_round_dp("q.qs")} AS quality_score,
+       COALESCE(k.cluster_rep, -1) AS cluster_rep,
+       CASE WHEN NOT q.keepq THEN 'drop_quality'
+            WHEN COALESCE(k.rn, 1) > 1 THEN 'drop_duplicate'
+            ELSE 'kept' END AS verdict
+FROM cq q LEFT JOIN ckeep k USING (doc_id)
+"""
+
+
+DOC_CURATION_MANIFEST_ORACLE = _sql_curation_manifest()
+
+
 QUERIES = {
     "doc_segment_dedup": doc_segment_dedup,
     "doc_unigram_familiarity": doc_unigram_familiarity,
     "doc_cluster_best": doc_cluster_best,
     "customer_pii_masked": customer_pii_masked,
+    "doc_curation_manifest": doc_curation_manifest,
 }
 
 ORACLES = {
@@ -344,4 +512,5 @@ ORACLES = {
     "doc_unigram_familiarity": DOC_UNIGRAM_FAMILIARITY_ORACLE,
     "doc_cluster_best": DOC_CLUSTER_BEST_ORACLE,
     "customer_pii_masked": CUSTOMER_PII_MASKED_ORACLE,
+    "doc_curation_manifest": DOC_CURATION_MANIFEST_ORACLE,
 }
