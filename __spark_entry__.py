@@ -92,6 +92,7 @@ _PRIORITY = [
     "doc_source_stats",
     # (c) new in r08 — must stay inside the front 48
     "doc_curation_manifest",
+    "embedding_prototype_pruning",
 ]
 
 

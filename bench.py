@@ -94,6 +94,7 @@ HEADLINE = [
     "events_ewma_anomaly",
     "doc_quality_filter",
     "embedding_kmeans",
+    "embedding_prototype_pruning",
     "customer_revenue_deciles",
     "order_grouping_sets",
     "lineitem_stats_profile",

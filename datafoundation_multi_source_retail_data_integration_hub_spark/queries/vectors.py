@@ -359,6 +359,72 @@ GROUP BY cluster_id
 """
 
 
+# Prototype pruning drop fraction as an integer ratio (rn * DENOM <= n
+# flags the farthest ~1/DENOM of each cluster) — the keep/drop boundary
+# is pure integer arithmetic, no float threshold to drift cross-engine.
+PROTO_PRUNE_DENOM = 10
+
+
+def embedding_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype-based data pruning (Sorscher et al., "Beyond neural
+    scaling laws"): cluster the corpus with the SAME memoized k-means fit
+    the census/SemDeDup queries use, then flag the farthest
+    ~1/PROTO_PRUNE_DENOM of each cluster by squared distance to its
+    centroid — the least-prototypical examples a curation pipeline drops
+    (or upweights, under the inverse policy) before training.
+
+    Scale shape: assignment is map-side (centroids are a driver literal —
+    no shuffle, no join); the rank needs ONE exchange on cluster_id, and
+    the window state is a running row count. Ties on bit-equal distances
+    break by vec_id, so the drop set is a pure function of the corpus.
+    Distances are the same left-to-right fold both engines run; the flag
+    boundary is integer (rn * DENOM <= n)."""
+    from ..operators.clustering import assign_clusters, kmeans_fit, prepare_vectors
+    from ..functions.parity import round_dp
+
+    emb = _emb(spark, sf_dir)
+    prep = prepare_vectors(emb)
+    cents = kmeans_fit(
+        prep, k=KMEANS_K, n_iter=KMEANS_ITER, vec_col="__dvec", dim=DIM,
+        pre_cast=True, cache_key=(sf_dir, DIM), train_mod=KMEANS_TRAIN_MOD,
+    )
+    assigned = assign_clusters(prep, cents, "__dvec", pre_cast=True)
+    wc = Window.partitionBy("cluster_id")
+    wr = wc.orderBy(F.desc("sq_dist"), "vec_id")
+    return assigned.select(
+        "vec_id",
+        "cluster_id",
+        round_dp(F.col("sq_dist")).alias("sq_dist"),
+        F.count(F.lit(1)).over(wc).alias("cluster_size"),
+        (
+            F.row_number().over(wr) * PROTO_PRUNE_DENOM
+            <= F.count(F.lit(1)).over(wc)
+        ).alias("pruned"),
+    )
+
+
+def _sql_prototype_pruning_oracle() -> str:
+    from ..functions.parity import sql_round_dp
+
+    return f"""
+WITH {_SQL_V_CTE},
+pa AS MATERIALIZED (
+  SELECT vec_id, cluster_id, dist FROM {_sql_kmeans_assign()}
+),
+pr AS (
+  SELECT vec_id, cluster_id, dist,
+         row_number() OVER (
+           PARTITION BY cluster_id ORDER BY dist DESC, vec_id) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS n
+  FROM pa
+)
+SELECT vec_id, cluster_id, {sql_round_dp("dist")} AS sq_dist,
+       n AS cluster_size,
+       rn * {PROTO_PRUNE_DENOM} <= n AS pruned
+FROM pr
+"""
+
+
 SEMDEDUP_TAU = NEARDUP_TAU  # same random-embedding cosine regime
 
 
@@ -1117,6 +1183,7 @@ QUERIES = {
     "embedding_ann_ivf": embedding_ann_ivf,
     "embedding_cosine_neardup": embedding_cosine_neardup,
     "embedding_kmeans": embedding_kmeans,
+    "embedding_prototype_pruning": embedding_prototype_pruning,
     "embedding_quantize_int8": embedding_quantize_int8,
     "embedding_ann_pq": embedding_ann_pq,
     "doc_hybrid_search_rrf": doc_hybrid_search_rrf,
@@ -1128,6 +1195,7 @@ ORACLES = {
     "ann_quality_report": _sql_ann_quality_oracle(),
     "embedding_semantic_dedup": _sql_semdedup_oracle(),
     "embedding_kmeans": _sql_kmeans_oracle(),
+    "embedding_prototype_pruning": _sql_prototype_pruning_oracle(),
     "embedding_topk_bruteforce": EMBEDDING_TOPK_ORACLE,
     "embedding_matryoshka_recall": EMBEDDING_MATRYOSHKA_ORACLE,
     "embedding_ann_lsh": _sql_ann_oracle(),
