@@ -24,75 +24,83 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.relational.flagship_star_revenue(spark, "/root/testdata/sf0.001")
 
 
-# Round-8 rotation: the driver records EXACTLY 50 rows per round
-# (count cap, observed r01-r07) against 143+ declared queries —
-# ordering decides which names get rows. _PRIORITY pins, in order:
-#   (a) the 2 r07 HASH-FAIL rows (HUGEINT-uncast oracles, fixed this
-#       round) — the fix must re-record or it stays unverified;
-#   (b) the 43 names whose last green row is r04 (relational core,
-#       warehouse, vectors, events/profiling, stable scalar tail) —
-#       no row in the {r05, r07} window, so the staleness guard
-#       requires them inside the front 48;
-#   (c) new r08 queries (each displaces a recently-green name per the
-#       rotation budget; 3 spare slots at 45 pinned).
-# Names recorded green in r05/r07 come last via _modules() and are
-# skipped by the r08 budget — they re-enter the front in r09.
+# Round-9 rotation: the driver records EXACTLY 50 rows per round
+# (count cap, observed every recorded round r01-r08) against 145+
+# declared queries — ordering decides which names get rows. _PRIORITY
+# for r09 pins exactly the 50 names whose last green row is r05 (no
+# row in the {r07, r08} window — r06 had no recording, so the stale
+# backlog is a full round's worth). tests/test_rotation_staleness.py
+# enforces this: every stale name must sit inside the front BUDGET
+# (=50, the observed cap) positions. The two union-find consumers
+# whose execution path changed in r08 (doc_neardup_clusters,
+# doc_cluster_best) are in this set and re-record naturally;
+# doc_dedup_decisions (also union-find, recorded green r08) gets a
+# builder-side one-off oracle check instead of a driver slot.
+# Names recorded green in r07/r08 come last via _modules() — they
+# re-enter the front in r10 (sustainable at 145-150 declared:
+# 2 recent rounds x 50 + front 50 = 150).
 _PRIORITY = [
-    # (a) r07 hash-fail — oracle CAST fix re-recorded this round
-    "purchase_graph_pagerank",
-    "doc_language_balanced_sample",
-    # (b) last green r04 — relational core
-    "monthly_trend_growth",
-    "quarterly_yoy",
-    "top_customers",
-    "shipping_priority_top10",
-    "region_nation_rollup",
-    "nation_purchasing_patterns",
-    "supplier_nation_volume",
-    "latest_order_per_customer",
-    "parts_with_bulk_lineitems",
-    "customers_without_open_orders",
-    # (b) quality / scd2
-    "lineitem_validation_summary",
-    "scd2_customer_two_batch",
-    "scd2_change_feed",
-    "dim_customer_scd2_init",
-    # (b) warehouse
-    "fact_sales_resolution",
-    "mart_sales_performance",
-    "mart_category_analysis",
-    "dashboard_extract",
-    "bucketed_colocated_join",
-    "salted_hot_key_join",
-    "partitioned_fact_pruning",
-    # (b) vectors / embeddings
-    "embedding_topk_bruteforce",
-    "embedding_ann_lsh",
-    "embedding_ann_ivf",
-    "embedding_ann_pq",
-    "embedding_kmeans",
-    "embedding_semantic_dedup",
-    "embedding_cosine_neardup",
-    "doc_hybrid_search_rrf",
-    "doc_minhash_accuracy",
-    # (b) events / profiling / streaming
-    "events_rolling_anomaly",
-    "order_price_percentiles",
-    "order_priority_pivot",
-    "stream_user_session_stats",
-    # (b) stable scalar tail
-    "dim_date_calendar",
-    "filter_domains",
-    "customer_balance_tiers",
-    "weekend_weekday_sales",
-    "large_volume_customers",
-    "product_catalog_overview",
-    "fk_integrity_audit",
-    "doc_length_histogram",
-    "doc_source_stats",
-    # (c) new in r08 — must stay inside the front 48
-    "doc_curation_manifest",
-    "embedding_prototype_pruning",
+    # profiling / sketches / pruning — last green r05
+    "customer_revenue_deciles",
+    "order_grouping_sets",
+    "lineitem_stats_profile",
+    "join_key_skew_report",
+    "orders_approx_distinct_sketch",
+    "lineitem_quantile_sketch",
+    "events_sketch_rollup",
+    "events_user_overlap_theta",
+    "dpp_dim_filtered_sales",
+    "bloom_pruned_fact_join",
+    "embedding_quantize_int8",
+    # text / dedup family — last green r05
+    "doc_text_stats",
+    "doc_exact_dedup",
+    "doc_dedup_keep_first",
+    "doc_ngram_jaccard_pairs",
+    "doc_minhash_lsh_pairs",
+    "doc_simhash",
+    "doc_simhash_pairs",
+    "doc_winnowing_pairs",
+    "doc_winnowing_fingerprints",
+    "doc_neardup_clusters",  # union-find path changed r08 — re-verify
+    "doc_incremental_dedup",
+    "doc_lang_id",
+    "doc_fingerprint",
+    "doc_quality_filter",
+    "doc_repetition_stats",
+    "doc_hash_sample",
+    "doc_chunk_windows",
+    "doc_binary_stats",
+    "doc_media_sampled",
+    # curation — last green r05; segment_dedup + unigram_familiarity
+    # rewritten this round (hash-shuffle / bounded broadcast) — their
+    # r09 rows double as the regression gate for those rewrites
+    "doc_segment_dedup",
+    "doc_unigram_familiarity",
+    "doc_cluster_best",  # union-find path changed r08 — re-verify
+    "customer_pii_masked",
+    # streaming — last green r05
+    "stream_tumbling_counts",
+    "stream_dedup_count",
+    "stream_session_windows",
+    "stream_scd2_upsert",
+    "stream_click_attribution",
+    "stream_static_enrichment",
+    # events — last green r05
+    "events_tumbling_10m",
+    "events_sliding_10m_5m",
+    "events_sessionization",
+    "events_json_flatten",
+    "events_first_per_user_type",
+    "events_purchase_attribution",
+    "events_close_pairs",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_gapfill_10m",
+    # --- position 51+: new-in-r09 queries (never recorded; the
+    # staleness guard's new-query grace window covers them — they are
+    # next in line once the 50-name stale backlog clears in r10)
+    "doc_pii_scrub",
 ]
 
 

@@ -25,12 +25,19 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 MAX_STALE_ROUNDS = 2
-# conservative vs the driver's recording budget: CORRECTNESS_r01-r05
-# each hold EXACTLY 50 rows (a deterministic count cap, not a time
-# budget), so position < 48 still reliably gets a row with a 2-row
-# safety margin. This bounds the sustainable query surface at
-# 2*50 recent + 48 front = ~148 declared queries.
-BUDGET = 48
+# The driver's recording budget: every recorded round (r01-r05, r07,
+# r08) holds EXACTLY 50 rows — a deterministic count cap, not a time
+# budget. BUDGET matches the cap: when a skipped driver round (r06 had
+# no recording) leaves a full 50-name stale backlog, all 50 must fit in
+# the front positions or the guard becomes unsatisfiable. This bounds
+# the sustainable query surface at 2*50 recent + 50 front = 150
+# declared queries.
+BUDGET = 50
+# Brand-new queries (no CORRECTNESS row in ANY round yet) are not
+# "silently broken" — they queue behind the previously-verified stale
+# backlog. They must still sit within BUDGET + NEW_GRACE so they are
+# next in line once the backlog clears the following round.
+NEW_GRACE = 6
 
 
 def _entry():
@@ -65,14 +72,24 @@ def test_stale_queries_are_front_loaded():
     rounds = _rounds()
     assert rounds, "no CORRECTNESS_r*.json found"
     recent = {name for _, data in rounds[-MAX_STALE_ROUNDS:] for name in data}
+    ever = {name for _, data in rounds for name in data}
     order = list(_entry().queries())
     front = set(order[:BUDGET])
-    starved = sorted(set(order) - recent - front)
     last = [r for r, _ in rounds[-MAX_STALE_ROUNDS:]]
+    starved = sorted((set(order) & ever) - recent - front)
     assert not starved, (
-        f"{len(starved)} queries have no CORRECTNESS row in rounds {last} "
-        f"AND sit beyond position {BUDGET} in queries() — move them into "
-        f"_PRIORITY / front modules in __spark_entry__.py: {starved}"
+        f"{len(starved)} previously-verified queries have no CORRECTNESS "
+        f"row in rounds {last} AND sit beyond position {BUDGET} in "
+        f"queries() — move them into _PRIORITY / front modules in "
+        f"__spark_entry__.py: {starved}"
+    )
+    grace = set(order[: BUDGET + NEW_GRACE])
+    parked = sorted(set(order) - ever - grace)
+    assert not parked, (
+        f"{len(parked)} never-recorded new queries sit beyond position "
+        f"{BUDGET + NEW_GRACE} in queries() — they would never reach the "
+        f"recording window; move them just behind the stale backlog in "
+        f"_PRIORITY: {parked}"
     )
 
 
