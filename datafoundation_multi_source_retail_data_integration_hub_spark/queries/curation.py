@@ -26,12 +26,14 @@ build runs between raw ingest and tokenization:
   pseudonymous name, digit redaction, balance generalization.
   Pure codegen'd string expressions; no shuffle.
 
-Scale notes: segment dedup shuffles once on the segment text (hash
-partition; identical shape to exact line dedup at 100 TB) and once on
-doc_id for reassembly. Familiarity joins the token stream against a
-vocabulary-sized count table (broadcastable after the df cap of a real
-corpus; here corpus-derived and small). Cluster-best reuses the pair
+Scale notes: segment dedup shuffles once on ``xxhash64(seg)`` (8-byte
+keys — segment text never crosses an exchange) and once on doc_id for
+the survivor-index join/reassembly. Familiarity shuffles the token
+stream against the unigram count table (plain shuffled hash join — the
+raw vocabulary of a 100 TB corpus is NOT broadcastable) and broadcasts
+only the ``FAM_VOCAB_K``-bounded top-k. Cluster-best reuses the pair
 graph + connected components and adds one window over cluster ids.
+PII scrub is one codegen'd regex projection, shuffle-free.
 """
 
 from __future__ import annotations
@@ -67,12 +69,20 @@ def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global segment dedup + reassembly. One row per doc: segment
     counts and the cleaned text built from surviving segments.
 
-    Plan shape: stage tokens once (see the performance note in
-    ``functions/text.py``), explode to (doc, seg_idx, segment), one
-    hash shuffle on the segment text for the keep-first window, one
-    shuffle on doc_id to reassemble. ``array_sort`` over
-    ``struct(seg_idx, seg)`` makes the rebuild order deterministic
-    regardless of ``collect_list``'s arrival order."""
+    Plan shape (the 100 TB shape): segment text NEVER crosses an
+    exchange. The keep-first window partitions by ``xxhash64(seg)`` —
+    an 8-byte key — so the decision shuffle carries (doc_id, seg_idx,
+    hv) instead of the raw corpus (~mean-segment-length fewer shuffle
+    bytes; the same trick as ``operators/spans.py`` window hashes).
+    Survivor indexes come back as a per-doc sorted int array, and the
+    join against the doc-grain segment frame regenerates the surviving
+    text locally from ``__segs``. Cost trade: the tokenize+segment
+    projection is computed on both subtrees (scan-parallel CPU, no
+    exchange) — recomputing a codegen'd split/slice is cheaper at scale
+    than shuffling raw text twice. Hash collisions: two distinct
+    segments sharing an xxhash64 would mis-drop one first occurrence;
+    probability ~n_segments^2 / 2^65 — negligible below ~10^9 segments
+    (same 60-bit-class bound ``operators/spans.py`` documents)."""
     d = _docs(spark, sf_dir)
     staged = d.select(
         "doc_id",
@@ -83,25 +93,35 @@ def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), n_segs - 1),
         lambda i: F.concat_ws(" ", F.slice("__toks", i * SEG_LEN + 1, SEG_LEN)),
     )
-    segs = staged.select(
-        "doc_id", F.posexplode(seg_arr).alias("seg_idx", "seg")
+    segged = staged.select("doc_id", seg_arr.alias("__segs"))
+    # explode-first, then a top-level hash projection: seg text is
+    # pruned inside the stage, only (doc_id, seg_idx, hv) shuffles
+    hashes = segged.select(
+        "doc_id", F.posexplode("__segs").alias("seg_idx", "seg")
+    ).select("doc_id", "seg_idx", F.xxhash64("seg").alias("hv"))
+    w = Window.partitionBy("hv").orderBy("doc_id", "seg_idx")
+    flags = hashes.withColumn("keep", F.row_number().over(w) == 1)
+    perdoc = flags.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_segments"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("int")
+        .alias("n_kept_segments"),
+        # collect_list drops the NULLs of non-kept rows; sort restores
+        # document order regardless of arrival order
+        F.sort_array(
+            F.collect_list(F.when(F.col("keep"), F.col("seg_idx")))
+        ).alias("__kept_idx"),
     )
-    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
-    kept = segs.withColumn("keep", F.row_number().over(w) == 1)
-    surviving = F.array_sort(
-        F.collect_list(F.when(F.col("keep"), F.struct("seg_idx", "seg")))
-    )
-    return (
-        kept.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("int").alias("n_segments"),
-            F.sum(F.when(F.col("keep"), 1).otherwise(0))
-            .cast("int")
-            .alias("n_kept_segments"),
-            F.array_join(
-                F.transform(surviving, lambda s: s["seg"]), " "
-            ).alias("cleaned_text"),
-        )
+    return segged.join(perdoc, "doc_id").select(
+        "doc_id",
+        "n_segments",
+        "n_kept_segments",
+        F.array_join(
+            F.transform(
+                "__kept_idx", lambda i: F.element_at("__segs", i + 1)
+            ),
+            " ",
+        ).alias("cleaned_text"),
     )
 
 
@@ -145,11 +165,15 @@ def doc_unigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens and the OOV rate against the top-``FAM_VOCAB_K`` vocabulary.
 
     Two hash aggregations (corpus unigram counts; per-doc rollup) and
-    one equi-join of the token stream against the vocabulary-sized count
-    table — the count side is broadcast (its cardinality is the
-    vocabulary, not the corpus). All aggregates are BIGINT sums;
-    the two doubles are single divisions of exact integers, so both
-    engines produce bit-identical values."""
+    one equi-join of the token stream against the unigram count table.
+    Only ``topk`` is broadcast — it is bounded at ``FAM_VOCAB_K`` rows
+    by construction. The full ``counts`` table is NOT broadcast: a raw
+    token vocabulary is heavy-tailed into the billions at 100 TB, so
+    that join is a plain shuffled hash join (``shuffle_hash`` hint —
+    token-keyed exchange, no sort; the hint also stops AQE from
+    re-broadcasting an unbounded build side). All aggregates are BIGINT
+    sums; the two doubles are single divisions of exact integers, so
+    both engines produce bit-identical values."""
     d = _docs(spark, sf_dir)
     toks = d.select(
         "doc_id",
@@ -164,7 +188,7 @@ def doc_unigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", F.lit(True).alias("in_top"))
     )
     j = (
-        toks.join(F.broadcast(counts), "token")
+        toks.join(counts.hint("shuffle_hash"), "token")
         .join(F.broadcast(topk), "token", "left")
     )
     agg = j.groupBy("doc_id").agg(
