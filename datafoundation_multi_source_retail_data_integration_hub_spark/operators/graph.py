@@ -22,6 +22,7 @@ truncated lineage survives executor loss — 100 TB runs must not restart a
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -33,16 +34,23 @@ MAX_ITERATIONS = 50
 # carry edges), and below this bound the distributed fixpoint is pure
 # scheduling constant: each round is ~5 driver-scheduled jobs (two hash
 # joins, a groupBy, a checkpoint, a convergence count), so a 4-round run
-# on a 50-edge graph costs ~20 job launches to label 60 nodes. Collected
-# edges are two longs each — 1M edges is ~16 MB of driver memory, the
-# same bound discipline as ``keys.SMALL_DIM_THRESHOLD`` (whose estimator
-# deliberately overestimates so borderline inputs stay distributed).
-DRIVER_UNION_FIND_MAX_EDGES = 1_000_000
+# on a 50-edge graph costs ~20 job launches to label 60 nodes.
+# Memory math (the honest, Python-object-aware version): edges arrive
+# as an Arrow batch (16 B/edge) but the union-find needs a parent dict
+# of Python ints — ~2 nodes/edge x (dict slot + 2 boxed int objects)
+# ~= 150-200 B/edge, plus the transient .tolist() edge lists at
+# ~60 B/edge. Call it ~300 B/edge end-to-end: 250k edges ~= 75 MB of
+# driver heap, a safe ceiling on a default driver. (The previous 1M
+# bound claimed "~16 MB" by counting raw longs only — 10-20x under
+# the real footprint; same overestimate-the-cost discipline as
+# ``keys.SMALL_DIM_THRESHOLD``, now applied correctly.)
+DRIVER_UNION_FIND_MAX_EDGES = 250_000
 
 
 def _driver_union_find(rows) -> tuple:
-    """Path-compressed union-find over collected (a, b) edge rows;
-    returns (nodes, labels) lists where labels[i] is the MIN node id of
+    """Path-compressed union-find over an iterable of (a, b) edge
+    tuples (NULL-free — the caller filters endpoints); returns
+    (nodes, labels) lists where labels[i] is the MIN node id of
     nodes[i]'s component — the same labeling the distributed fixpoint
     converges to."""
     parent: dict = {}
@@ -80,34 +88,45 @@ def connected_components(
     """(node, component) for every node in ``pairs``; the component label
     is the minimum node id in the component.
 
+    NULL edge endpoints are dropped up front (one filter feeding both
+    paths): the distributed fixpoint would silently lose them at the
+    joins while a raw union-find would raise comparing ``None`` to an
+    id — filtering once makes the two paths agree on dirty input.
+
     Two execution paths, chosen by edge count (same exact result):
 
-    - ``<= driver_max_edges``: collect the edge list and run a
-      path-compressed union-find on the driver — one job total. The
-      probe is a ``limit(max + 1).collect()``: when the limit returns
-      everything, those rows ARE the edge set (no second evaluation of
-      an expensive upstream candidate query); when it overflows, fall
-      through without materializing more than the bound.
+    - ``<= driver_max_edges``: Arrow-fetch the edge list and run a
+      path-compressed union-find on the driver. The edge frame is
+      persisted (MEMORY_AND_DISK) before the ``count()`` probe, so the
+      expensive upstream (e.g. a Jaccard candidate-pair join) is
+      evaluated exactly once regardless of which path wins — an
+      overflowing probe hands the already-materialized edges to the
+      distributed fixpoint instead of recomputing the pair job.
     - larger: the distributed min-label-propagation fixpoint below —
       correct at any scale, O(log diameter) rounds.
 
     Pass ``driver_max_edges=0`` to force the distributed path (tests do,
-    to pin both paths to the same labeling).
+    to pin both paths to the same labeling); that path skips the persist
+    entirely (the eager edge checkpoint materializes upstream once).
 
     ``checkpoint_dir``: when set, fixpoint rounds checkpoint RELIABLY to
     that directory (``sparkContext.setCheckpointDir`` +
     ``DataFrame.checkpoint``) instead of to executor-local storage.
     """
     node_field = pairs.schema[src]
+    clean = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    )
+    cached = None
     if driver_max_edges > 0:
-        probe = (
-            pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-            .limit(driver_max_edges + 1)
-            .collect()
-        )
-        if len(probe) <= driver_max_edges:
+        cached = clean.persist(StorageLevel.MEMORY_AND_DISK)
+        n_edges = cached.count()
+        if n_edges <= driver_max_edges:
+            # Arrow batch -> primitive columns: no per-row Row objects
+            pdf = cached.toPandas()
+            cached.unpersist()
             nodes, labels = _driver_union_find(
-                [(r["a"], r["b"]) for r in probe]
+                zip(pdf["a"].tolist(), pdf["b"].tolist())
             )
             return pairs.sparkSession.createDataFrame(
                 list(zip(nodes, labels)),
@@ -118,6 +137,7 @@ def connected_components(
                     ]
                 ),
             )
+        clean = cached
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
@@ -130,10 +150,13 @@ def connected_components(
             return df.localCheckpoint()
 
     edges = ckpt(
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+        clean.unionByName(
+            clean.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
     )
+    if cached is not None:
+        # the eager checkpoint above has consumed the cached edges
+        cached.unpersist()
     labels = ckpt(
         edges.select(F.col("a").alias("node"))
         .distinct()

@@ -91,3 +91,25 @@ def test_driver_and_distributed_paths_agree(spark):
         ).collect()
     }
     assert via_overflow == via_fixpoint
+
+
+def test_null_endpoints_agree_on_both_paths(spark):
+    """Edges with a NULL endpoint are dropped up front, so the driver
+    union-find and the distributed fixpoint see the identical graph —
+    previously the fast path raised TypeError on None while the
+    fixpoint silently dropped the edge at the joins."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, None), (None, 5), (3, 4), (None, None)],
+        "id1 long, id2 long",
+    )
+    expect = {(1, 1), (2, 1), (3, 3), (4, 3)}
+    via_driver = {
+        (r["node"], r["cluster_rep"])
+        for r in connected_components(pairs, driver_max_edges=100).collect()
+    }
+    via_fixpoint = {
+        (r["node"], r["cluster_rep"])
+        for r in connected_components(pairs, driver_max_edges=0).collect()
+    }
+    assert via_driver == expect
+    assert via_fixpoint == expect
