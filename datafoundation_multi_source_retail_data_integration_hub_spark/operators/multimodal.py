@@ -2,12 +2,21 @@
 with typed metadata, processed by Arrow-batched pandas iterators.
 
 The Spark-side contract is real and tested end-to-end: schema, batch
-shape, partitioning, and UDF signatures all work on binary payloads. The
-actual media decode is STUBBED (the image/audio libraries are not in this
-container): ``decode_image_meta`` parses only deterministic fake headers
-produced by ``fake_image_bytes`` and raises ``NotImplementedError`` for
-real formats. Swapping the stub for Pillow/ffmpeg changes one function —
-none of the Spark plumbing.
+shape, partitioning, and UDF signatures all work on binary payloads.
+The codec boundary has three tiers:
+
+- **metadata decode** (``decode_image_meta``) handles REAL formats with
+  pure-Python header parsers — PNG IHDR, JPEG SOF frame scan, GIF
+  logical screen descriptor — plus the deterministic FAKE test format;
+  no external library needed, so real corpus bytes yield real
+  (width, height, channels) in any environment;
+- **pixel decode / resize** of real formats needs a raster library:
+  when Pillow is importable it is used (``Image.thumbnail`` + PNG
+  re-encode); otherwise ``resize_image`` raises ``NotImplementedError``
+  for real payloads and the row surfaces as ``resize_ok=false`` —
+  never a task failure;
+- the FAKE format (``fake_image_bytes``) keeps its fully-deterministic
+  arithmetic resize path so the DuckDB oracle can pin the pipeline.
 
 Scale notes: binary payloads ride in the same parquet row groups as their
 metadata; ``mapInPandas`` streams Arrow record batches, so peak memory per
@@ -25,9 +34,18 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+try:  # optional raster backend for real pixel ops (absent in CI)
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # pragma: no cover - environment-dependent
+    _PILImage = None
+
 # fake header: magic 'FIMG' + u16 width + u16 height + u8 channels
 _FAKE_MAGIC = b"FIMG"
 _HEADER = ">4sHHB"
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> sample channels (palette counts as 1 stored channel)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 MEDIA_META_SCHEMA = (
     "media_id long, byte_len int, content_md5 string, "
@@ -43,15 +61,68 @@ def fake_image_bytes(media_id: int, width: int, height: int, channels: int = 3) 
     return header + body
 
 
+def _png_meta(p: bytes) -> tuple[int, int, int]:
+    # IHDR must be the first chunk: sig(8) len(4) 'IHDR'(4) w(4) h(4)
+    # bitdepth(1) colortype(1) ...
+    if len(p) < 26 or p[12:16] != b"IHDR":
+        raise ValueError("malformed PNG: missing IHDR")
+    w, h = struct.unpack(">II", p[16:24])
+    return w, h, _PNG_CHANNELS[p[25]]
+
+
+def _jpeg_meta(p: bytes) -> tuple[int, int, int]:
+    # walk marker segments to the first frame header (SOF0..15 minus
+    # DHT/JPG/DAC): 0xFF marker(1) seglen(2) precision(1) h(2) w(2) nc(1)
+    i, n = 2, len(p)
+    while i + 4 <= n:
+        if p[i] != 0xFF:
+            raise ValueError("malformed JPEG: lost marker sync")
+        marker = p[i + 1]
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 10 > n:
+                break
+            h, w = struct.unpack(">HH", p[i + 5 : i + 9])
+            return w, h, p[i + 9]
+        i += 2 + struct.unpack(">H", p[i + 2 : i + 4])[0]
+    raise ValueError("malformed JPEG: no frame header")
+
+
+def _gif_meta(p: bytes) -> tuple[int, int, int]:
+    if len(p) < 10:
+        raise ValueError("malformed GIF: truncated screen descriptor")
+    w, h = struct.unpack("<HH", p[6:10])
+    return w, h, 3
+
+
 def decode_image_meta(payload: bytes) -> tuple[int, int, int]:
-    """STUB decode: parse the fake header. A real deployment replaces this
-    with Pillow/libvips; anything that is not a fake payload raises."""
-    if payload[:4] != _FAKE_MAGIC:
-        raise NotImplementedError(
-            "real image decoding is stubbed in this environment"
-        )
-    _, w, h, c = struct.unpack(_HEADER, payload[: struct.calcsize(_HEADER)])
-    return w, h, c
+    """(width, height, channels) from the payload's container header.
+
+    Real PNG/JPEG/GIF bytes are parsed with pure-Python header readers
+    (no raster library needed — metadata extraction over a 100 TB media
+    corpus must not depend on a decode dependency being present); the
+    FAKE test format keeps its struct header. Unknown containers fall
+    through to Pillow when available, else ``NotImplementedError``."""
+    if payload[:4] == _FAKE_MAGIC:
+        _, w, h, c = struct.unpack(_HEADER, payload[: struct.calcsize(_HEADER)])
+        return w, h, c
+    if payload[:8] == _PNG_SIG:
+        return _png_meta(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _jpeg_meta(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_meta(payload)
+    if _PILImage is not None:  # pragma: no cover - environment-dependent
+        import io
+
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            return im.width, im.height, len(im.getbands())
+    raise NotImplementedError(
+        "unrecognized media container (PNG/JPEG/GIF headers are parsed "
+        "natively; other formats need Pillow)"
+    )
 
 
 def attach_binary_stats(df: DataFrame, binary_col: str = "content") -> DataFrame:
@@ -86,7 +157,13 @@ def extract_image_meta(
             for payload in pdf[binary_col]:
                 try:
                     dims.append(decode_image_meta(bytes(payload)) + (True,))
-                except (NotImplementedError, struct.error, IndexError):
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    KeyError,
+                    struct.error,
+                    IndexError,
+                ):
                     dims.append((None, None, None, False))
             out["width"] = pd.array([d[0] for d in dims], dtype="Int32")
             out["height"] = pd.array([d[1] for d in dims], dtype="Int32")
@@ -118,11 +195,29 @@ _BODY_CAP = 256  # fake_image_bytes caps pseudo-pixels at 256 bytes
 
 
 def resize_image(payload: bytes, max_side: int) -> bytes:
-    """STUB resize on the fake format: integer scale-to-fit ``max_side``
-    preserving aspect (floor division — exactly portable arithmetic),
-    header rewritten, body nearest-neighbor-subsampled from the capped
-    pseudo-pixel array. A real deployment swaps this one function for
-    Pillow/libvips ``thumbnail``; the Spark plumbing is unchanged."""
+    """Scale-to-fit ``max_side`` preserving aspect.
+
+    FAKE format: integer arithmetic resize (floor division — exactly
+    portable), header rewritten, body nearest-neighbor-subsampled from
+    the capped pseudo-pixel array; fully deterministic so the DuckDB
+    oracle can pin it. Real formats: Pillow ``thumbnail`` + PNG
+    re-encode when Pillow is importable (upscaling is NOT performed —
+    thumbnail only shrinks, the standard raster semantics); otherwise
+    ``NotImplementedError`` (callers surface it as ``resize_ok=false``).
+    """
+    if payload[:4] != _FAKE_MAGIC:
+        if _PILImage is None:
+            raise NotImplementedError(
+                "real pixel resize requires Pillow; header-only metadata "
+                "still decodes via decode_image_meta"
+            )
+        import io  # pragma: no cover - environment-dependent
+
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            im.thumbnail((max_side, max_side))
+            buf = io.BytesIO()
+            im.save(buf, format="PNG")
+            return buf.getvalue()
     w, h, c = decode_image_meta(payload)
     m = max(w, h)
     dw = max(1, (w * max_side) // m)
@@ -141,29 +236,40 @@ def resize_media(df: DataFrame, max_side: int) -> DataFrame:
     Expects columns (media_id, content); one Python batch per Arrow
     record batch — same memory posture as ``extract_image_meta``."""
 
+    _DECODE_ERRS = (NotImplementedError, ValueError, KeyError, struct.error)
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {
-                "media_id": [], "src_width": [], "src_height": [],
-                "width": [], "height": [], "byte_len": [], "resize_ok": [],
-            }
+            rows = []
             for mid, payload in zip(pdf["media_id"], pdf["content"]):
-                sw, sh, sc = decode_image_meta(bytes(payload))
-                resized = resize_image(bytes(payload), max_side)
                 try:
+                    sw, sh, sc = decode_image_meta(bytes(payload))
+                except _DECODE_ERRS + (IndexError,):
+                    # undecodable container: a data row, not a task kill
+                    rows.append((mid, None, None, None, None, None, False))
+                    continue
+                try:
+                    resized = resize_image(bytes(payload), max_side)
                     dw, dh, dc = decode_image_meta(resized)
                     ok = dc == sc and max(dw, dh) <= max_side
-                except (NotImplementedError, struct.error):
-                    dw = dh = 0
+                    blen = len(resized)
+                except _DECODE_ERRS:
+                    # header decoded but no pixel backend (real format
+                    # without Pillow) or a broken re-encode
+                    dw = dh = blen = 0
                     ok = False
-                out["media_id"].append(mid)
-                out["src_width"].append(sw)
-                out["src_height"].append(sh)
-                out["width"].append(dw)
-                out["height"].append(dh)
-                out["byte_len"].append(len(resized))
-                out["resize_ok"].append(ok)
-            yield pd.DataFrame(out)
+                rows.append((mid, sw, sh, dw, dh, blen, ok))
+            yield pd.DataFrame(
+                {
+                    "media_id": [r[0] for r in rows],
+                    "src_width": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "src_height": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "width": pd.array([r[3] for r in rows], dtype="Int32"),
+                    "height": pd.array([r[4] for r in rows], dtype="Int32"),
+                    "byte_len": pd.array([r[5] for r in rows], dtype="Int32"),
+                    "resize_ok": [r[6] for r in rows],
+                }
+            )
 
     return df.mapInPandas(batches, schema=RESIZED_META_SCHEMA)
 

@@ -1,0 +1,105 @@
+"""Real-container codec boundary: PNG/JPEG/GIF header decode through the
+same Spark plumbing as the FAKE format (VERDICT r08 gap #1).
+
+The PNG fixture is a complete, valid file (signature + IHDR + zlib IDAT
++ IEND) built with stdlib only; the JPEG is a well-formed marker stream
+up to its SOF0 frame header; the GIF is a logical screen descriptor.
+Without Pillow the pixel path must degrade to ``resize_ok=false`` rows,
+never task failures.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from datafoundation_multi_source_retail_data_integration_hub_spark.operators.multimodal import (
+    _PILImage,
+    decode_image_meta,
+    extract_image_meta,
+    resize_media,
+)
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def tiny_png(w: int, h: int) -> bytes:
+    """A complete valid 8-bit RGB PNG (colortype 2 -> 3 channels)."""
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(3 * w) for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def tiny_jpeg(w: int, h: int) -> bytes:
+    """SOI + APP0(JFIF) + SOF0 carrying the frame dimensions."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 3) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def tiny_gif(w: int, h: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00" + b"\x3b"
+
+
+def test_header_parsers_pure_python():
+    assert decode_image_meta(tiny_png(3, 2)) == (3, 2, 3)
+    assert decode_image_meta(tiny_jpeg(6, 4)) == (6, 4, 3)
+    assert decode_image_meta(tiny_gif(7, 5)) == (7, 5, 3)
+
+
+def test_garbage_payload_raises_cleanly():
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_image_meta(b"not an image at all")
+
+
+def test_real_formats_through_media_meta(spark):
+    payloads = [
+        (1, tiny_png(3, 2)),
+        (2, tiny_jpeg(6, 4)),
+        (3, tiny_gif(7, 5)),
+        (4, b"garbage-bytes-here"),
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, content binary")
+    got = {r["media_id"]: r for r in extract_image_meta(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (3, 2, 3)
+    assert (got[2]["width"], got[2]["height"]) == (6, 4)
+    assert (got[3]["width"], got[3]["height"]) == (7, 5)
+    assert got[1]["decode_ok"] and got[2]["decode_ok"] and got[3]["decode_ok"]
+    assert not got[4]["decode_ok"]
+    assert got[4]["width"] is None
+
+
+def test_real_png_through_resize_media(spark):
+    """With Pillow: a real thumbnail comes back re-encoded as PNG and
+    re-decodes within bounds. Without: src dims still parse (header
+    path) and the row degrades to resize_ok=false — no task failure."""
+    df = spark.createDataFrame(
+        [(10, tiny_png(8, 4)), (11, b"\x00bad")],
+        "media_id long, content binary",
+    )
+    got = {r["media_id"]: r for r in resize_media(df, max_side=4).collect()}
+    ok_row = got[10]
+    assert (ok_row["src_width"], ok_row["src_height"]) == (8, 4)
+    if _PILImage is None:
+        assert not ok_row["resize_ok"]
+        assert ok_row["byte_len"] == 0
+    else:  # pragma: no cover - environment-dependent
+        assert ok_row["resize_ok"]
+        assert max(ok_row["width"], ok_row["height"]) <= 4
+    bad = got[11]
+    assert not bad["resize_ok"]
+    assert bad["src_width"] is None
