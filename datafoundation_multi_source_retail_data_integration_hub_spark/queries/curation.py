@@ -359,6 +359,124 @@ FROM customer
 
 
 # ---------------------------------------------------------------------------
+# document-level PII scrub (emails / phones / SSNs in the text column)
+# ---------------------------------------------------------------------------
+
+# Character-class-only patterns: Java regex (Spark) and RE2 (DuckDB)
+# agree on leftmost matching and greedy class runs; no alternation, no
+# backreferences, no lookaround — the same discipline as
+# ``customer_pii_masked``.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PII_PHONE_RE = "[+][0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+PII_SSN_RE = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level PII scrub: mask emails/phones/SSNs in ``text``
+    with typed placeholders and report per-doc redaction counts — the
+    curation step every pretraining corpus runs before tokenization.
+
+    The synthetic corpus carries no organic PII, so the gate seeds
+    deterministic CANARIES derived from ``doc_id`` (every doc an email,
+    2/3 a phone, 1/5 an SSN — identical construction in the DuckDB
+    oracle). That is also how real pipelines measure scrubber recall:
+    inject known PII, assert it never survives. The three patterns are
+    non-overlapping by construction, so counting each on the seeded
+    text and chaining the replaces is order-independent.
+
+    Scale shape: one codegen'd projection (concat + regexp_count +
+    regexp_replace), shuffle-free — scrubbing is scan-bound at 100 TB.
+    """
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    email = F.concat(
+        F.lit(" contact user"), did.cast("string"), F.lit("@example.com")
+    )
+    phone = F.when(
+        did % 3 != 0,
+        F.concat(
+            F.lit(" tel +1-555-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ssn = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" ssn "),
+            F.lpad((did % 900).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((did % 90).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((did % 9000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    staged = d.select(
+        "doc_id", F.concat(F.col("text"), email, phone, ssn).alias("__s")
+    )
+    s = F.col("__s")
+    n_e = F.regexp_count(s, F.lit(PII_EMAIL_RE)).cast("int")
+    n_p = F.regexp_count(s, F.lit(PII_PHONE_RE)).cast("int")
+    n_s = F.regexp_count(s, F.lit(PII_SSN_RE)).cast("int")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(s, PII_EMAIL_RE, "[EMAIL]"),
+            PII_PHONE_RE,
+            "[PHONE]",
+        ),
+        PII_SSN_RE,
+        "[SSN]",
+    )
+    return staged.select(
+        "doc_id",
+        n_e.alias("n_emails"),
+        n_p.alias("n_phones"),
+        n_s.alias("n_ssns"),
+        (n_e + n_p + n_s).alias("n_redactions"),
+        scrubbed.alias("scrubbed_text"),
+    )
+
+
+_SQL_PII_SEEDED = """
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              || CASE WHEN doc_id % 3 <> 0
+                      THEN ' tel +1-555-'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                      THEN ' ssn '
+                           || lpad(CAST(doc_id % 900 AS VARCHAR), 3, '0')
+                           || '-'
+                           || lpad(CAST(doc_id % 90 AS VARCHAR), 2, '0')
+                           || '-'
+                           || lpad(CAST(doc_id % 9000 AS VARCHAR), 4, '0')
+                      ELSE '' END AS s
+  FROM documents
+"""
+
+DOC_PII_SCRUB_ORACLE = f"""
+WITH seeded AS ({_SQL_PII_SEEDED})
+SELECT doc_id,
+       CAST(len(regexp_extract_all(s, '{PII_EMAIL_RE}')) AS INTEGER)
+         AS n_emails,
+       CAST(len(regexp_extract_all(s, '{PII_PHONE_RE}')) AS INTEGER)
+         AS n_phones,
+       CAST(len(regexp_extract_all(s, '{PII_SSN_RE}')) AS INTEGER)
+         AS n_ssns,
+       CAST(len(regexp_extract_all(s, '{PII_EMAIL_RE}'))
+            + len(regexp_extract_all(s, '{PII_PHONE_RE}'))
+            + len(regexp_extract_all(s, '{PII_SSN_RE}')) AS INTEGER)
+         AS n_redactions,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(s, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+           '{PII_PHONE_RE}', '[PHONE]', 'g'),
+         '{PII_SSN_RE}', '[SSN]', 'g') AS scrubbed_text
+FROM seeded
+"""
+
+
+# ---------------------------------------------------------------------------
 # End-to-end curation manifest (quality gate -> dedup over survivors ->
 # per-document verdict)
 # ---------------------------------------------------------------------------
@@ -528,6 +646,7 @@ QUERIES = {
     "doc_unigram_familiarity": doc_unigram_familiarity,
     "doc_cluster_best": doc_cluster_best,
     "customer_pii_masked": customer_pii_masked,
+    "doc_pii_scrub": doc_pii_scrub,
     "doc_curation_manifest": doc_curation_manifest,
 }
 
@@ -536,5 +655,6 @@ ORACLES = {
     "doc_unigram_familiarity": DOC_UNIGRAM_FAMILIARITY_ORACLE,
     "doc_cluster_best": DOC_CLUSTER_BEST_ORACLE,
     "customer_pii_masked": CUSTOMER_PII_MASKED_ORACLE,
+    "doc_pii_scrub": DOC_PII_SCRUB_ORACLE,
     "doc_curation_manifest": DOC_CURATION_MANIFEST_ORACLE,
 }

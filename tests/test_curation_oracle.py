@@ -94,3 +94,25 @@ def test_redact_pii_matches_duckdb_and_strikes_everything(spark):
     assert "@" not in joined
     assert "555" not in joined
     assert "192" not in joined
+
+
+def test_pii_scrub_recall_no_canary_survives(spark):
+    """Every seeded canary is redacted: the scrubbed text contains no
+    '@', no '+d-ddd-dddd' phone, no ddd-dd-dddd SSN — the recall
+    property the canary-injection design exists to measure."""
+    out = curation.doc_pii_scrub(spark, SF_SMOKE)
+    survivors = out.where(
+        F.col("scrubbed_text").rlike(curation.PII_EMAIL_RE)
+        | F.col("scrubbed_text").rlike(curation.PII_PHONE_RE)
+        | F.col("scrubbed_text").rlike(curation.PII_SSN_RE)
+    ).count()
+    assert survivors == 0
+    rows = out.collect()
+    assert all(r["n_emails"] >= 1 for r in rows)  # every doc got an email
+    assert all(
+        r["n_redactions"] == r["n_emails"] + r["n_phones"] + r["n_ssns"]
+        for r in rows
+    )
+    # the placeholders actually appear
+    one = next(r for r in rows if r["n_ssns"] > 0)
+    assert "[EMAIL]" in one["scrubbed_text"] and "[SSN]" in one["scrubbed_text"]
