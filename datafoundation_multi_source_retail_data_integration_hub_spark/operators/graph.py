@@ -96,12 +96,16 @@ def connected_components(
     Two execution paths, chosen by edge count (same exact result):
 
     - ``<= driver_max_edges``: Arrow-fetch the edge list and run a
-      path-compressed union-find on the driver. The edge frame is
-      persisted (MEMORY_AND_DISK) before the ``count()`` probe, so the
-      expensive upstream (e.g. a Jaccard candidate-pair join) is
-      evaluated exactly once regardless of which path wins — an
-      overflowing probe hands the already-materialized edges to the
-      distributed fixpoint instead of recomputing the pair job.
+      path-compressed union-find on the driver. The probe is ONE
+      action — ``limit(max+1).toPandas()`` — so the fast path pays no
+      extra job over the data (no separate count), and Arrow delivers
+      primitive columns instead of per-row Row objects. The edge frame
+      is persisted (MEMORY_AND_DISK) before the probe: when the limit
+      returns everything, those partitions are already cached and the
+      frame is dropped; when it overflows, the distributed fixpoint
+      reuses whatever the probe materialized instead of recomputing the
+      expensive upstream (e.g. a Jaccard candidate-pair join) from
+      scratch.
     - larger: the distributed min-label-propagation fixpoint below —
       correct at any scale, O(log diameter) rounds.
 
@@ -120,10 +124,9 @@ def connected_components(
     cached = None
     if driver_max_edges > 0:
         cached = clean.persist(StorageLevel.MEMORY_AND_DISK)
-        n_edges = cached.count()
-        if n_edges <= driver_max_edges:
-            # Arrow batch -> primitive columns: no per-row Row objects
-            pdf = cached.toPandas()
+        # Arrow batch -> primitive columns: no per-row Row objects
+        pdf = cached.limit(driver_max_edges + 1).toPandas()
+        if len(pdf) <= driver_max_edges:
             cached.unpersist()
             nodes, labels = _driver_union_find(
                 zip(pdf["a"].tolist(), pdf["b"].tolist())
