@@ -105,11 +105,11 @@ _PRIORITY = [
 
 
 def _modules():
-    # After the pinned names: the r04-recorded families first (so any
-    # r04 name the list above misses still lands early), then the
-    # families fully re-recorded in r05 (streaming, eventops, textops,
-    # curation, llmops, profiling) last — they are one round stale at
-    # worst and rotate to the front in r07.
+    # After the pinned names: module order only decides the tail (names
+    # recorded green in r07/r08, which the r09 budget skips). They
+    # rotate back into _PRIORITY in r10 — at 145-150 declared queries
+    # the 2-recent-rounds x 50 + front-50 window keeps every name
+    # inside the staleness guard's bound.
     return [
         q.pipelineops,
         q.relational,

@@ -292,6 +292,29 @@ AUDITED = {
         "expect": ["Window", "HashAggregate"],
         "forbid_pattern": r"CartesianProduct|BatchEvalPython|ArrowEvalPython",
     },
+    "doc_segment_dedup": {
+        # r09 rewrite: the keep-first exchange is keyed by the 8-byte
+        # xxhash64 (hv), NEVER the raw segment string — a regression
+        # shows as hashpartitioning(seg#...)
+        "expect": ["Window", "hashpartitioning(hv#"],
+        "forbid_pattern": r"hashpartitioning\(seg#|CartesianProduct",
+    },
+    "doc_unigram_familiarity": {
+        # r09 rewrite: the token-stream join against the UNBOUNDED
+        # unigram count table must stay a shuffled hash join (only the
+        # FAM_VOCAB_K top-k broadcasts); losing the SHJ means the count
+        # table got broadcast again
+        "expect": ["ShuffledHashJoin", "HashAggregate"],
+        "forbid_pattern": r"CartesianProduct|SortMergeJoin",
+    },
+    "doc_pii_scrub": {
+        # one codegen'd projection (concat + regexp_count/replace):
+        # no exchange, no aggregate, no Python stage
+        "expect": ["codegen id"],
+        "forbid_pattern": (
+            r"\bExchange\b|HashAggregate|BatchEvalPython|ArrowEvalPython"
+        ),
+    },
 }
 
 
