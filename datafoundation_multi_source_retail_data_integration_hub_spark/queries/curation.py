@@ -89,16 +89,26 @@ def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.ws_tokens(TX.normalized_text(F.col("text"))).alias("__toks"),
     )
     n_segs = F.ceil(F.size("__toks") / F.lit(float(SEG_LEN))).cast("int")
-    seg_arr = F.transform(
-        F.sequence(F.lit(0), n_segs - 1),
-        lambda i: F.concat_ws(" ", F.slice("__toks", i * SEG_LEN + 1, SEG_LEN)),
+    # hash branch: EXPLODE the segment index FIRST, then build gram +
+    # hash as top-level projections — a transform-lambda body evaluates
+    # interpreted per element, while this form keeps concat/slice/hash
+    # inside one codegen stage (same rationale as spans.py window
+    # hashes); no array of segment strings is ever materialized here
+    hashes = staged.select(
+        "doc_id",
+        "__toks",
+        F.posexplode(F.sequence(F.lit(0), n_segs - 1)).alias(
+            "seg_idx", "__i"
+        ),
+    ).select(
+        "doc_id",
+        "seg_idx",
+        F.xxhash64(
+            F.concat_ws(
+                " ", F.slice("__toks", F.col("seg_idx") * SEG_LEN + 1, SEG_LEN)
+            )
+        ).alias("hv"),
     )
-    segged = staged.select("doc_id", seg_arr.alias("__segs"))
-    # explode-first, then a top-level hash projection: seg text is
-    # pruned inside the stage, only (doc_id, seg_idx, hv) shuffles
-    hashes = segged.select(
-        "doc_id", F.posexplode("__segs").alias("seg_idx", "seg")
-    ).select("doc_id", "seg_idx", F.xxhash64("seg").alias("hv"))
     w = Window.partitionBy("hv").orderBy("doc_id", "seg_idx")
     flags = hashes.withColumn("keep", F.row_number().over(w) == 1)
     perdoc = flags.groupBy("doc_id").agg(
@@ -112,13 +122,19 @@ def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.when(F.col("keep"), F.col("seg_idx")))
         ).alias("__kept_idx"),
     )
-    return segged.join(perdoc, "doc_id").select(
+    # reassembly: regenerate ONLY the surviving segments from the
+    # doc-grain token array (the one per-element lambda left — it runs
+    # once, at doc grain, after the narrow shuffle decided survival)
+    return staged.join(perdoc, "doc_id").select(
         "doc_id",
         "n_segments",
         "n_kept_segments",
         F.array_join(
             F.transform(
-                "__kept_idx", lambda i: F.element_at("__segs", i + 1)
+                "__kept_idx",
+                lambda i: F.concat_ws(
+                    " ", F.slice("__toks", i * SEG_LEN + 1, SEG_LEN)
+                ),
             ),
             " ",
         ).alias("cleaned_text"),
