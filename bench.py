@@ -143,6 +143,38 @@ HEADLINE = [
     "stream_substring_dedup",
 ]
 
+# Queries whose Spark side performs work the batch-SQL oracle does not —
+# checkpointed streaming replays (stream machinery, state store, two
+# availableNow runs) and layout demos that include warehouse table
+# WRITES. Their oracles verify SEMANTICS (same answer from a plain batch
+# query), not equivalent work, so their wall-clock is reported separately
+# and excluded from the gate subtotal (the r04 basis change;
+# tools/baseline_compare.py uses the same set and publishes BOTH bases
+# every round). Per-query rationale lives with each pipeline's docstring.
+WORK_ASYMMETRIC = {
+    "stream_tumbling_counts",
+    "stream_user_session_stats",
+    "stream_click_attribution",
+    "stream_static_enrichment",
+    "stream_audit_replay",
+    "bucketed_colocated_join",
+    "partitioned_fact_pruning",
+    "dpp_dim_filtered_sales",
+    "fact_layout_skipping",
+    "warehouse_key_erasure",
+    "federated_segment_revenue",
+    "fact_late_arriving_dim",
+    "warehouse_compaction_report",
+    "doc_media_resized",
+    "events_sketch_cube",
+    "scd2_partition_merge",
+    "mart_incremental_refresh",
+    "stream_mart_refresh",
+    "stream_cdc_compaction",
+    "stream_substring_dedup",
+    "bloom_pruned_fact_join",
+}
+
 
 def main() -> None:
     from datafoundation_multi_source_retail_data_integration_hub_spark.session import get_spark
@@ -208,11 +240,22 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     # The driver captures only the LAST 2000 chars of stdout ("tail" in
-    # BENCH_r*.json). A single ~6 KB JSON line with all ~107 per-query
+    # BENCH_r*.json). A single ~6 KB JSON line with all ~108 per-query
     # timings gets front-truncated and can never parse ("parsed": null,
-    # r01-r08). So: stdout carries ONE short summary line (total + the
-    # slowest queries, comfortably inside the tail window); the complete
-    # per-query map goes to bench_results.json next to this script.
+    # r01-r08). So: the full per-query line prints FIRST (whatever fits
+    # in the tail window stays humanly readable, as before), and the
+    # LAST line is a short parseable summary. Its "value" is the
+    # work-symmetric GATE subtotal — the number comparable to
+    # BASELINE_COMPARE.md's ratio basis — with the all-queries total and
+    # the excluded work-asymmetric subtotal alongside. The complete
+    # per-query map also lands in bench_results.json next to this
+    # script.
+    gate_total = round(
+        sum(v for k, v in timings.items() if k not in WORK_ASYMMETRIC), 4
+    )
+    asym_total = round(
+        sum(v for k, v in timings.items() if k in WORK_ASYMMETRIC), 4
+    )
     full = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 4),
@@ -224,13 +267,16 @@ def main() -> None:
                                 "bench_results.json")
     with open(results_path, "w") as f:
         json.dump(full, f, indent=1)
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
+    print(json.dumps(full))
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:12])
     out = {
-        "metric": "headline_queries_total_wall",
-        "value": full["value"],
+        "metric": "gate_queries_total_wall",
+        "value": gate_total,
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in slowest.items()},
         "n_queries": len(timings),
+        "all_queries_total": full["value"],
+        "work_asymmetric_total": asym_total,
         "queries_file": "bench_results.json",
         "sf": sf_val,
     }

@@ -51,57 +51,7 @@ def main() -> None:
     # equivalent work, so a wall-clock ratio is not engine-vs-engine.
     # They are still measured below, in their own table, but excluded
     # from the gate total.
-    WORK_ASYMMETRIC = {
-        "stream_tumbling_counts",
-        "stream_user_session_stats",
-        "stream_click_attribution",
-        "stream_static_enrichment",
-        # availableNow ingest + forced foreachBatch replay + audit table
-        # round-trip per invocation; the oracle is one batch SELECT
-        "stream_audit_replay",
-        "bucketed_colocated_join",
-        "partitioned_fact_pruning",
-        "dpp_dim_filtered_sales",
-        # writes the fact twice (range + Z-order layouts) then measures
-        # file skipping; the oracle is one filtered count
-        "fact_layout_skipping",
-        # builds a partitioned table, rewrites the touched partitions,
-        # and file-audits the rest; the oracle is one grouped SELECT
-        "warehouse_key_erasure",
-        # stages the dim through a live embedded-Derby JDBC round-trip
-        # per invocation; the oracle is one three-way join
-        "federated_segment_revenue",
-        # builds + corrects the dimension (two checkpoints, stability
-        # audits) per invocation; the oracle is one join+aggregate
-        "fact_late_arriving_dim",
-        # fragmented write + compaction rewrite per invocation; the
-        # oracle is one aggregation over the source
-        "warehouse_compaction_report",
-        # generates + resizes real payload bytes through two Arrow
-        # stages; the oracle re-derives the metadata arithmetically
-        "doc_media_resized",
-        # writes + reads back the day-partitioned sketch-cell table per
-        # invocation; the oracle is three plain SELECTs
-        "events_sketch_cube",
-        # three merge publishes + a forced replay against a partitioned
-        # managed table per invocation; the oracle is one CTE chain
-        "scd2_partition_merge",
-        # base+delta+replayed-delta table writes and audit round-trips
-        # per invocation; the oracle is one one-shot aggregation
-        "mart_incremental_refresh",
-        # the streaming twin: checkpointed two-run ingest + per-batch
-        # table merges; same one-shot-aggregation oracle
-        "stream_mart_refresh",
-        # checkpointed two-run ingest + per-batch state-table merge and
-        # parquet round-trip; the oracle is one window SELECT
-        "stream_cdc_compaction",
-        # two availableNow runs + per-batch store/report table writes;
-        # the oracle is one batch CTE chain
-        "stream_substring_dedup",
-        # runs a deliberately broadcast-disabled plan to demonstrate the
-        # at-scale bloom-injection shape — not Spark's best local plan
-        "bloom_pruned_fact_join",
-    }
+    from bench import WORK_ASYMMETRIC  # single source of truth for the gate basis
 
     con = duckdb.connect()
     for t in TABLES:
