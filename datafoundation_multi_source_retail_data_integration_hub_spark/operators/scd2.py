@@ -137,10 +137,26 @@ def scd2_merge(
         "left_anti",
     )
 
-    prior_max = existing.agg(F.max(cfg.surrogate_key)).first()[0] or 0
+    # prior max surrogate as a LAZY 1-row aggregate, broadcast onto the
+    # numbered inserts — the old eager `.first()` here ran the whole
+    # `existing` pipeline as a separate driver-blocking job per merge
+    # (an extra full pass over the dimension at any scale) before the
+    # real plan even started; as part of the plan it is one
+    # column-pruned agg the scheduler overlaps with everything else
+    prior_max_df = existing.agg(
+        F.coalesce(F.max(cfg.surrogate_key), F.lit(0))
+        .cast("bigint")
+        .alias("__prior_max")
+    )
     inserts = new_members.unionByName(changed_members)
-    keyed_inserts = with_global_row_number(
-        inserts, cfg.member_cols, cfg.surrogate_key, offset=int(prior_max)
+    keyed_inserts = (
+        with_global_row_number(inserts, cfg.member_cols, cfg.surrogate_key)
+        .crossJoin(F.broadcast(prior_max_df))
+        .withColumn(
+            cfg.surrogate_key,
+            (F.col(cfg.surrogate_key) + F.col("__prior_max")).cast("bigint"),
+        )
+        .drop("__prior_max")
     )
     new_rows = _with_flags(keyed_inserts, cfg, effective_date)
 
