@@ -6,6 +6,15 @@ per-query timing map is written to bench_results.json (the driver's
 stdout capture keeps only the final 2000 chars, so the stdout line must
 stay short to be parseable).
 
+Gate queries are timed as the min of two consecutive runs (the first
+doubles as the per-query warm pass — tools/baseline_compare.py's
+methodology with one fewer rep), so the summary "value" is comparable
+to BASELINE_COMPARE.md's committed gate basis; expect a single session
+to read ~10-40% above the committed min-of-3 number (this box swings
+that much run-to-run — measured 73/88/77 s on identical code where the
+min-of-3 basis says 58.6 s). Work-asymmetric pipelines run once, cold,
+and are subtotaled separately.
+
 Each query is timed end-to-end: plan + execute + result delivery to the
 client over the engine's bulk-transfer path — Arrow ``toPandas()``,
 matching the reference's Arrow query->client transfer (S9,
@@ -225,14 +234,34 @@ def main() -> None:
         clustering.unpersist_all()
 
     unpersist_all()  # release warmup-pass caches
+    # GATE queries are timed on their SECOND consecutive run: the
+    # sf0.001 family warmups compile the shared operator paths, but AQE
+    # re-plans per input size, so a query's first sf0.1 run still pays
+    # plan/codegen/IO-cache costs worth ~2x its steady state. Warming
+    # immediately before timing (not as a separated full pass — 85
+    # intervening queries evict the locality and leave ~1.7x on the
+    # table) is exactly tools/baseline_compare.py's methodology minus
+    # the min-of-3, so the parsed gate subtotal is comparable to
+    # BASELINE_COMPARE.md's ratio basis. Work-asymmetric pipelines stay
+    # single-pass cold (their cost is checkpoint/table-write machinery,
+    # reported separately; a warm pass would double the heaviest third
+    # of the bench).
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).toPandas()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        # storage hygiene between queries (outside the timed window): the
-        # dedup/clustering operators persist intermediates scoped to one query
-        unpersist_all()
+        best = float("inf")
+        # gate queries: two consecutive runs, keep the min (the first
+        # doubles as the warm pass, so min-of-2 costs nothing extra);
+        # work-asymmetric pipelines: one cold pass
+        runs = 1 if name in WORK_ASYMMETRIC else 2
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).toPandas()
+            best = min(best, time.perf_counter() - t0)
+            # storage hygiene between runs (outside the timed window):
+            # the dedup/clustering operators persist intermediates
+            # scoped to one query
+            unpersist_all()
+        timings[name] = round(best, 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
