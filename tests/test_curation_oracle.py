@@ -116,3 +116,32 @@ def test_pii_scrub_recall_no_canary_survives(spark):
     # the placeholders actually appear
     one = next(r for r in rows if r["n_ssns"] > 0)
     assert "[EMAIL]" in one["scrubbed_text"] and "[SSN]" in one["scrubbed_text"]
+
+
+def test_segment_dedup_conserves_distinct_segments(spark):
+    """Global keep-first invariant: the number of kept segments across
+    the corpus equals the number of DISTINCT segment strings — every
+    distinct segment survives exactly once, at its first occurrence.
+    (Guards the xxhash64-keyed window: a collision or a wrong window
+    spec would break this count.)"""
+    import duckdb
+
+    out = curation.doc_segment_dedup(spark, SF_SMOKE)
+    kept_total = out.agg(F.sum("n_kept_segments")).first()[0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    distinct_segs = con.execute(
+        f"""
+        WITH t AS (SELECT doc_id, {curation._SQL_NORM_TOKS} AS toks FROM documents),
+        segs AS (
+          SELECT array_to_string(
+                   toks[(i*{curation.SEG_LEN}+1):(i*{curation.SEG_LEN}+{curation.SEG_LEN})], ' ') AS seg
+          FROM t, LATERAL (
+            SELECT unnest(range(0, CAST(ceil(len(toks) / CAST({curation.SEG_LEN} AS DOUBLE)) AS BIGINT))) AS i) u
+        )
+        SELECT count(DISTINCT seg) FROM segs
+        """
+    ).fetchone()[0]
+    assert kept_total == distinct_segs
