@@ -10,11 +10,13 @@ The codec boundary has three tiers:
   logical screen descriptor — plus the deterministic FAKE test format;
   no external library needed, so real corpus bytes yield real
   (width, height, channels) in any environment;
-- **pixel decode / resize** of real formats needs a raster library:
-  when Pillow is importable it is used (``Image.thumbnail`` + PNG
-  re-encode); otherwise ``resize_image`` raises ``NotImplementedError``
-  for real payloads and the row surfaces as ``resize_ok=false`` —
-  never a task failure;
+- **pixel decode / resize**: baseline 8-bit PNGs (gray/RGB/gray+alpha/
+  RGBA, non-interlaced) decode, nearest-neighbor resize, and re-encode
+  in PURE PYTHON (stdlib zlib + the five scanline filters) — real PNG
+  thumbnails work with no raster dependency and deterministic integer
+  arithmetic; other containers (JPEG/GIF/palette/16-bit/interlaced
+  PNG) use Pillow when importable, else the row surfaces as
+  ``resize_ok=false`` — never a task failure;
 - the FAKE format (``fake_image_bytes``) keeps its fully-deterministic
   arithmetic resize path so the DuckDB oracle can pin the pipeline.
 
@@ -27,6 +29,7 @@ for large blobs); decode parallelism == partition count of the scan.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -95,6 +98,116 @@ def _gif_meta(p: bytes) -> tuple[int, int, int]:
         raise ValueError("malformed GIF: truncated screen descriptor")
     w, h = struct.unpack("<HH", p[6:10])
     return w, h, 3
+
+
+def _png_decode_pixels(p: bytes) -> tuple[int, int, int, bytearray]:
+    """Decode a baseline PNG to raw pixels: (w, h, channels, data) with
+    ``data`` laid out row-major, ``channels`` bytes per pixel.
+
+    Pure stdlib (zlib + the five scanline filters), so real PNG pixel
+    ops work with NO raster dependency. Supported: 8-bit depth, color
+    types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced.
+    Palette (3), 16-bit, and Adam7 raise ValueError — callers surface
+    that as ``resize_ok=false`` (or fall back to Pillow when present).
+    """
+    w, h, ch = _png_meta(p)
+    bit_depth, color_type, interlace = p[24], p[25], p[28]
+    if bit_depth != 8 or color_type == 3 or interlace != 0:
+        raise ValueError(
+            "unsupported PNG variant (palette/16-bit/interlaced)"
+        )
+    # walk chunks, concatenating IDAT payloads
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(p):
+        (length,) = struct.unpack(">I", p[i : i + 4])
+        typ = p[i + 4 : i + 8]
+        if typ == b"IDAT":
+            idat += p[i + 8 : i + 8 + length]
+        elif typ == b"IEND":
+            break
+        i += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("malformed PNG: wrong decompressed size")
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for row in range(h):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"malformed PNG: filter {ftype}")
+        out[row * stride : (row + 1) * stride] = line
+        prev = line
+    return w, h, ch, out
+
+
+def _png_encode(w: int, h: int, ch: int, data: bytes) -> bytes:
+    """Encode raw 8-bit pixels back to a valid PNG (filter 0 rows)."""
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    stride = w * ch
+    raw = b"".join(
+        b"\x00" + bytes(data[r * stride : (r + 1) * stride]) for r in range(h)
+    )
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_resize(payload: bytes, max_side: int) -> bytes:
+    """Nearest-neighbor scale-to-fit for baseline PNGs — the same floor
+    arithmetic as the FAKE path (deterministic in any environment), so
+    pure-Python PNG thumbnails are bit-reproducible across machines."""
+    w, h, ch, data = _png_decode_pixels(payload)
+    m = max(w, h)
+    dw = max(1, (w * max_side) // m)
+    dh = max(1, (h * max_side) // m)
+    stride = w * ch
+    out = bytearray(dw * dh * ch)
+    for y in range(dh):
+        sy = (y * h) // dh
+        src_off = sy * stride
+        dst_off = y * dw * ch
+        for x in range(dw):
+            sx = ((x * w) // dw) * ch
+            out[dst_off + x * ch : dst_off + (x + 1) * ch] = data[
+                src_off + sx : src_off + sx + ch
+            ]
+    return _png_encode(dw, dh, ch, bytes(out))
 
 
 def decode_image_meta(payload: bytes) -> tuple[int, int, int]:
@@ -206,10 +319,18 @@ def resize_image(payload: bytes, max_side: int) -> bytes:
     ``NotImplementedError`` (callers surface it as ``resize_ok=false``).
     """
     if payload[:4] != _FAKE_MAGIC:
+        if payload[:8] == _PNG_SIG:
+            try:
+                # pure-Python baseline-PNG path: stdlib-only, and its
+                # floor arithmetic is deterministic on any machine
+                return _png_resize(payload, max_side)
+            except ValueError:
+                if _PILImage is None:
+                    raise  # palette/16-bit/interlaced without Pillow
         if _PILImage is None:
             raise NotImplementedError(
-                "real pixel resize requires Pillow; header-only metadata "
-                "still decodes via decode_image_meta"
+                "pixel resize of non-PNG containers requires Pillow; "
+                "header-only metadata still decodes via decode_image_meta"
             )
         import io  # pragma: no cover - environment-dependent
 

@@ -84,9 +84,10 @@ def test_real_formats_through_media_meta(spark):
 
 
 def test_real_png_through_resize_media(spark):
-    """With Pillow: a real thumbnail comes back re-encoded as PNG and
-    re-decodes within bounds. Without: src dims still parse (header
-    path) and the row degrades to resize_ok=false — no task failure."""
+    """A real baseline PNG resizes through the PURE-PYTHON pixel path
+    (no Pillow needed): the thumbnail re-decodes as a valid PNG within
+    bounds. A garbage payload degrades to resize_ok=false — no task
+    failure."""
     df = spark.createDataFrame(
         [(10, tiny_png(8, 4)), (11, b"\x00bad")],
         "media_id long, content binary",
@@ -94,12 +95,68 @@ def test_real_png_through_resize_media(spark):
     got = {r["media_id"]: r for r in resize_media(df, max_side=4).collect()}
     ok_row = got[10]
     assert (ok_row["src_width"], ok_row["src_height"]) == (8, 4)
-    if _PILImage is None:
-        assert not ok_row["resize_ok"]
-        assert ok_row["byte_len"] == 0
-    else:  # pragma: no cover - environment-dependent
-        assert ok_row["resize_ok"]
-        assert max(ok_row["width"], ok_row["height"]) <= 4
+    assert ok_row["resize_ok"]
+    assert (ok_row["width"], ok_row["height"]) == (4, 2)
+    assert ok_row["byte_len"] > 0
     bad = got[11]
     assert not bad["resize_ok"]
     assert bad["src_width"] is None
+
+
+def test_png_pixel_roundtrip_and_filters():
+    """The pure-Python decoder recovers exact pixels through every
+    scanline filter an encoder may emit, and encode->decode is the
+    identity."""
+    from datafoundation_multi_source_retail_data_integration_hub_spark.operators.multimodal import (
+        _png_decode_pixels,
+        _png_encode,
+        _png_resize,
+    )
+
+    # encode -> decode identity on a 3x2 RGB gradient
+    pixels = bytes(range(3 * 2 * 3))
+    png = _png_encode(3, 2, 3, pixels)
+    w, h, ch, data = _png_decode_pixels(png)
+    assert (w, h, ch) == (3, 2, 3)
+    assert bytes(data) == pixels
+
+    # hand-filtered scanlines: row0 Sub (1), row1 Up (2) on 2x2 gray
+    # unfiltered rows: [10, 30] and [15, 40]
+    raw = bytes([1, 10, 20]) + bytes([2, 5, 10])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    body = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    w, h, ch, data = _png_decode_pixels(body)
+    assert (w, h, ch) == (2, 2, 1)
+    assert list(data) == [10, 30, 15, 40]
+
+    # nearest-neighbor downscale halves a 4x2 RGB image to 2x1 and
+    # keeps the sampled source pixels byte-exact
+    src = bytes(range(4 * 2 * 3))
+    thumb = _png_resize(_png_encode(4, 2, 3, src), 2)
+    tw, th, tch, tdata = _png_decode_pixels(thumb)
+    assert (tw, th, tch) == (2, 1, 3)
+    assert bytes(tdata[0:3]) == src[0:3]  # (0,0) -> src (0,0)
+    assert bytes(tdata[3:6]) == src[6:9]  # (1,0) -> src (2,0)
+
+
+def test_png_unsupported_variants_degrade(spark):
+    """Interlaced PNGs are rejected by the pure decoder; through
+    resize_media (without Pillow) they surface as resize_ok=false with
+    header metadata intact."""
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)  # interlace=1
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + _png_chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame([(1, png)], "media_id long, content binary")
+    row = resize_media(df, max_side=2).collect()[0]
+    assert (row["src_width"], row["src_height"]) == (2, 2)
+    if _PILImage is None:
+        assert not row["resize_ok"]
