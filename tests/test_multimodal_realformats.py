@@ -160,3 +160,52 @@ def test_png_unsupported_variants_degrade(spark):
     assert (row["src_width"], row["src_height"]) == (2, 2)
     if _PILImage is None:
         assert not row["resize_ok"]
+
+
+def test_png_all_filters_invert_exactly():
+    """Forward-apply each scanline filter (the encoder side the decoder
+    must invert) and assert pixel-exact recovery — covers Average and
+    Paeth, which the hand-built case above does not."""
+    from datafoundation_multi_source_retail_data_integration_hub_spark.operators.multimodal import (
+        _png_decode_pixels,
+    )
+
+    def paeth(a, b, c):
+        pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    w, h, ch = 5, 5, 3
+    stride = w * ch
+    # deterministic pseudo-random pixels
+    pixels = bytes((i * 37 + 11) % 256 for i in range(h * stride))
+    rows = [pixels[r * stride : (r + 1) * stride] for r in range(h)]
+    raw = bytearray()
+    prev = bytes(stride)
+    for r, row in enumerate(rows):
+        ftype = r % 5  # exercise None, Sub, Up, Average, Paeth in turn
+        raw.append(ftype)
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ftype == 0:
+                raw.append(row[x])
+            elif ftype == 1:
+                raw.append((row[x] - a) & 0xFF)
+            elif ftype == 2:
+                raw.append((row[x] - b) & 0xFF)
+            elif ftype == 3:
+                raw.append((row[x] - ((a + b) >> 1)) & 0xFF)
+            else:
+                raw.append((row[x] - paeth(a, b, c)) & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = _png_decode_pixels(png)
+    assert (got[0], got[1], got[2]) == (w, h, ch)
+    assert bytes(got[3]) == pixels
