@@ -188,11 +188,12 @@ def _png_encode(w: int, h: int, ch: int, data: bytes) -> bytes:
     )
 
 
-def _png_resize(payload: bytes, max_side: int) -> bytes:
-    """Nearest-neighbor scale-to-fit for baseline PNGs — the same floor
-    arithmetic as the FAKE path (deterministic in any environment), so
-    pure-Python PNG thumbnails are bit-reproducible across machines."""
-    w, h, ch, data = _png_decode_pixels(payload)
+def _nn_resample(
+    w: int, h: int, ch: int, data: bytes | bytearray, max_side: int
+) -> tuple[int, int, bytearray]:
+    """Nearest-neighbor scale-to-fit — the same floor arithmetic as the
+    FAKE path (deterministic in any environment), shared by every
+    raster codec so pure-Python thumbnails are bit-reproducible."""
     m = max(w, h)
     dw = max(1, (w * max_side) // m)
     dh = max(1, (h * max_side) // m)
@@ -207,6 +208,139 @@ def _png_resize(payload: bytes, max_side: int) -> bytes:
             out[dst_off + x * ch : dst_off + (x + 1) * ch] = data[
                 src_off + sx : src_off + sx + ch
             ]
+    return dw, dh, out
+
+
+def _png_resize(payload: bytes, max_side: int) -> bytes:
+    w, h, ch, data = _png_decode_pixels(payload)
+    dw, dh, out = _nn_resample(w, h, ch, data, max_side)
+    return _png_encode(dw, dh, ch, bytes(out))
+
+
+def _gif_decode_pixels(p: bytes) -> tuple[int, int, int, bytearray]:
+    """Decode the FIRST frame of a GIF87a/89a to raw RGB pixels via a
+    pure-Python LZW decoder (variable code width, clear/EOI codes, the
+    KwKwK case, interlaced row order). Frames smaller than the logical
+    screen are composed onto a background-filled canvas. Raises
+    ValueError on malformed streams or a missing color table."""
+    sw, sh, _ = _gif_meta(p)
+    packed = p[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gct = p[pos : pos + 3 * n]
+        pos += 3 * n
+    bg_index = p[11]
+    while pos < len(p):
+        block = p[pos]
+        if block == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 2
+            while pos < len(p) and p[pos] != 0:
+                pos += 1 + p[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, fw, fh = struct.unpack("<HHHH", p[pos + 1 : pos + 9])
+            ipacked = p[pos + 9]
+            pos += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 2 ** ((ipacked & 0x07) + 1)
+                table = p[pos : pos + 3 * n]
+                pos += 3 * n
+            if table is None:
+                raise ValueError("malformed GIF: no color table")
+            mcs = p[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(p) and p[pos] != 0:
+                ln = p[pos]
+                data += p[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            indices = _gif_lzw_decode(bytes(data), mcs, fw * fh)
+            if ipacked & 0x40:  # deinterlace (4-pass row order)
+                rows = [
+                    *range(0, fh, 8),
+                    *range(4, fh, 8),
+                    *range(2, fh, 4),
+                    *range(1, fh, 2),
+                ]
+                de = bytearray(fw * fh)
+                for src_r, dst_r in enumerate(rows):
+                    de[dst_r * fw : (dst_r + 1) * fw] = indices[
+                        src_r * fw : (src_r + 1) * fw
+                    ]
+                indices = de
+            # compose onto the logical screen (background-filled)
+            out = bytearray(sw * sh * 3)
+            if gct is not None and 3 * bg_index + 3 <= len(gct):
+                bg = gct[3 * bg_index : 3 * bg_index + 3]
+                for i in range(sw * sh):
+                    out[3 * i : 3 * i + 3] = bg
+            for r in range(fh):
+                if top + r >= sh:
+                    break
+                for c in range(min(fw, sw - left)):
+                    idx = indices[r * fw + c]
+                    if 3 * idx + 3 > len(table):
+                        raise ValueError("malformed GIF: palette overrun")
+                    o = ((top + r) * sw + left + c) * 3
+                    out[o : o + 3] = table[3 * idx : 3 * idx + 3]
+            return sw, sh, 3, out
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"malformed GIF: block 0x{block:02x}")
+    raise ValueError("malformed GIF: no image data")
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int) -> bytearray:
+    """GIF-flavored LZW: little-endian bit packing, CLEAR/EOI codes,
+    code width grows at 2^width up to 12 bits."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    bitpos = 0
+    total_bits = 8 * len(data)
+
+    def reset() -> tuple[list[bytes], int]:
+        return [bytes([i]) for i in range(clear)] + [b"", b""], mcs + 1
+
+    table, width = reset()
+    prev: bytes | None = None
+    while bitpos + width <= total_bits and len(out) < n_pixels:
+        byte = bitpos >> 3
+        code = int.from_bytes(data[byte : byte + 3], "little")
+        code = (code >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table, width = reset()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and (code < clear or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("malformed GIF: bad LZW code")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("malformed GIF: short pixel stream")
+    return bytearray(out[:n_pixels])
+
+
+def _gif_resize(payload: bytes, max_side: int) -> bytes:
+    """First GIF frame -> nearest-neighbor thumbnail, re-encoded as PNG
+    (the pipeline's canonical thumbnail container, matching the Pillow
+    fallback's behavior)."""
+    w, h, ch, data = _gif_decode_pixels(payload)
+    dw, dh, out = _nn_resample(w, h, ch, data, max_side)
     return _png_encode(dw, dh, ch, bytes(out))
 
 
@@ -327,9 +461,16 @@ def resize_image(payload: bytes, max_side: int) -> bytes:
             except ValueError:
                 if _PILImage is None:
                     raise  # palette/16-bit/interlaced without Pillow
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            try:
+                # pure-Python LZW first-frame path -> PNG thumbnail
+                return _gif_resize(payload, max_side)
+            except ValueError:
+                if _PILImage is None:
+                    raise
         if _PILImage is None:
             raise NotImplementedError(
-                "pixel resize of non-PNG containers requires Pillow; "
+                "pixel resize of this container requires Pillow; "
                 "header-only metadata still decodes via decode_image_meta"
             )
         import io  # pragma: no cover - environment-dependent

@@ -209,3 +209,74 @@ def test_png_all_filters_invert_exactly():
     got = _png_decode_pixels(png)
     assert (got[0], got[1], got[2]) == (w, h, ch)
     assert bytes(got[3]) == pixels
+
+
+def _gif_bytes(w, h, palette, lzw_codes, mcs=2):
+    """Assemble a GIF89a with a global color table and a hand-packed
+    LZW code stream (little-endian bit packing, explicit widths)."""
+    n = len(palette)
+    size_bits = max(1, (n - 1).bit_length()) - 1  # 2^(size+1) entries
+    head = b"GIF89a" + struct.pack("<HH", w, h) + bytes(
+        [0x80 | size_bits, 0, 0]
+    )
+    gct = b"".join(bytes(c) for c in palette)
+    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    acc = 0
+    nbits = 0
+    data = bytearray()
+    for code, width in lzw_codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    sub = bytes([mcs, len(data)]) + bytes(data) + b"\x00"
+    return head + gct + desc + sub + b"\x3b"
+
+
+_PAL4 = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)]
+
+
+def test_gif_lzw_decode_literals_and_kwkwk():
+    from datafoundation_multi_source_retail_data_integration_hub_spark.operators.multimodal import (
+        _gif_decode_pixels,
+    )
+
+    # clear-before-every-literal stream: pixels [0, 1, 2] on a 3x1 frame
+    codes = [(4, 3), (0, 3), (4, 3), (1, 3), (4, 3), (2, 3), (5, 3)]
+    w, h, ch, data = _gif_decode_pixels(_gif_bytes(3, 1, _PAL4, codes))
+    assert (w, h, ch) == (3, 1, 3)
+    assert bytes(data) == bytes(_PAL4[0] + _PAL4[1] + _PAL4[2])
+
+    # KwKwK: [CLEAR, 0, 6] decodes to indices [0, 0, 0]
+    codes = [(4, 3), (0, 3), (6, 3), (5, 3)]
+    w, h, ch, data = _gif_decode_pixels(_gif_bytes(3, 1, _PAL4, codes))
+    assert bytes(data) == bytes(_PAL4[0] * 3)
+
+
+def test_gif_lzw_code_width_growth():
+    """Dictionary growth forces the 4-bit width after entry 8 — the
+    stream [CLEAR,0,1,6,6,EOI] decodes to indices 0,1,0,1,0,1."""
+    from datafoundation_multi_source_retail_data_integration_hub_spark.operators.multimodal import (
+        _gif_decode_pixels,
+    )
+
+    codes = [(4, 3), (0, 3), (1, 3), (6, 3), (6, 4), (5, 4)]
+    w, h, ch, data = _gif_decode_pixels(_gif_bytes(6, 1, _PAL4, codes))
+    expect = bytes(_PAL4[0] + _PAL4[1] + _PAL4[0] + _PAL4[1] + _PAL4[0] + _PAL4[1])
+    assert bytes(data) == expect
+
+
+def test_gif_through_resize_media_no_pillow_needed(spark):
+    """A real GIF resizes through the pure-Python LZW path into a PNG
+    thumbnail — resize_ok TRUE regardless of Pillow."""
+    codes = [(4, 3), (0, 3), (4, 3), (1, 3), (4, 3), (2, 3), (4, 3), (3, 3), (5, 3)]
+    gif = _gif_bytes(4, 1, _PAL4, codes)
+    df = spark.createDataFrame([(1, gif)], "media_id long, content binary")
+    row = resize_media(df, max_side=2).collect()[0]
+    assert row["resize_ok"]
+    assert (row["src_width"], row["src_height"]) == (4, 1)
+    assert (row["width"], row["height"]) == (2, 1)
