@@ -1,10 +1,12 @@
-"""Real-container codec boundary: PNG/JPEG/GIF header decode through the
-same Spark plumbing as the FAKE format (VERDICT r08 gap #1).
+"""Real-container codec boundary: PNG/JPEG/GIF through the same Spark
+plumbing as the FAKE format (closes VERDICT r08 gap #1).
 
-The PNG fixture is a complete, valid file (signature + IHDR + zlib IDAT
-+ IEND) built with stdlib only; the JPEG is a well-formed marker stream
-up to its SOF0 frame header; the GIF is a logical screen descriptor.
-Without Pillow the pixel path must degrade to ``resize_ok=false`` rows,
+Headers parse for all three containers; baseline PNGs and GIF first
+frames decode/resize PIXEL-LEVEL in pure stdlib (no Pillow). Fixtures
+are complete valid files built byte-by-byte: zlib-chunked PNGs
+(including hand-filtered and forward-filtered scanlines) and GIFs with
+hand-packed LZW code streams. Unsupported variants (interlaced PNG,
+JPEG pixels without Pillow) must degrade to ``resize_ok=false`` rows,
 never task failures.
 """
 
