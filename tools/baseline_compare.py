@@ -170,6 +170,13 @@ def main() -> None:
         "per row (dedup families, vector search) are where the engines",
         "genuinely compete, and Spark wins those by parallelism; the gate",
         "(total within 2x of baseline) holds.",
+        "",
+        "Relation to the driver bench (`BENCH_r{N}.json`): bench.py's",
+        "parsed summary `value` is the SAME work-symmetric gate subtotal,",
+        "but measured min-of-2 in one fresh session — expect it to read",
+        "~10-40% above this file's min-of-3 number (measured 73/88/77 s",
+        "on identical r09 code against a 58.6 s min-of-3 basis; this",
+        "box's session-to-session swing, not a regression signal).",
     ]
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
