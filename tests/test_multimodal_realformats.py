@@ -235,8 +235,12 @@ def _gif_bytes(w, h, palette, lzw_codes, mcs=2):
             nbits -= 8
     if nbits:
         data.append(acc & 0xFF)
-    sub = bytes([mcs, len(data)]) + bytes(data) + b"\x00"
-    return head + gct + desc + sub + b"\x3b"
+    sub = bytearray([mcs])
+    for i in range(0, len(data), 255):  # sub-blocks cap at 255 bytes
+        block = data[i : i + 255]
+        sub += bytes([len(block)]) + block
+    sub += b"\x00"
+    return head + gct + desc + bytes(sub) + b"\x3b"
 
 
 _PAL4 = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)]
