@@ -10,13 +10,15 @@ The codec boundary has three tiers:
   logical screen descriptor — plus the deterministic FAKE test format;
   no external library needed, so real corpus bytes yield real
   (width, height, channels) in any environment;
-- **pixel decode / resize**: baseline 8-bit PNGs (gray/RGB/gray+alpha/
-  RGBA, non-interlaced) decode, nearest-neighbor resize, and re-encode
-  in PURE PYTHON (stdlib zlib + the five scanline filters) — real PNG
-  thumbnails work with no raster dependency and deterministic integer
-  arithmetic; other containers (JPEG/GIF/palette/16-bit/interlaced
-  PNG) use Pillow when importable, else the row surfaces as
-  ``resize_ok=false`` — never a task failure;
+- **pixel decode / resize**: PNGs (all five color types, 1/2/4/8/16-bit
+  depths with high-byte downsample, palette->RGB expansion, Adam7
+  interlace, the five scanline filters) and GIF first frames
+  (variable-width LZW, deinterlace, palette compose) decode,
+  nearest-neighbor resize, and re-encode in PURE PYTHON — real
+  thumbnails with no raster dependency and deterministic integer
+  arithmetic; JPEG pixels (entropy-coded DCT) use Pillow when
+  importable, else the row surfaces as ``resize_ok=false`` — never a
+  task failure;
 - the FAKE format (``fake_image_bytes``) keeps its fully-deterministic
   arithmetic resize path so the DuckDB oracle can pin the pipeline.
 
@@ -47,8 +49,9 @@ _FAKE_MAGIC = b"FIMG"
 _HEADER = ">4sHHB"
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# PNG color type -> sample channels (palette counts as 1 stored channel)
-_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# PNG color type -> DECODED channels (palette expands to RGB; the
+# stored-sample count per pixel lives in _png_decode_pixels)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}
 
 MEDIA_META_SCHEMA = (
     "media_id long, byte_len int, content_md5 string, "
@@ -100,67 +103,138 @@ def _gif_meta(p: bytes) -> tuple[int, int, int]:
     return w, h, 3
 
 
-def _png_decode_pixels(p: bytes) -> tuple[int, int, int, bytearray]:
-    """Decode a baseline PNG to raw pixels: (w, h, channels, data) with
-    ``data`` laid out row-major, ``channels`` bytes per pixel.
+# Adam7 interlace passes: (x0, y0, dx, dy)
+_PNG_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    Pure stdlib (zlib + the five scanline filters), so real PNG pixel
-    ops work with NO raster dependency. Supported: 8-bit depth, color
-    types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced.
-    Palette (3), 16-bit, and Adam7 raise ValueError — callers surface
-    that as ``resize_ok=false`` (or fall back to Pillow when present).
-    """
-    w, h, ch = _png_meta(p)
+
+def _png_unfilter(line: bytearray, prev: bytes, ftype: int, bpp: int) -> None:
+    """In-place inverse of the five PNG scanline filters; ``bpp`` is the
+    filter unit in BYTES (max(1, samples*depth//8) per the spec)."""
+    n = len(line)
+    if ftype == 0:
+        return
+    if ftype == 1:  # Sub
+        for x in range(bpp, n):
+            line[x] = (line[x] + line[x - bpp]) & 0xFF
+    elif ftype == 2:  # Up
+        for x in range(n):
+            line[x] = (line[x] + prev[x]) & 0xFF
+    elif ftype == 3:  # Average
+        for x in range(n):
+            a = line[x - bpp] if x >= bpp else 0
+            line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+    elif ftype == 4:  # Paeth
+        for x in range(n):
+            a = line[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            line[x] = (line[x] + pred) & 0xFF
+    else:
+        raise ValueError(f"malformed PNG: filter {ftype}")
+
+
+def _png_unpack_samples(line: bytes, n: int, depth: int) -> list[int]:
+    """First ``n`` samples of an unfiltered scanline. Depth 16 keeps the
+    high byte (8-bit downsample); sub-byte depths unpack MSB-first."""
+    if depth == 8:
+        return list(line[:n])
+    if depth == 16:
+        return list(line[0 : 2 * n : 2])
+    mask = (1 << depth) - 1
+    per_byte = 8 // depth
+    return [
+        (line[j // per_byte] >> (8 - depth * (j % per_byte + 1))) & mask
+        for j in range(n)
+    ]
+
+
+def _png_decode_pixels(p: bytes) -> tuple[int, int, int, bytearray]:
+    """Decode a PNG to raw 8-bit pixels: (w, h, channels, data) with
+    ``data`` row-major, ``channels`` bytes per pixel.
+
+    Pure stdlib (zlib + the five scanline filters). Supported: color
+    types 0/2/3/4/6 at depth 8; 16-bit for 0/2/4/6 (high-byte
+    downsample); sub-byte depths (1/2/4) for grayscale and palette;
+    Adam7 interlace. Palette output is expanded to RGB. Malformed
+    streams raise ValueError — callers surface it as ``resize_ok=false``
+    (or fall back to Pillow when present)."""
+    w, h, _ = _png_meta(p)
     bit_depth, color_type, interlace = p[24], p[25], p[28]
-    if bit_depth != 8 or color_type == 3 or interlace != 0:
-        raise ValueError(
-            "unsupported PNG variant (palette/16-bit/interlaced)"
-        )
-    # walk chunks, concatenating IDAT payloads
+    samples = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if samples is None or bit_depth not in (1, 2, 4, 8, 16):
+        raise ValueError("malformed PNG: bad color type / depth")
+    if bit_depth == 16 and color_type == 3:
+        raise ValueError("malformed PNG: 16-bit palette")
+    if bit_depth < 8 and color_type not in (0, 3):
+        raise ValueError("malformed PNG: sub-byte truecolor")
+    if interlace not in (0, 1):
+        raise ValueError("malformed PNG: unknown interlace method")
+    # walk chunks: concatenate IDAT, pick up PLTE
     idat = bytearray()
+    plte = None
     i = 8
     while i + 8 <= len(p):
         (length,) = struct.unpack(">I", p[i : i + 4])
         typ = p[i + 4 : i + 8]
         if typ == b"IDAT":
             idat += p[i + 8 : i + 8 + length]
+        elif typ == b"PLTE":
+            plte = p[i + 8 : i + 8 + length]
         elif typ == b"IEND":
             break
         i += 12 + length
+    if color_type == 3 and plte is None:
+        raise ValueError("malformed PNG: palette image without PLTE")
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("malformed PNG: wrong decompressed size")
-    out = bytearray(h * stride)
-    prev = bytearray(stride)
+    grid = bytearray(w * h * samples)  # raw samples (indices for palette)
+    bpp = max(1, (samples * bit_depth) // 8)
     pos = 0
-    for row in range(h):
-        ftype = raw[pos]
-        line = bytearray(raw[pos + 1 : pos + 1 + stride])
-        pos += 1 + stride
-        if ftype == 1:  # Sub
-            for x in range(ch, stride):
-                line[x] = (line[x] + line[x - ch]) & 0xFF
-        elif ftype == 2:  # Up
-            for x in range(stride):
-                line[x] = (line[x] + prev[x]) & 0xFF
-        elif ftype == 3:  # Average
-            for x in range(stride):
-                a = line[x - ch] if x >= ch else 0
-                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                a = line[x - ch] if x >= ch else 0
-                b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
-                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                line[x] = (line[x] + pred) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"malformed PNG: filter {ftype}")
-        out[row * stride : (row + 1) * stride] = line
-        prev = line
-    return w, h, ch, out
+    passes = _PNG_PASSES if interlace else ((0, 0, 1, 1),)
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * samples * bit_depth + 7) // 8
+        prev = bytes(stride)
+        for r in range(ph):
+            if pos + 1 + stride > len(raw):
+                raise ValueError("malformed PNG: short pixel stream")
+            ftype = raw[pos]
+            line = bytearray(raw[pos + 1 : pos + 1 + stride])
+            pos += 1 + stride
+            _png_unfilter(line, prev, ftype, bpp)
+            vals = _png_unpack_samples(bytes(line), pw * samples, bit_depth)
+            y = y0 + r * dy
+            for c in range(pw):
+                off = (y * w + x0 + c * dx) * samples
+                grid[off : off + samples] = bytes(
+                    vals[c * samples : (c + 1) * samples]
+                )
+            prev = bytes(line)
+    if color_type == 3:
+        out = bytearray(w * h * 3)
+        for j in range(w * h):
+            idx = grid[j]
+            if 3 * idx + 3 > len(plte):
+                raise ValueError("malformed PNG: palette overrun")
+            out[3 * j : 3 * j + 3] = plte[3 * idx : 3 * idx + 3]
+        return w, h, 3, out
+    if bit_depth < 8:  # sub-byte grayscale: rescale to 0..255
+        mx = (1 << bit_depth) - 1
+        for j in range(len(grid)):
+            grid[j] = grid[j] * 255 // mx
+    return w, h, samples, grid
 
 
 def _png_encode(w: int, h: int, ch: int, data: bytes) -> bytes:
@@ -460,7 +534,7 @@ def resize_image(payload: bytes, max_side: int) -> bytes:
                 return _png_resize(payload, max_side)
             except ValueError:
                 if _PILImage is None:
-                    raise  # palette/16-bit/interlaced without Pillow
+                    raise  # malformed/out-of-spec stream, no Pillow
         elif payload[:6] in (b"GIF87a", b"GIF89a"):
             try:
                 # pure-Python LZW first-frame path -> PNG thumbnail

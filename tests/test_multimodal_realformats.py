@@ -147,10 +147,11 @@ def test_png_pixel_roundtrip_and_filters():
 
 
 def test_png_unsupported_variants_degrade(spark):
-    """Interlaced PNGs are rejected by the pure decoder; through
-    resize_media (without Pillow) they surface as resize_ok=false with
-    header metadata intact."""
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)  # interlace=1
+    """A genuinely unsupported PNG variant (sub-byte truecolor — illegal
+    per spec, and a stand-in for any stream the pure decoder rejects)
+    surfaces as resize_ok=false with header metadata intact, never a
+    task failure."""
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)  # depth 4, RGB
     png = (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
@@ -162,6 +163,102 @@ def test_png_unsupported_variants_degrade(spark):
     assert (row["src_width"], row["src_height"]) == (2, 2)
     if _PILImage is None:
         assert not row["resize_ok"]
+
+
+def _adam7_interlaced_png(w, h, ch, pixels):
+    """Forward Adam7 encoder (filter-0 scanlines per pass) — the
+    reference layout the decoder must invert."""
+    passes = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for r in range(ph):
+            raw.append(0)
+            y = y0 + r * dy
+            for c in range(pw):
+                off = (y * w + x0 + c * dx) * ch
+                raw += pixels[off : off + ch]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_adam7_interlaced_decodes():
+    from datafoundation_multi_source_retail_data_integration_hub_spark.operators.multimodal import (
+        _png_decode_pixels,
+    )
+
+    for w, h in [(2, 2), (5, 3), (9, 9), (1, 7)]:
+        pixels = bytes((i * 31 + 7) % 256 for i in range(w * h * 3))
+        got = _png_decode_pixels(_adam7_interlaced_png(w, h, 3, pixels))
+        assert (got[0], got[1], got[2]) == (w, h, 3)
+        assert bytes(got[3]) == pixels
+
+
+def test_png_palette_and_depth_variants():
+    from datafoundation_multi_source_retail_data_integration_hub_spark.operators.multimodal import (
+        _png_decode_pixels,
+    )
+
+    pal = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    # 8-bit palette, 3x1: indices 0, 2, 1
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 8, 3, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x02\x01"))
+        + _png_chunk(b"IEND", b"")
+    )
+    w, h, ch, data = _png_decode_pixels(png)
+    assert (w, h, ch) == (3, 1, 3)
+    assert bytes(data) == bytes([10, 20, 30, 70, 80, 90, 40, 50, 60])
+
+    # 4-bit palette, 3x1: indices 3, 1, 0 packed MSB-first -> 0x31 0x00
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 4, 3, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x31\x00"))
+        + _png_chunk(b"IEND", b"")
+    )
+    w, h, ch, data = _png_decode_pixels(png)
+    assert bytes(data) == bytes([100, 110, 120, 40, 50, 60, 10, 20, 30])
+
+    # 16-bit grayscale, 2x1: samples 0xAB12, 0x0034 -> high bytes AB, 00
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\xab\x12\x00\x34"))
+        + _png_chunk(b"IEND", b"")
+    )
+    w, h, ch, data = _png_decode_pixels(png)
+    assert (w, h, ch) == (2, 1, 1)
+    assert list(data) == [0xAB, 0x00]
+
+    # 1-bit grayscale, 3x1: bits 1,0,1 -> byte 0b10100000; scaled 255/0
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 1, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes([0, 0b10100000])))
+        + _png_chunk(b"IEND", b"")
+    )
+    w, h, ch, data = _png_decode_pixels(png)
+    assert list(data) == [255, 0, 255]
 
 
 def test_png_all_filters_invert_exactly():
