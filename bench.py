@@ -1,7 +1,7 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 short JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {15 slowest}, "n_queries": N, "sf": ...}; the complete
+"queries": {12 slowest}, "n_queries": N, "sf": ...}; the complete
 per-query timing map is written to bench_results.json (the driver's
 stdout capture keeps only the final 2000 chars, so the stdout line must
 stay short to be parseable).

@@ -84,6 +84,9 @@ def _jpeg_meta(p: bytes) -> tuple[int, int, int]:
         if p[i] != 0xFF:
             raise ValueError("malformed JPEG: lost marker sync")
         marker = p[i + 1]
+        if marker == 0xFF:  # fill byte — legal padding before a marker
+            i += 1
+            continue
         if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
@@ -265,12 +268,16 @@ def _png_encode(w: int, h: int, ch: int, data: bytes) -> bytes:
 def _nn_resample(
     w: int, h: int, ch: int, data: bytes | bytearray, max_side: int
 ) -> tuple[int, int, bytearray]:
-    """Nearest-neighbor scale-to-fit — the same floor arithmetic as the
-    FAKE path (deterministic in any environment), shared by every
-    raster codec so pure-Python thumbnails are bit-reproducible."""
+    """Nearest-neighbor scale-to-fit with the FAKE path's floor
+    arithmetic (deterministic in any environment), shared by every real
+    raster codec so pure-Python thumbnails are bit-reproducible.
+    SHRINK-ONLY, like Pillow's ``thumbnail``: a source already inside
+    ``max_side`` passes through at its own size — the pure and Pillow
+    paths must agree on thumbnail semantics per container."""
     m = max(w, h)
-    dw = max(1, (w * max_side) // m)
-    dh = max(1, (h * max_side) // m)
+    target = min(max_side, m)
+    dw = max(1, (w * target) // m)
+    dh = max(1, (h * target) // m)
     stride = w * ch
     out = bytearray(dw * dh * ch)
     for y in range(dh):
@@ -345,12 +352,14 @@ def _gif_decode_pixels(p: bytes) -> tuple[int, int, int, bytearray]:
                         src_r * fw : (src_r + 1) * fw
                     ]
                 indices = de
-            # compose onto the logical screen (background-filled)
-            out = bytearray(sw * sh * 3)
+            # compose onto the logical screen (background-filled; one
+            # C-speed bytes-multiply, not a per-pixel Python loop)
             if gct is not None and 3 * bg_index + 3 <= len(gct):
-                bg = gct[3 * bg_index : 3 * bg_index + 3]
-                for i in range(sw * sh):
-                    out[3 * i : 3 * i + 3] = bg
+                out = bytearray(
+                    bytes(gct[3 * bg_index : 3 * bg_index + 3]) * (sw * sh)
+                )
+            else:
+                out = bytearray(sw * sh * 3)
             for r in range(fh):
                 if top + r >= sh:
                     break
@@ -484,6 +493,8 @@ def extract_image_meta(
                     KeyError,
                     struct.error,
                     IndexError,
+                    zlib.error,
+                    OSError,  # Pillow fallback on truncated real bytes
                 ):
                     dims.append((None, None, None, False))
             out["width"] = pd.array([d[0] for d in dims], dtype="Int32")
@@ -521,25 +532,30 @@ def resize_image(payload: bytes, max_side: int) -> bytes:
     FAKE format: integer arithmetic resize (floor division — exactly
     portable), header rewritten, body nearest-neighbor-subsampled from
     the capped pseudo-pixel array; fully deterministic so the DuckDB
-    oracle can pin it. Real formats: Pillow ``thumbnail`` + PNG
-    re-encode when Pillow is importable (upscaling is NOT performed —
-    thumbnail only shrinks, the standard raster semantics); otherwise
-    ``NotImplementedError`` (callers surface it as ``resize_ok=false``).
+    oracle can pin it. Real formats: the pure-Python PNG/GIF raster
+    paths, else Pillow ``thumbnail`` + PNG re-encode when importable —
+    all SHRINK-ONLY (upscaling is never performed, the standard
+    thumbnail semantics); otherwise ``NotImplementedError`` (callers
+    surface it as ``resize_ok=false``).
     """
+    # decode failures on a corrupt-but-signed payload: ValueError from
+    # the parsers, zlib.error from a bad IDAT/deflate body, IndexError
+    # from truncation past the header
+    _CORRUPT = (ValueError, zlib.error, IndexError)
     if payload[:4] != _FAKE_MAGIC:
         if payload[:8] == _PNG_SIG:
             try:
-                # pure-Python baseline-PNG path: stdlib-only, and its
-                # floor arithmetic is deterministic on any machine
+                # pure-Python PNG path: stdlib-only, and its floor
+                # arithmetic is deterministic on any machine
                 return _png_resize(payload, max_side)
-            except ValueError:
+            except _CORRUPT:
                 if _PILImage is None:
                     raise  # malformed/out-of-spec stream, no Pillow
         elif payload[:6] in (b"GIF87a", b"GIF89a"):
             try:
                 # pure-Python LZW first-frame path -> PNG thumbnail
                 return _gif_resize(payload, max_side)
-            except ValueError:
+            except _CORRUPT:
                 if _PILImage is None:
                     raise
         if _PILImage is None:
@@ -572,7 +588,20 @@ def resize_media(df: DataFrame, max_side: int) -> DataFrame:
     Expects columns (media_id, content); one Python batch per Arrow
     record batch — same memory posture as ``extract_image_meta``."""
 
-    _DECODE_ERRS = (NotImplementedError, ValueError, KeyError, struct.error)
+    # every way a signed-but-corrupt payload can fail: parser
+    # ValueError/KeyError/IndexError/struct.error, zlib.error from a bad
+    # deflate body, OSError (incl. PIL.UnidentifiedImageError) from the
+    # Pillow fallback on truncated entropy data, NotImplementedError
+    # from a container with no pixel backend
+    _DECODE_ERRS = (
+        NotImplementedError,
+        ValueError,
+        KeyError,
+        IndexError,
+        struct.error,
+        zlib.error,
+        OSError,
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -580,7 +609,7 @@ def resize_media(df: DataFrame, max_side: int) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["content"]):
                 try:
                     sw, sh, sc = decode_image_meta(bytes(payload))
-                except _DECODE_ERRS + (IndexError,):
+                except _DECODE_ERRS:
                     # undecodable container: a data row, not a task kill
                     rows.append((mid, None, None, None, None, None, False))
                     continue
@@ -590,8 +619,8 @@ def resize_media(df: DataFrame, max_side: int) -> DataFrame:
                     ok = dc == sc and max(dw, dh) <= max_side
                     blen = len(resized)
                 except _DECODE_ERRS:
-                    # header decoded but no pixel backend (real format
-                    # without Pillow) or a broken re-encode
+                    # header decoded but the body is corrupt, or there
+                    # is no pixel backend for this container
                     dw = dh = blen = 0
                     ok = False
                 rows.append((mid, sw, sh, dw, dh, blen, ok))

@@ -97,9 +97,7 @@ def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = staged.select(
         "doc_id",
         "__toks",
-        F.posexplode(F.sequence(F.lit(0), n_segs - 1)).alias(
-            "seg_idx", "__i"
-        ),
+        F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("seg_idx"),
     ).select(
         "doc_id",
         "seg_idx",

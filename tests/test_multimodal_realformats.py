@@ -383,3 +383,62 @@ def test_gif_through_resize_media_no_pillow_needed(spark):
     assert row["resize_ok"]
     assert (row["src_width"], row["src_height"]) == (4, 1)
     assert (row["width"], row["height"]) == (2, 1)
+
+
+def test_corrupt_bodies_are_data_rows_not_task_kills(spark):
+    """Code-review regression (r09): payloads whose HEADER parses but
+    whose BODY is corrupt must degrade per-row, never fail the task —
+    bad-deflate PNG (zlib.error), truncated GIF (IndexError), truncated
+    PNG past the 26-byte meta prefix."""
+    bad_idat = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", b"not-deflate-data")
+        + _png_chunk(b"IEND", b"")
+    )
+    short_gif = b"GIF89a" + struct.pack("<HH", 3, 1)  # stops after w,h
+    short_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">IIBB", 2, 2, 8, 0)  # truncated inside IHDR body
+    )
+    df = spark.createDataFrame(
+        [(1, bad_idat), (2, short_gif), (3, short_png)],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in resize_media(df, max_side=2).collect()}
+    assert len(rows) == 3
+    assert not rows[1]["resize_ok"]
+    assert (rows[1]["src_width"], rows[1]["src_height"]) == (2, 2)
+    assert not rows[2]["resize_ok"]
+    assert not rows[3]["resize_ok"]
+    # the same payloads through the metadata stage
+    meta = {r["media_id"]: r for r in extract_image_meta(df).collect()}
+    # header-only metadata legitimately decodes for all three (the
+    # 26-byte PNG prefix contains a complete IHDR w/h/colortype) — the
+    # body corruption surfaces only at the pixel stage above
+    assert meta[1]["decode_ok"] and meta[2]["decode_ok"] and meta[3]["decode_ok"]
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """ITU T.81 allows any number of 0xFF fill bytes before a marker;
+    real encoders emit them. The SOF scan must skip them."""
+    app0 = (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + b"\x00\x01\x00\x01\x00\x00"
+    )
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 4, 6, 3) + b"\x01\x11\x00"
+    jpeg = b"\xff\xd8" + app0 + b"\xff" + sof0 + b"\xff\xd9"
+    assert decode_image_meta(jpeg) == (6, 4, 3)
+
+
+def test_resize_never_upscales_real_formats(spark):
+    """Shrink-only thumbnail semantics: a 2x1 PNG with max_side=8 comes
+    back 2x1 (matching Pillow's thumbnail), not upscaled to 8x4."""
+    df = spark.createDataFrame(
+        [(1, tiny_png(2, 1))], "media_id long, content binary"
+    )
+    row = resize_media(df, max_side=8).collect()[0]
+    assert row["resize_ok"]
+    assert (row["width"], row["height"]) == (2, 1)
