@@ -24,83 +24,83 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.relational.flagship_star_revenue(spark, "/root/testdata/sf0.001")
 
 
-# Round-9 rotation: the driver records EXACTLY 50 rows per round
-# (count cap, observed every recorded round r01-r08) against 145+
+# Round-10 rotation: the driver records EXACTLY 50 rows per round
+# (count cap, observed every recorded round r01-r09) against 146
 # declared queries — ordering decides which names get rows. _PRIORITY
-# for r09 pins exactly the 50 names whose last green row is r05 (no
-# row in the {r07, r08} window — r06 had no recording, so the stale
-# backlog is a full round's worth). tests/test_rotation_staleness.py
-# enforces this: every stale name must sit inside the front BUDGET
-# (=50, the observed cap) positions. The two union-find consumers
-# whose execution path changed in r08 (doc_neardup_clusters,
-# doc_cluster_best) are in this set and re-record naturally;
-# doc_dedup_decisions (also union-find, recorded green r08) gets a
-# builder-side one-off oracle check instead of a driver slot.
-# Names recorded green in r07/r08 come last via _modules() — they
-# re-enter the front in r10 (sustainable at 145-150 declared:
-# 2 recent rounds x 50 + front 50 = 150).
+# for r10 pins the 45 names whose last green row is r07 (no row in the
+# {r08, r09} window) plus doc_pii_scrub (implemented r09, never yet
+# recorded). tests/test_rotation_staleness.py enforces this: every
+# stale name must sit inside the front BUDGET (=50) positions; rotating
+# _PRIORITY from that test's failure list is the mandatory first act of
+# every round, and the round-N CORRECTNESS/BENCH artifacts must be
+# committed in the SAME commit as the rotation (otherwise the untracked
+# artifact slides the 2-round window and reddens the suite mid-round).
+#
+# QUERY-SURFACE POLICY (round 10, permanent): the declared surface is
+# CAPPED at 150 names — the staleness guard's sustainable bound
+# (2 recent rounds x 50 recorded + front 50 = 150,
+# tests/test_rotation_staleness.py:29-34). 146 are declared; at most
+# 4 net-new names may ever be added. New capabilities beyond that
+# budget must piggyback on an existing oracle row (extra columns on an
+# existing artifact) or be pytest-gated without a queries() slot.
+# tests/test_rotation_staleness.py::test_query_surface_within_cap
+# enforces the cap.
 _PRIORITY = [
-    # profiling / sketches / pruning — last green r05
-    "customer_revenue_deciles",
-    "order_grouping_sets",
-    "lineitem_stats_profile",
-    "join_key_skew_report",
-    "orders_approx_distinct_sketch",
-    "lineitem_quantile_sketch",
-    "events_sketch_rollup",
-    "events_user_overlap_theta",
-    "dpp_dim_filtered_sales",
-    "bloom_pruned_fact_join",
-    "embedding_quantize_int8",
-    # text / dedup family — last green r05
-    "doc_text_stats",
-    "doc_exact_dedup",
-    "doc_dedup_keep_first",
-    "doc_ngram_jaccard_pairs",
-    "doc_minhash_lsh_pairs",
-    "doc_simhash",
-    "doc_simhash_pairs",
-    "doc_winnowing_pairs",
-    "doc_winnowing_fingerprints",
-    "doc_neardup_clusters",  # union-find path changed r08 — re-verify
-    "doc_incremental_dedup",
-    "doc_lang_id",
-    "doc_fingerprint",
-    "doc_quality_filter",
-    "doc_repetition_stats",
-    "doc_hash_sample",
-    "doc_chunk_windows",
-    "doc_binary_stats",
-    "doc_media_sampled",
-    # curation — last green r05; segment_dedup + unigram_familiarity
-    # rewritten this round (hash-shuffle / bounded broadcast) — their
-    # r09 rows double as the regression gate for those rewrites
-    "doc_segment_dedup",
-    "doc_unigram_familiarity",
-    "doc_cluster_best",  # union-find path changed r08 — re-verify
-    "customer_pii_masked",
-    # streaming — last green r05
-    "stream_tumbling_counts",
-    "stream_dedup_count",
-    "stream_session_windows",
-    "stream_scd2_upsert",
-    "stream_click_attribution",
-    "stream_static_enrichment",
-    # events — last green r05
-    "events_tumbling_10m",
-    "events_sliding_10m_5m",
-    "events_sessionization",
-    "events_json_flatten",
-    "events_first_per_user_type",
-    "events_purchase_attribution",
-    "events_close_pairs",
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_gapfill_10m",
-    # --- position 51+: new-in-r09 queries (never recorded; the
-    # staleness guard's new-query grace window covers them — they are
-    # next in line once the 50-name stale backlog clears in r10)
+    # relational core — last green r07
+    "flagship_star_revenue",
+    "pricing_summary",
+    "kpi_summary",
+    "daily_sales_trend",
+    "segment_sales",
+    "category_share",
+    "supplier_pareto",
+    "orders_join_cardinality",
+    "orders_price_drift_screen",
+    "lineitem_observed_clean",
+    "lineitem_equidepth_histogram",
+    "federated_segment_revenue",
+    "customer_k_anonymity",
+    # warehouse / maintenance — last green r07
+    "scd2_partition_merge",
+    "dim_snapshot_diff",
+    "fact_late_arriving_dim",
+    "fact_layout_skipping",
+    "mart_incremental_refresh",
+    "warehouse_compaction_report",
+    "warehouse_key_erasure",
+    "scan_partition_planner",
+    # events / anomaly — last green r07
+    "events_cdc_compaction",
+    "events_ewma_anomaly",
+    "events_mad_outliers",
+    "events_heavy_hitters",
+    "events_rolling_distinct_users",
+    "events_sketch_cube",
+    # streaming replays — last green r07
+    "stream_audit_replay",
+    "stream_cdc_compaction",
+    "stream_mart_refresh",
+    "stream_substring_dedup",
+    # vectors / ANN — last green r07
+    "ann_quality_report",
+    "embedding_matryoshka_recall",
+    # LLM-data ops — last green r07
+    "doc_dedup_decisions",
+    "doc_edit_distance_pairs",
+    "doc_media_resized",
+    "doc_classifier_quality_score",
+    "doc_contamination",
+    "doc_mixture_allocation",
+    "doc_pack_sequences",
+    "doc_stratified_sample",
+    "doc_tfidf_top_terms",
+    "doc_train_split",
+    "doc_unicode_clean",
+    "vocab_top_tokens",
+    # never recorded — implemented r09, judge-verified, needs its first
+    # driver row to close the ledger at 146/146
     "doc_pii_scrub",
+    # --- position 47+: 4 free slots remain under the 150-name cap ---
 ]
 
 

@@ -107,3 +107,21 @@ def test_latest_round_red_rows_are_front_loaded():
         f"round {rnd} rows {unqueued} are non-green and NOT front-loaded "
         f"in __spark_entry__.queries() — add them to _PRIORITY"
     )
+
+
+def test_query_surface_within_cap():
+    """Round-10 policy: the declared query surface is capped at the
+    guard's sustainable bound (2 recent rounds x BUDGET recorded +
+    BUDGET front = 150 names). Beyond that, a stale backlog can exceed
+    the front window and the staleness guard becomes permanently
+    unsatisfiable. New capabilities must piggyback on existing oracle
+    rows (extra columns) or be pytest-gated without a queries() slot.
+    See the QUERY-SURFACE POLICY note above _PRIORITY in
+    __spark_entry__.py."""
+    cap = (MAX_STALE_ROUNDS + 1) * BUDGET
+    order = list(_entry().queries())
+    assert len(order) <= cap, (
+        f"{len(order)} declared queries exceed the sustainable cap of "
+        f"{cap} — fold the new capability into an existing oracle row "
+        f"instead of adding a queries() entry"
+    )
