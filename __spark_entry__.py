@@ -100,7 +100,10 @@ _PRIORITY = [
     # never recorded — implemented r09, judge-verified, needs its first
     # driver row to close the ledger at 146/146
     "doc_pii_scrub",
-    # --- position 47+: 4 free slots remain under the 150-name cap ---
+    # new in r10 (AV header metadata tier) — surface now 147 of the
+    # 150-name cap; 3 free slots remain
+    "doc_av_meta",
+    # --- position 48+: 3 free slots remain under the 150-name cap ---
 ]
 
 

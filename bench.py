@@ -125,6 +125,7 @@ HEADLINE = [
     "orders_price_drift_screen",
     "events_rolling_distinct_users",
     "doc_media_resized",
+    "doc_av_meta",  # Spark builds+parses real container bytes; oracle is arithmetic
     "warehouse_compaction_report",
     "dim_snapshot_diff",
     "join_key_skew_report",
@@ -175,6 +176,7 @@ WORK_ASYMMETRIC = {
     "fact_late_arriving_dim",
     "warehouse_compaction_report",
     "doc_media_resized",
+    "doc_av_meta",  # Spark builds+parses real container bytes; oracle is arithmetic
     "events_sketch_cube",
     "scd2_partition_merge",
     "mart_incremental_refresh",

@@ -69,14 +69,15 @@ def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global segment dedup + reassembly. One row per doc: segment
     counts and the cleaned text built from surviving segments.
 
-    Plan shape (the 100 TB shape): segment text NEVER crosses an
-    exchange. The keep-first window partitions by ``xxhash64(seg)`` —
-    an 8-byte key — so the decision shuffle carries (doc_id, seg_idx,
-    hv) instead of the raw corpus (~mean-segment-length fewer shuffle
+    Plan shape (the 100 TB shape): the keep-first decision exchange
+    carries only 8-byte keys. The window partitions by
+    ``xxhash64(seg)`` so that shuffle moves (doc_id, seg_idx, hv)
+    instead of raw segment text (~mean-segment-length fewer shuffle
     bytes; the same trick as ``operators/spans.py`` window hashes).
-    Survivor indexes come back as a per-doc sorted int array, and the
-    join against the doc-grain segment frame regenerates the surviving
-    text locally from ``__segs``. Cost trade: the tokenize+segment
+    Survivor indexes come back as a per-doc sorted int array; the
+    doc-grain token arrays still shuffle ONCE on ``doc_id`` for the
+    reassembly join, where the surviving text is regenerated locally
+    from ``__toks``. Cost trade: the tokenize+segment
     projection is computed on both subtrees (scan-parallel CPU, no
     exchange) — recomputing a codegen'd split/slice is cheaper at scale
     than shuffling raw text twice. Hash collisions: two distinct
