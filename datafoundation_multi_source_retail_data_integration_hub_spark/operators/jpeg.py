@@ -1,0 +1,592 @@
+"""Pure-Python baseline-sequential JPEG codec (decode + a minimal
+test-fixture encoder).
+
+Closes the last Pillow dependence in the multimodal pixel tier
+(VERDICT r09 directive 7): baseline DCT / Huffman JPEGs — the dominant
+real-corpus format — now decode to raw 8-bit pixels with stdlib only,
+so ``resize_media`` yields real thumbnails in a codec-less environment.
+Supported: SOF0 (baseline sequential), 8-bit samples, grayscale and
+3-component YCbCr at 4:4:4 / 4:2:2 / 4:2:0 (any sampling factors ≤ 2
+compose through the generic per-component upsampler), restart markers.
+Progressive (SOF2), arithmetic coding, and 12-bit precision raise
+``ValueError``/``NotImplementedError`` — callers fall back to Pillow or
+surface ``resize_ok=false`` data rows, never task failures.
+
+Interpreted per-pixel loops are ~100x slower than a C codec; like the
+PNG/GIF paths, this is the deterministic fallback/oracle tier — bulk
+pipelines prefer Pillow via ``resize_image(backend="native")``.
+
+This module is written from the public JPEG spec (ITU-T T.81): marker
+layout §B.2, Huffman table construction §C.2, the decode procedure
+§F.2.2, and the Annex K reference quantization/Huffman tables for the
+encoder.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+# zigzag order: index i of the scan -> position in the 8x8 block
+ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# separable 8-point DCT-III basis: _COS[u][x] = C(u) * cos((2x+1)u*pi/16) / 2
+_COS = [
+    [
+        (math.sqrt(0.5) if u == 0 else 1.0)
+        * math.cos((2 * x + 1) * u * math.pi / 16)
+        / 2.0
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    unstuffing; stops at any non-RST marker (left for the caller)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("malformed JPEG: entropy data truncated")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2  # stuffed 0xFF data byte
+            else:
+                # a real marker: per §F.2.2.5 the decoder pads with 1-bits
+                # at the end of the interval; keep pos ON the marker
+                self.bits = (self.bits << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.bits = (self.bits << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> None:
+        """Drop buffered bits and skip to the next marker boundary (used
+        at restart intervals)."""
+        self.bits = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and d[self.pos + 1] != 0x00:
+                return
+            self.pos += 1
+
+
+def _build_huffman(counts: bytes, symbols: bytes) -> dict[tuple[int, int], int]:
+    """(code_length, code) -> symbol, per T.81 Annex C code assignment."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("malformed JPEG: invalid Huffman code")
+
+
+def _extend(v: int, n: int) -> int:
+    # §F.2.2.1 EXTEND: map the n-bit magnitude to its signed value
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def _idct_2d(coef: list[int]) -> list[int]:
+    """8x8 inverse DCT -> level-shifted, clamped 8-bit samples."""
+    # rows then columns, separable; floats are IEEE-deterministic
+    tmp = [0.0] * 64
+    for y in range(8):
+        row = coef[y * 8 : y * 8 + 8]
+        if not any(row):
+            continue
+        base = y * 8
+        for x in range(8):
+            cx = _COS
+            s = 0.0
+            for u in range(8):
+                if row[u]:
+                    s += row[u] * cx[u][x]
+            tmp[base + x] = s
+    out = [0] * 64
+    for x in range(8):
+        col = [tmp[y * 8 + x] for y in range(8)]
+        for y in range(8):
+            s = 0.0
+            for v in range(8):
+                if col[v]:
+                    s += col[v] * _COS[v][y]
+            p = int(round(s)) + 128
+            out[y * 8 + x] = 0 if p < 0 else (255 if p > 255 else p)
+    return out
+
+
+def decode_baseline(p: bytes) -> tuple[int, int, int, bytearray]:
+    """Decode a baseline-sequential JPEG to (w, h, channels, pixels),
+    row-major interleaved 8-bit — same contract as
+    ``multimodal._png_decode_pixels``. Grayscale stays 1 channel;
+    YCbCr converts to RGB (JFIF full-range BT.601)."""
+    if p[:2] != b"\xff\xd8":
+        raise ValueError("malformed JPEG: no SOI")
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (w, h, comps) ; comps = [(cid, hs, vs, tq)]
+    restart_interval = 0
+    i = 2
+    n = len(p)
+    while i + 4 <= n:
+        if p[i] != 0xFF:
+            raise ValueError("malformed JPEG: lost marker sync")
+        marker = p[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before any scan
+            break
+        (seglen,) = struct.unpack(">H", p[i + 2 : i + 4])
+        seg = p[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                tbl = [0] * 64
+                for k in range(64):
+                    tbl[ZIGZAG[k]] = seg[j + 1 + k]
+                qt[tq] = tbl
+                j += 65
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                counts = seg[j + 1 : j + 17]
+                nsym = sum(counts)
+                symbols = seg[j + 17 : j + 17 + nsym]
+                tbl = _build_huffman(counts, symbols)
+                (huff_dc if tc == 0 else huff_ac)[th] = tbl
+                j += 17 + nsym
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("non-8-bit JPEG precision")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (fw, fh, comps)
+        elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            raise NotImplementedError(
+                f"JPEG frame type 0x{marker:02x} (only baseline SOF0)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            if frame is None:
+                raise ValueError("malformed JPEG: SOS before SOF0")
+            ns = seg[0]
+            scan = []  # (comp_index, dc_table, ac_table)
+            for s in range(ns):
+                cs, tt = seg[1 + 2 * s], seg[2 + 2 * s]
+                idx = next(
+                    (k for k, c in enumerate(frame[2]) if c[0] == cs), None
+                )
+                if idx is None:
+                    raise ValueError("malformed JPEG: scan names unknown component")
+                scan.append((idx, tt >> 4, tt & 0x0F))
+            return _decode_scan(
+                p, i + 2 + seglen, frame, scan, qt, huff_dc, huff_ac, restart_interval
+            )
+        i += 2 + seglen
+    raise ValueError("malformed JPEG: no scan data")
+
+
+def _decode_scan(
+    p: bytes,
+    pos: int,
+    frame,
+    scan,
+    qt,
+    huff_dc,
+    huff_ac,
+    restart_interval: int,
+) -> tuple[int, int, int, bytearray]:
+    fw, fh, comps = frame
+    if fw == 0 or fh == 0:
+        raise ValueError("malformed JPEG: zero dimension")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise ValueError("malformed JPEG: bad sampling factors")
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    # per-component pixel planes at their own resolution
+    planes = []
+    for _, hs, vs, _ in comps:
+        planes.append(bytearray(mcus_x * hs * 8 * mcus_y * vs * 8))
+    br = _BitReader(p, pos)
+    pred = [0] * len(comps)
+    mcu_index = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                br.align_to_marker()
+                d = br.data
+                if br.pos + 1 < len(d) and d[br.pos] == 0xFF and 0xD0 <= d[br.pos + 1] <= 0xD7:
+                    br.pos += 2
+                    pred = [0] * len(comps)
+                else:
+                    raise ValueError("malformed JPEG: missing restart marker")
+            for ci, tdc, tac in scan:
+                _, hs, vs, tq = comps[ci]
+                quant = qt.get(tq)
+                if quant is None:
+                    raise ValueError("malformed JPEG: missing quant table")
+                dc_tbl = huff_dc.get(tdc)
+                ac_tbl = huff_ac.get(tac)
+                if dc_tbl is None or ac_tbl is None:
+                    raise ValueError("malformed JPEG: missing Huffman table")
+                for by in range(vs):
+                    for bx in range(hs):
+                        coef = [0] * 64
+                        t = _huff_decode(br, dc_tbl)
+                        diff = _extend(br.receive(t), t)
+                        pred[ci] += diff
+                        coef[0] = pred[ci] * quant[0]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, ac_tbl)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("malformed JPEG: AC index overflow")
+                            coef[ZIGZAG[k]] = _extend(br.receive(s), s) * quant[k]
+                            k += 1
+                        block = _idct_2d(coef)
+                        # paste into the component plane
+                        pw = mcus_x * hs * 8
+                        ox = (mx * hs + bx) * 8
+                        oy = (my * vs + by) * 8
+                        plane = planes[ci]
+                        for row in range(8):
+                            dst = (oy + row) * pw + ox
+                            plane[dst : dst + 8] = bytes(
+                                block[row * 8 : row * 8 + 8]
+                            )
+            mcu_index += 1
+    # upsample each plane to frame resolution and interleave
+    nc = len(comps)
+    if nc == 1:
+        _, hs, vs, _ = comps[0]
+        pw = mcus_x * hs * 8
+        out = bytearray(fw * fh)
+        for y in range(fh):
+            src = y * pw
+            out[y * fw : (y + 1) * fw] = planes[0][src : src + fw]
+        return fw, fh, 1, out
+    if nc != 3:
+        raise NotImplementedError(f"{nc}-component JPEG (only 1 or 3)")
+    out = bytearray(fw * fh * 3)
+    pws = [mcus_x * c[1] * 8 for c in comps]
+    for y in range(fh):
+        row_src = []
+        for ci, (_, hs, vs, _) in enumerate(comps):
+            sy = y * vs // vmax
+            row_src.append(sy * pws[ci])
+        base = y * fw * 3
+        for x in range(fw):
+            yy = planes[0][row_src[0] + x * comps[0][1] // hmax]
+            cb = planes[1][row_src[1] + x * comps[1][1] // hmax] - 128
+            cr = planes[2][row_src[2] + x * comps[2][1] // hmax] - 128
+            r = yy + 1.402 * cr
+            g = yy - 0.344136 * cb - 0.714136 * cr
+            b = yy + 1.772 * cb
+            o = base + x * 3
+            out[o] = 0 if r < 0 else (255 if r > 255 else int(r + 0.5))
+            out[o + 1] = 0 if g < 0 else (255 if g > 255 else int(g + 0.5))
+            out[o + 2] = 0 if b < 0 else (255 if b > 255 else int(b + 0.5))
+    return fw, fh, 3, out
+
+
+# ---------------------------------------------------------------------------
+# minimal encoder — test fixtures only (Pillow is absent in CI, so real
+# baseline streams must be built here). Single quant table of 1s keeps
+# the round-trip near-lossless; Huffman tables are the T.81 Annex K
+# luminance pair, valid for any symbol the encoder can emit.
+# ---------------------------------------------------------------------------
+
+_K3_DC_COUNTS = bytes((0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0))
+_K3_DC_SYMBOLS = bytes(range(12))
+_K5_AC_COUNTS = bytes((0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D))
+_K5_AC_SYMBOLS = bytes((
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+))
+
+
+def _encode_codes(counts: bytes, symbols: bytes) -> dict[int, tuple[int, int]]:
+    table = _build_huffman(counts, symbols)
+    return {sym: (length, code) for (length, code), sym in table.items()}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nacc += 1
+            if self.nacc == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nacc = 0
+
+    def flush(self) -> None:
+        while self.nacc:
+            self.write(1, 1)  # pad with 1-bits per the spec
+
+
+def _fdct_2d(block: list[int]) -> list[int]:
+    """Forward 8x8 DCT of level-shifted samples, rounded to ints."""
+    shifted = [s - 128 for s in block]
+    tmp = [0.0] * 64
+    for u in range(8):
+        for y in range(8):
+            s = 0.0
+            for x in range(8):
+                s += shifted[y * 8 + x] * _COS[u][x]
+            tmp[y * 8 + u] = s
+    out = [0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for y in range(8):
+                s += tmp[y * 8 + u] * _COS[v][y]
+            out[v * 8 + u] = int(round(s))
+    return out
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, raw bits) for a signed coefficient per §F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    n = a.bit_length()
+    bits = v if v > 0 else v + (1 << n) - 1
+    return n, bits
+
+
+def _encode_block(bw: _BitWriter, coef: list[int], pred: int, dc_codes, ac_codes) -> int:
+    diff = coef[0] - pred
+    n, bits = _magnitude(diff)
+    length, code = dc_codes[n]
+    bw.write(code, length)
+    if n:
+        bw.write(bits, n)
+    zz = [coef[ZIGZAG[k]] for k in range(64)]
+    run = 0
+    for k in range(1, 64):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        n, bits = _magnitude(zz[k])
+        length, code = ac_codes[(run << 4) | n]
+        bw.write(code, length)
+        bw.write(bits, n)
+        run = 0
+    if run:
+        length, code = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return coef[0]
+
+
+def _plane_block(plane: list[int], pw: int, ph: int, ox: int, oy: int) -> list[int]:
+    """8x8 block at (ox, oy) with edge replication past the plane."""
+    block = [0] * 64
+    for y in range(8):
+        sy = min(oy + y, ph - 1)
+        row = sy * pw
+        for x in range(8):
+            block[y * 8 + x] = plane[row + min(ox + x, pw - 1)]
+    return block
+
+
+def encode_baseline(
+    w: int,
+    h: int,
+    pixels: bytes,
+    channels: int = 1,
+    sampling: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode 8-bit pixels (grayscale or interleaved RGB) as a real
+    baseline-sequential JPEG: unity quant table (near-lossless — a
+    round-trip differs only by DCT/color rounding), Annex K luminance
+    Huffman tables for every component, optional luma subsampling
+    (``sampling=(2,2)`` gives 4:2:0 with box-averaged chroma) and
+    restart markers. Test-fixture tier: correctness over speed."""
+    if len(pixels) != w * h * channels:
+        raise ValueError("pixel buffer does not match dimensions")
+    if channels not in (1, 3):
+        raise ValueError("encoder supports 1 (gray) or 3 (RGB) channels")
+    hs, vs = sampling
+    if channels == 1:
+        comps = [(1, (1, 1))]
+        planes = [list(pixels)]
+        pdims = [(w, h)]
+    else:
+        yp, cbp, crp = [], [], []
+        for i in range(0, len(pixels), 3):
+            r, g, b = pixels[i], pixels[i + 1], pixels[i + 2]
+            yv = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+            cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+            yp.append(max(0, min(255, int(yv + 0.5))))
+            cbp.append(max(0, min(255, int(cb + 0.5))))
+            crp.append(max(0, min(255, int(cr + 0.5))))
+        comps = [(1, (hs, vs)), (2, (1, 1)), (3, (1, 1))]
+        cw, ch_ = -(-w // hs), -(-h // vs)
+
+        def down(p: list[int]) -> list[int]:
+            if (hs, vs) == (1, 1):
+                return p
+            out = []
+            for y in range(ch_):
+                for x in range(cw):
+                    acc = cnt = 0
+                    for dy in range(vs):
+                        for dx in range(hs):
+                            sx, sy = x * hs + dx, y * vs + dy
+                            if sx < w and sy < h:
+                                acc += p[sy * w + sx]
+                                cnt += 1
+                    out.append((acc + cnt // 2) // cnt)
+            return out
+
+        planes = [yp, down(cbp), down(crp)]
+        pdims = [(w, h), (cw, ch_), (cw, ch_)]
+    dc_codes = _encode_codes(_K3_DC_COUNTS, _K3_DC_SYMBOLS)
+    ac_codes = _encode_codes(_K5_AC_COUNTS, _K5_AC_SYMBOLS)
+    hmax = max(c[1][0] for c in comps)
+    vmax = max(c[1][1] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    bw = _BitWriter()
+    preds = [0] * len(comps)
+    mcu = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                preds = [0] * len(comps)
+            for ci, (_, (chs, cvs)) in enumerate(comps):
+                pw, ph = pdims[ci]
+                for by in range(cvs):
+                    for bx in range(chs):
+                        block = _plane_block(
+                            planes[ci], pw, ph,
+                            (mx * chs + bx) * 8, (my * cvs + by) * 8,
+                        )
+                        preds[ci] = _encode_block(
+                            bw, _fdct_2d(block), preds[ci], dc_codes, ac_codes
+                        )
+            mcu += 1
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", 2 + len(payload)) + payload
+
+    dqt = seg(0xDB, bytes((0x00,)) + bytes(1 for _ in range(64)))
+    sof_comps = b"".join(
+        bytes((cid, (chs << 4) | cvs, 0)) for cid, (chs, cvs) in comps
+    )
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, len(comps)) + sof_comps)
+    dht = seg(
+        0xC4,
+        bytes((0x00,)) + _K3_DC_COUNTS + _K3_DC_SYMBOLS
+        + bytes((0x10,)) + _K5_AC_COUNTS + _K5_AC_SYMBOLS,
+    )
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    sos_comps = b"".join(bytes((cid, 0x00)) for cid, _ in comps)
+    sos = seg(0xDA, bytes((len(comps),)) + sos_comps + bytes((0, 63, 0)))
+    return (
+        b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(bw.out) + b"\xff\xd9"
+    )
+
+
+def encode_baseline_gray(w: int, h: int, pixels: bytes) -> bytes:
+    """Grayscale convenience wrapper over ``encode_baseline``."""
+    return encode_baseline(w, h, pixels, channels=1)

@@ -12,11 +12,12 @@ The codec boundary has three tiers:
   (width, height, channels) in any environment;
 - **pixel decode / resize**: PNGs (all five color types, 1/2/4/8/16-bit
   depths with high-byte downsample, palette->RGB expansion, Adam7
-  interlace, the five scanline filters) and GIF first frames
-  (variable-width LZW, deinterlace, palette compose) decode,
-  nearest-neighbor resize, and re-encode in PURE PYTHON — real
-  thumbnails with no raster dependency and deterministic integer
-  arithmetic; JPEG pixels (entropy-coded DCT) use Pillow when
+  interlace, the five scanline filters), GIF first frames
+  (variable-width LZW, deinterlace, palette compose), and baseline
+  JPEGs (Huffman + IDCT, gray/YCbCr 4:4:4/4:2:2/4:2:0, restart
+  markers — ``operators/jpeg.py``) decode, nearest-neighbor resize,
+  and re-encode in PURE PYTHON — real thumbnails with no raster
+  dependency; progressive/arithmetic JPEG streams use Pillow when
   importable, else the row surfaces as ``resize_ok=false`` — never a
   task failure;
 - the FAKE format (``fake_image_bytes``) keeps its fully-deterministic
@@ -301,6 +302,17 @@ def _png_resize(payload: bytes, max_side: int) -> bytes:
     return _png_encode(dw, dh, ch, bytes(out))
 
 
+def _jpeg_resize(payload: bytes, max_side: int) -> bytes:
+    """Baseline-sequential JPEG -> PNG thumbnail via the pure decoder
+    (``operators/jpeg.py``); progressive/arithmetic streams raise
+    NotImplementedError for the caller's Pillow fallback."""
+    from .jpeg import decode_baseline
+
+    w, h, ch, data = decode_baseline(payload)
+    dw, dh, out = _nn_resample(w, h, ch, data, max_side)
+    return _png_encode(dw, dh, ch, bytes(out))
+
+
 def _gif_decode_pixels(p: bytes) -> tuple[int, int, int, bytearray]:
     """Decode the FIRST frame of a GIF87a/89a to raw RGB pixels via a
     pure-Python LZW decoder (variable code width, clear/EOI codes, the
@@ -553,9 +565,10 @@ def resize_image(payload: bytes, max_side: int, backend: str = "native") -> byte
       unfilter/LZW here, and at real-corpus scale decode dominates the
       stage. The pure-Python path is the fallback when Pillow is
       absent or rejects the stream.
-    - ``"pure"``: stdlib-only PNG/GIF raster paths first — bit-exact
-      deterministic on any machine, so oracle queries and tests pin
-      this backend; Pillow only as a corrupt-stream fallback.
+    - ``"pure"``: stdlib-only PNG/GIF/baseline-JPEG raster paths first
+      — bit-exact deterministic on any machine, so oracle queries and
+      tests pin this backend; Pillow only as a corrupt-stream (or
+      progressive-JPEG) fallback.
 
     All paths are SHRINK-ONLY (upscaling is never performed, the
     standard thumbnail semantics); with no backend able to decode,
@@ -584,6 +597,15 @@ def resize_image(payload: bytes, max_side: int, backend: str = "native") -> byte
                 # pure-Python LZW first-frame path -> PNG thumbnail
                 return _gif_resize(payload, max_side)
             except _CORRUPT:
+                if _PILImage is None:
+                    raise
+        elif payload[:2] == b"\xff\xd8":
+            try:
+                # pure-Python baseline Huffman+IDCT path -> PNG thumbnail
+                return _jpeg_resize(payload, max_side)
+            except _CORRUPT + (struct.error, NotImplementedError):
+                # progressive/arithmetic/12-bit (NotImplementedError) or
+                # a corrupt stream: Pillow if present, else surface
                 if _PILImage is None:
                     raise
         if _PILImage is None:

@@ -1,0 +1,140 @@
+"""Pure-Python baseline JPEG codec (VERDICT r09 directive 7).
+
+Fixtures are REAL baseline-sequential streams built by the module's own
+encoder (unity quant tables -> near-lossless round-trips), so the
+decoder is exercised on spec-valid Huffman/DCT data with no Pillow in
+the environment. The done-criterion test: a real baseline JPEG flows
+through ``resize_media`` with ``resize_ok=true`` and Pillow absent.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datafoundation_multi_source_retail_data_integration_hub_spark.operators import (
+    jpeg as J,
+)
+from datafoundation_multi_source_retail_data_integration_hub_spark.operators import (
+    multimodal as MM,
+)
+
+
+def _gray(w: int, h: int) -> bytes:
+    return bytes((x * 13 + y * 29) % 256 for y in range(h) for x in range(w))
+
+
+def _rgb(w: int, h: int) -> bytes:
+    return bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in (min(255, 2 * x + y), min(255, x + 2 * y), (x + y) // 2)
+    )
+
+
+def test_gray_roundtrip_near_lossless():
+    pix = _gray(16, 12)
+    dw, dh, ch, out = J.decode_baseline(J.encode_baseline(16, 12, pix))
+    assert (dw, dh, ch) == (16, 12, 1)
+    assert max(abs(a - b) for a, b in zip(pix, out)) <= 2
+
+
+def test_non_multiple_of_8_dims_pad_and_crop():
+    pix = _gray(17, 9)
+    dw, dh, ch, out = J.decode_baseline(J.encode_baseline(17, 9, pix))
+    assert (dw, dh, ch) == (17, 9, 1)
+    assert len(out) == 17 * 9
+    assert max(abs(a - b) for a, b in zip(pix, out)) <= 2
+
+
+@pytest.mark.parametrize(
+    "sampling,tol",
+    [((1, 1), 4), ((2, 2), 5), ((2, 1), 5), ((1, 2), 5)],
+)
+def test_color_roundtrip_all_samplings(sampling, tol):
+    pix = _rgb(20, 12)
+    enc = J.encode_baseline(20, 12, pix, channels=3, sampling=sampling)
+    dw, dh, ch, out = J.decode_baseline(enc)
+    assert (dw, dh, ch) == (20, 12, 3)
+    assert max(abs(a - b) for a, b in zip(pix, out)) <= tol
+
+
+def test_restart_markers_reset_dc_prediction():
+    pix = _gray(48, 8)
+    enc = J.encode_baseline(48, 8, pix, restart_interval=2)
+    assert b"\xff\xd0" in enc  # RST0 actually emitted
+    dw, dh, ch, out = J.decode_baseline(enc)
+    assert (dw, dh, ch) == (48, 8, 1)
+    assert max(abs(a - b) for a, b in zip(pix, out)) <= 2
+
+
+def test_color_with_restart_and_subsampling():
+    pix = _rgb(24, 24)
+    enc = J.encode_baseline(24, 24, pix, channels=3, sampling=(2, 2), restart_interval=1)
+    dw, dh, ch, out = J.decode_baseline(enc)
+    assert (dw, dh, ch) == (24, 24, 3)
+    assert max(abs(a - b) for a, b in zip(pix, out)) <= 5
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**31),
+)
+def test_gray_roundtrip_property(w, h, seed):
+    pix = bytes((seed + x * 7 + y * 31 + (x * y) % 13) % 256 for y in range(h) for x in range(w))
+    dw, dh, ch, out = J.decode_baseline(J.encode_baseline(w, h, pix))
+    assert (dw, dh, ch) == (w, h, 1)
+    assert max(abs(a - b) for a, b in zip(pix, out)) <= 2
+
+
+def test_progressive_raises_notimplemented():
+    enc = bytearray(J.encode_baseline(8, 8, _gray(8, 8)))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        J.decode_baseline(bytes(enc))
+
+
+def test_truncated_entropy_data_raises_valueerror():
+    enc = J.encode_baseline(16, 16, _gray(16, 16))
+    with pytest.raises(ValueError):
+        J.decode_baseline(enc[: len(enc) // 2])
+
+
+def test_resize_image_pure_path_decodes_baseline_jpeg():
+    enc = J.encode_baseline(32, 16, _gray(32, 16))
+    out = MM.resize_image(enc, 8, backend="pure")
+    assert out[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h, c = MM.decode_image_meta(out)
+    assert (w, h, c) == (8, 4, 1)
+
+
+def test_real_jpeg_through_resize_media_no_pillow(spark):
+    """Directive 7 done-criterion: baseline JPEG -> resize_ok=true with
+    Pillow absent (it is not installed in this container)."""
+    assert MM._PILImage is None, "test environment unexpectedly has Pillow"
+    enc = J.encode_baseline(24, 12, _rgb(24, 12), channels=3, sampling=(2, 2))
+    df = spark.createDataFrame(
+        [(1, bytearray(enc))], "media_id long, content binary"
+    )
+    row = MM.resize_media(df, max_side=6).collect()[0]
+    assert row["resize_ok"] is True
+    assert (row["src_width"], row["src_height"]) == (24, 12)
+    assert (row["width"], row["height"]) == (6, 3)
+
+
+def test_progressive_jpeg_degrades_to_data_row(spark):
+    enc = bytearray(J.encode_baseline(8, 8, _gray(8, 8)))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(enc)))], "media_id long, content binary"
+    )
+    row = MM.resize_media(df, max_side=4).collect()[0]
+    # header still parses (SOF walk accepts SOF2 dims); pixels don't
+    assert (row["src_width"], row["src_height"]) == (8, 8)
+    assert row["resize_ok"] is False
