@@ -127,9 +127,13 @@ def apply_batch(
         # materialized: the merge reads the very table the write replaces
         merged = merge_state(
             W.read_table(spark, table, database=database), partial, cfg
-        ).localCheckpoint(eager=True)
+        )
     else:
         merged = partial
+    # checkpoint BOTH paths: the table write and the audit-count agg
+    # below each consume ``merged`` — uncheckpointed, the first batch
+    # would pay the full batch aggregation twice
+    merged = merged.localCheckpoint(eager=True)
     W.write_table(merged, table, database=database)
     n = merged.agg(F.sum(cfg.count_col)).first()[0]
     log_run(

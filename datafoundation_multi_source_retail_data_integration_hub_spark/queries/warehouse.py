@@ -380,9 +380,9 @@ def _scd2_partition_merge(spark: SparkSession, sf_dir: str, db: str) -> DataFram
     before = stored().localCheckpoint(eager=True)
     delta2.write.insertInto(name, overwrite=True)
     after = stored()
+    # multiset equality in ONE job: both directed differences are empty
     replay_ok = (
-        after.exceptAll(before).count() == 0
-        and before.exceptAll(after).count() == 0
+        after.exceptAll(before).union(before.exceptAll(after)).isEmpty()
     )
     return (
         after.withColumn("untouched_partition_stable", F.lit(bool(untouched_ok)))
@@ -683,25 +683,30 @@ def _mart_incremental_refresh(spark: SparkSession, sf_dir: str, db: str) -> Data
     from ..sources import writers as W
 
     cfg = _ivm_cfg()
-    fact = mart_ivm_fact(spark, sf_dir)
+    # the join feeding the fact is consumed by BOTH batch filters —
+    # persist so it computes once (unpersisted before return)
+    fact = mart_ivm_fact(spark, sf_dir).persist()
     mart = "mart_daily_state"
     t0 = datetime(2026, 1, 1, 0, 0, 0)
 
     def apply(batch_id: str, batch_fact: DataFrame) -> bool:
         return ivm.apply_batch(spark, batch_fact, batch_id, mart, db, cfg, t0)
 
-    base_ok = apply("base", fact.filter(F.col("__ok") % IVM_DELTA_MOD != 0))
-    delta = fact.filter(F.col("__ok") % IVM_DELTA_MOD == 0)
-    delta_ok = apply("delta-1", delta)
-    # at-least-once redelivery of the SAME batch: guarded no-op
-    replay_skipped = not apply("delta-1", delta)
-    out = ivm.present(
-        W.read_table(spark, mart, database=db), cfg
-    ).withColumn(
-        "replay_skipped",
-        F.lit(bool(base_ok and delta_ok and replay_skipped)),
-    )
-    return out.localCheckpoint(eager=True)
+    try:
+        base_ok = apply("base", fact.filter(F.col("__ok") % IVM_DELTA_MOD != 0))
+        delta = fact.filter(F.col("__ok") % IVM_DELTA_MOD == 0)
+        delta_ok = apply("delta-1", delta)
+        # at-least-once redelivery of the SAME batch: guarded no-op
+        replay_skipped = not apply("delta-1", delta)
+        out = ivm.present(
+            W.read_table(spark, mart, database=db), cfg
+        ).withColumn(
+            "replay_skipped",
+            F.lit(bool(base_ok and delta_ok and replay_skipped)),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        fact.unpersist()
 
 
 def mart_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -660,7 +660,9 @@ def stream_mart_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import writers as W
 
     cfg = _ivm_cfg()
-    fact = mart_ivm_fact(spark, sf_dir)
+    # the fact join is consumed three times (base feed write, delta feed
+    # write, replay checkpoint) — persist so it computes once
+    fact = mart_ivm_fact(spark, sf_dir).persist()
     base = tempfile.mkdtemp(prefix="stream_mart_refresh_")
     src = f"{base}/incoming"
     db = f"stream_ivm_{uuid.uuid4().hex[:12]}"
@@ -714,6 +716,7 @@ def stream_mart_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     finally:
+        fact.unpersist()
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
         shutil.rmtree(base, ignore_errors=True)
     return out
