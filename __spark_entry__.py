@@ -25,7 +25,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Round-10 rotation: the driver records EXACTLY 50 rows per round
-# (count cap, observed every recorded round r01-r09) against 146
+# (count cap, observed every recorded round r01-r09) against 147
 # declared queries — ordering decides which names get rows. _PRIORITY
 # for r10 pins the 45 names whose last green row is r07 (no row in the
 # {r08, r09} window) plus doc_pii_scrub (implemented r09, never yet
@@ -39,8 +39,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # QUERY-SURFACE POLICY (round 10, permanent): the declared surface is
 # CAPPED at 150 names — the staleness guard's sustainable bound
 # (2 recent rounds x 50 recorded + front 50 = 150,
-# tests/test_rotation_staleness.py:29-34). 146 are declared; at most
-# 4 net-new names may ever be added. New capabilities beyond that
+# tests/test_rotation_staleness.py:29-34). 147 are declared (doc_av_meta
+# joined in r10); at most 3 net-new names may ever be added. New
+# capabilities beyond that
 # budget must piggyback on an existing oracle row (extra columns on an
 # existing artifact) or be pytest-gated without a queries() slot.
 # tests/test_rotation_staleness.py::test_query_surface_within_cap
