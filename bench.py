@@ -10,9 +10,9 @@ Gate queries are timed as the min of two consecutive runs (the first
 doubles as the per-query warm pass — tools/baseline_compare.py's
 methodology with one fewer rep), so the summary "value" is comparable
 to BASELINE_COMPARE.md's committed gate basis; expect a single session
-to read ~10-40% above the committed min-of-3 number (this box swings
+to read ~10-50% above the committed min-of-3 number (this box swings
 that much run-to-run — measured 73/88/77 s on identical code where the
-min-of-3 basis says 58.6 s). Work-asymmetric pipelines run once, cold,
+min-of-3 basis says 58.6 s, and 70.2 s against the r10 47.6 s basis). Work-asymmetric pipelines run once, cold,
 and are subtotaled separately.
 
 Each query is timed end-to-end: plan + execute + result delivery to the

@@ -174,8 +174,9 @@ def main() -> None:
         "Relation to the driver bench (`BENCH_r{N}.json`): bench.py's",
         "parsed summary `value` is the SAME work-symmetric gate subtotal,",
         "but measured min-of-2 in one fresh session — expect it to read",
-        "~10-40% above this file's min-of-3 number (measured 73/88/77 s",
-        "on identical r09 code against a 58.6 s min-of-3 basis; this",
+        "~10-50% above this file's min-of-3 number (measured 73/88/77 s",
+        "on identical r09 code against a 58.6 s min-of-3 basis, and",
+        "70.2 s on identical r10 code against this 47.6 s basis; the",
         "box's session-to-session swing, not a regression signal).",
     ]
     out = os.path.join(
