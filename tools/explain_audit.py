@@ -315,6 +315,37 @@ AUDITED = {
             r"\bExchange\b|HashAggregate|BatchEvalPython|ArrowEvalPython"
         ),
     },
+    "doc_binary_stats": {
+        # binary md5/length are JVM builtins: pure codegen projection,
+        # no Python stage despite the "multimodal" surface
+        "expect": ["codegen id"],
+        "forbid_pattern": (
+            r"\bExchange\b|HashAggregate|BatchEvalPython"
+            r"|ArrowEvalPython|MapInPandas"
+        ),
+    },
+    "doc_av_meta": {
+        # container header walk is the one genuinely-Python step:
+        # exactly one Arrow-batched MapInPandas stage, zero exchanges —
+        # the stage parallelizes with the scan at any corpus size
+        "expect": ["MapInPandas"],
+        "forbid_pattern": r"\bExchange\b|HashAggregate|BatchEvalPython",
+    },
+    "doc_media_resized": {
+        # decode/resize/re-encode rides one MapInPandas stage over the
+        # scan partitioning — no shuffle before or after
+        "expect": ["MapInPandas"],
+        "forbid_pattern": r"\bExchange\b|HashAggregate|BatchEvalPython",
+    },
+    "embedding_quantize_int8": {
+        # per-dim stats are constant-size driver literals; the corpus
+        # pass is a map-side codegen projection — no exchange, no Python
+        "expect": ["codegen id"],
+        "forbid_pattern": (
+            r"\bExchange\b|HashAggregate|BatchEvalPython"
+            r"|ArrowEvalPython|MapInPandas"
+        ),
+    },
 }
 
 
