@@ -229,6 +229,16 @@ def decode_baseline(p: bytes) -> tuple[int, int, int, bytearray]:
             if frame is None:
                 raise ValueError("malformed JPEG: SOS before SOF0")
             ns = seg[0]
+            if ns != len(frame[2]):
+                # a baseline JPEG may legally carry one scan per
+                # component; _decode_scan assumes the single fully
+                # interleaved scan — decoding a partial scan with MCU
+                # ordering would place blocks wrong and zero the other
+                # planes silently. Raise for the caller's Pillow fallback.
+                raise NotImplementedError(
+                    "non-interleaved baseline JPEG (scan covers "
+                    f"{ns} of {len(frame[2])} components)"
+                )
             scan = []  # (comp_index, dc_table, ac_table)
             for s in range(ns):
                 cs, tt = seg[1 + 2 * s], seg[2 + 2 * s]
@@ -258,6 +268,13 @@ def _decode_scan(
     fw, fh, comps = frame
     if fw == 0 or fh == 0:
         raise ValueError("malformed JPEG: zero dimension")
+    # decompression-bomb guard (same budget as multimodal's raster
+    # decoders): 16-bit dims allow a ~4-gigapixel declaration in a
+    # 200-byte payload, and the planes below allocate w*h up front
+    if fw * fh > (1 << 26):
+        raise ValueError(
+            f"decompression bomb: {fw}x{fh} exceeds the decode budget"
+        )
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
@@ -309,7 +326,12 @@ def _decode_scan(
                             k += r
                             if k > 63:
                                 raise ValueError("malformed JPEG: AC index overflow")
-                            coef[ZIGZAG[k]] = _extend(br.receive(s), s) * quant[k]
+                            # quant is stored de-zigzagged (natural order),
+                            # so index it at the coefficient's natural
+                            # position, not the scan position k
+                            coef[ZIGZAG[k]] = (
+                                _extend(br.receive(s), s) * quant[ZIGZAG[k]]
+                            )
                             k += 1
                         block = _idct_2d(coef)
                         # paste into the component plane
@@ -488,17 +510,26 @@ def encode_baseline(
     channels: int = 1,
     sampling: tuple[int, int] = (1, 1),
     restart_interval: int = 0,
+    quant: list[int] | None = None,
 ) -> bytes:
     """Encode 8-bit pixels (grayscale or interleaved RGB) as a real
-    baseline-sequential JPEG: unity quant table (near-lossless — a
-    round-trip differs only by DCT/color rounding), Annex K luminance
-    Huffman tables for every component, optional luma subsampling
-    (``sampling=(2,2)`` gives 4:2:0 with box-averaged chroma) and
-    restart markers. Test-fixture tier: correctness over speed."""
+    baseline-sequential JPEG: unity quant table by default (near-
+    lossless — a round-trip differs only by DCT/color rounding), Annex K
+    luminance Huffman tables for every component, optional luma
+    subsampling (``sampling=(2,2)`` gives 4:2:0 with box-averaged
+    chroma) and restart markers. ``quant`` takes a 64-entry NATURAL-
+    order table (values 1..255) — a non-flat table exercises the
+    decoder's zigzag<->natural dequantization pairing, which an all-1s
+    table cannot distinguish. Test-fixture tier: correctness over
+    speed."""
     if len(pixels) != w * h * channels:
         raise ValueError("pixel buffer does not match dimensions")
     if channels not in (1, 3):
         raise ValueError("encoder supports 1 (gray) or 3 (RGB) channels")
+    if quant is None:
+        quant = [1] * 64
+    if len(quant) != 64 or any(not 1 <= q <= 255 for q in quant):
+        raise ValueError("quant must be 64 entries in 1..255")
     hs, vs = sampling
     if channels == 1:
         comps = [(1, (1, 1))]
@@ -560,8 +591,12 @@ def encode_baseline(
                             planes[ci], pw, ph,
                             (mx * chs + bx) * 8, (my * cvs + by) * 8,
                         )
+                        f = _fdct_2d(block)
+                        qcoef = [
+                            int(round(f[i] / quant[i])) for i in range(64)
+                        ]
                         preds[ci] = _encode_block(
-                            bw, _fdct_2d(block), preds[ci], dc_codes, ac_codes
+                            bw, qcoef, preds[ci], dc_codes, ac_codes
                         )
             mcu += 1
     bw.flush()
@@ -569,7 +604,8 @@ def encode_baseline(
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes((0xFF, marker)) + struct.pack(">H", 2 + len(payload)) + payload
 
-    dqt = seg(0xDB, bytes((0x00,)) + bytes(1 for _ in range(64)))
+    # DQT payload is in ZIGZAG scan order; quant is natural-order
+    dqt = seg(0xDB, bytes((0x00,)) + bytes(quant[ZIGZAG[k]] for k in range(64)))
     sof_comps = b"".join(
         bytes((cid, (chs << 4) | cvs, 0)) for cid, (chs, cvs) in comps
     )

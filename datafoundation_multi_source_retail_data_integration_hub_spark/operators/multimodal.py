@@ -42,8 +42,15 @@ from pyspark.sql import functions as F
 
 try:  # optional raster backend for real pixel ops (absent in CI)
     from PIL import Image as _PILImage  # type: ignore
+
+    # DecompressionBombError subclasses Exception directly (NOT OSError):
+    # without it in the catch tuples, one oversized-dims payload (a
+    # classic bomb: huge declared dims in a few hundred bytes) would kill
+    # the whole Arrow batch task instead of degrading to resize_ok=false
+    _PIL_BOMB: tuple = (_PILImage.DecompressionBombError,)
 except ImportError:  # pragma: no cover - environment-dependent
     _PILImage = None
+    _PIL_BOMB = ()
 
 # fake header: magic 'FIMG' + u16 width + u16 height + u8 channels
 _FAKE_MAGIC = b"FIMG"
@@ -74,6 +81,10 @@ def _png_meta(p: bytes) -> tuple[int, int, int]:
     if len(p) < 26 or p[12:16] != b"IHDR":
         raise ValueError("malformed PNG: missing IHDR")
     w, h = struct.unpack(">II", p[16:24])
+    # PNG spec bounds dims to [1, 2^31-1]; out-of-spec values would also
+    # overflow the Int32 metadata columns downstream
+    if not (1 <= w <= 0x7FFFFFFF) or not (1 <= h <= 0x7FFFFFFF):
+        raise ValueError("malformed PNG: dimension out of spec range")
     channels = _PNG_CHANNELS.get(p[25])
     if channels is None:
         raise ValueError(f"malformed PNG: unknown color type {p[25]}")
@@ -108,6 +119,22 @@ def _gif_meta(p: bytes) -> tuple[int, int, int]:
         raise ValueError("malformed GIF: truncated screen descriptor")
     w, h = struct.unpack("<HH", p[6:10])
     return w, h, 3
+
+
+# Pure-path decompression-bomb guard (the stdlib analogue of Pillow's
+# MAX_IMAGE_PIXELS): a few-hundred-byte payload can declare gigapixel
+# dims, and the pixel decoders allocate w*h*channels up front — cap the
+# pixel count so a hostile blob degrades to a data row instead of
+# OOM-killing the executor
+_MAX_DECODE_PIXELS = 1 << 26  # 67M pixels ≈ 8192x8192
+
+
+def _check_pixel_budget(w: int, h: int) -> None:
+    if w * h > _MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"decompression bomb: {w}x{h} exceeds the "
+            f"{_MAX_DECODE_PIXELS}-pixel decode budget"
+        )
 
 
 # Adam7 interlace passes: (x0, y0, dx, dy)
@@ -176,6 +203,7 @@ def _png_decode_pixels(p: bytes) -> tuple[int, int, int, bytearray]:
     streams raise ValueError — callers surface it as ``resize_ok=false``
     (or fall back to Pillow when present)."""
     w, h, _ = _png_meta(p)
+    _check_pixel_budget(w, h)
     bit_depth, color_type, interlace = p[24], p[25], p[28]
     samples = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if samples is None or bit_depth not in (1, 2, 4, 8, 16):
@@ -320,6 +348,7 @@ def _gif_decode_pixels(p: bytes) -> tuple[int, int, int, bytearray]:
     screen are composed onto a background-filled canvas. Raises
     ValueError on malformed streams or a missing color table."""
     sw, sh, _ = _gif_meta(p)
+    _check_pixel_budget(sw, sh)
     packed = p[10]
     pos = 13
     gct = None
@@ -510,6 +539,7 @@ def extract_image_meta(
                     IndexError,
                     zlib.error,
                     OSError,  # Pillow fallback on truncated real bytes
+                    *_PIL_BOMB,  # DecompressionBombError is not OSError
                 ):
                     dims.append((None, None, None, False))
             out["width"] = pd.array([d[0] for d in dims], dtype="Int32")
@@ -582,7 +612,7 @@ def resize_image(payload: bytes, max_side: int, backend: str = "native") -> byte
         if backend == "native" and _PILImage is not None:
             try:
                 return _pil_resize(payload, max_side)
-            except OSError:
+            except (OSError, *_PIL_BOMB):
                 pass  # Pillow rejected the stream — try the pure path
         if payload[:8] == _PNG_SIG:
             try:
@@ -649,6 +679,7 @@ def resize_media(df: DataFrame, max_side: int, backend: str = "native") -> DataF
         struct.error,
         zlib.error,
         OSError,
+        *_PIL_BOMB,  # DecompressionBombError is not an OSError
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -857,7 +888,12 @@ def _mp4_meta(p: bytes) -> tuple[int, int, int]:
                     if w_off + 8 > e2:
                         raise ValueError("malformed MP4: truncated tkhd")
                     w_fx, h_fx = struct.unpack(">II", p[w_off : w_off + 8])
-                    width, height = w_fx >> 16, h_fx >> 16
+                    w_c, h_c = w_fx >> 16, h_fx >> 16
+                    # audio tkhds carry 0x0 dims per spec — skip them so
+                    # an audio-first mux order still reports the VIDEO
+                    # track's dimensions (next trak iteration)
+                    if w_c or h_c:
+                        width, height = w_c, h_c
                     break
     if duration_ms is None:
         raise ValueError("malformed MP4: no mvhd box")
@@ -887,10 +923,20 @@ def extract_av_meta(
                     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
                         container = "wav"
                         dur, sr, ch = _wav_meta(p)
-                        ok = True
                     elif len(p) >= 12 and p[4:8] == b"ftyp":
                         container = "mp4"
                         dur, w, h = _mp4_meta(p)
+                    if container is not None:
+                        # a hostile-but-parseable container (byte_rate=1,
+                        # timescale=1 + 64-bit duration, ...) can yield
+                        # values past Int32 — the pd.array cast below
+                        # would then raise OUTSIDE this per-row try and
+                        # kill the task; treat overflow as a failed decode
+                        for v in (dur, sr, ch, w, h):
+                            if v is not None and v > 0x7FFFFFFF:
+                                raise ValueError(
+                                    "AV metadata field exceeds int32"
+                                )
                         ok = True
                 except (ValueError, struct.error, IndexError):
                     dur = sr = ch = w = h = None

@@ -9,6 +9,8 @@ through ``resize_media`` with ``resize_ok=true`` and Pillow absent.
 
 from __future__ import annotations
 
+import struct
+
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -138,3 +140,50 @@ def test_progressive_jpeg_degrades_to_data_row(spark):
     # header still parses (SOF walk accepts SOF2 dims); pixels don't
     assert (row["src_width"], row["src_height"]) == (8, 8)
     assert row["resize_ok"] is False
+
+
+def test_non_uniform_quant_table_roundtrip():
+    # an all-1s DQT cannot distinguish quant[k] from quant[ZIGZAG[k]] —
+    # this table can: decoding with the scan-index pairing produces
+    # garbage (empirically >200/255 max error), the natural-order
+    # pairing stays within quantization error
+    quant = [1 + ((3 * i) % 5) for i in range(64)]  # values 1..5, non-flat
+    pix = _gray(24, 16)
+    dw, dh, ch, out = J.decode_baseline(
+        J.encode_baseline(24, 16, pix, quant=quant)
+    )
+    assert (dw, dh, ch) == (24, 16, 1)
+    assert max(abs(a - b) for a, b in zip(pix, out)) <= 16
+
+
+def test_non_interleaved_scan_raises_notimplemented():
+    # spec-valid baseline JPEG may carry one scan per component; the
+    # decoder only supports the single fully interleaved scan and must
+    # raise (for the Pillow fallback) instead of decoding garbage
+    rgb = J.encode_baseline(16, 8, _rgb(16, 8), channels=3)
+    sos_at = rgb.find(b"\xff\xda")
+    assert sos_at > 0 and rgb[sos_at + 4] == 3  # ns=3 in the real stream
+    # rewrite the SOS header to a 1-component scan (ns=1, first comp)
+    patched = (
+        rgb[:sos_at]
+        + b"\xff\xda" + struct.pack(">H", 2 + 1 + 2 + 3)
+        + bytes((1,)) + rgb[sos_at + 5 : sos_at + 7]  # comp 1 spec
+        + rgb[sos_at + 11 : sos_at + 14]  # Ss/Se/AhAl
+        + rgb[sos_at + 14 :]
+    )
+    with pytest.raises(NotImplementedError):
+        J.decode_baseline(patched)
+
+
+def test_decode_budget_rejects_bomb_dims():
+    # a ~200-byte stream declaring 65000x65000 must raise before the
+    # gigabyte plane allocation
+    small = J.encode_baseline(8, 8, _gray(8, 8))
+    sof_at = small.find(b"\xff\xc0")
+    bombed = (
+        small[: sof_at + 5]
+        + struct.pack(">HH", 65000, 65000)
+        + small[sof_at + 9 :]
+    )
+    with pytest.raises(ValueError, match="bomb"):
+        J.decode_baseline(bombed)

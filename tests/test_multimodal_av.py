@@ -68,7 +68,6 @@ def test_mp4_version1_and_largesize():
         + b"\x00" * 80
     )
     mvhd_box = struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
-    moov = struct.pack(">IQ", 1, 16 + len(mvhd_box)).join([b"", b""])
     moov = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(mvhd_box)) + mvhd_box
     ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 512)
     assert MM._mp4_meta(ftyp + moov)[0] == 2000
@@ -107,3 +106,60 @@ def test_extract_av_meta_mixed_and_poison(spark):
     assert got[4]["container"] == "mp4" and not got[4]["decode_ok"]
     assert got[5]["container"] is None and not got[5]["decode_ok"]
     assert got[5]["byte_len"] == len(b"not-a-container")
+
+
+def _mvhd_v0(timescale: int, duration: int) -> bytes:
+    return (
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + b"\x00" * 80
+    )
+
+
+def _tkhd_v0(width: int, height: int) -> bytes:
+    return (
+        struct.pack(">B3x", 0)
+        + b"\x00" * 72
+        + struct.pack(">II", width << 16, height << 16)
+    )
+
+
+def test_mp4_audio_first_trak_skipped_for_dims():
+    # real MP4s often mux the audio track first; its tkhd carries 0x0
+    # dims per spec — the walker must keep scanning to the video trak
+    moov = (
+        MM._box(b"mvhd", _mvhd_v0(1000, 2500))
+        + MM._box(b"trak", MM._box(b"tkhd", _tkhd_v0(0, 0)))  # audio
+        + MM._box(b"trak", MM._box(b"tkhd", _tkhd_v0(640, 480)))  # video
+    )
+    p = MM._box(b"ftyp", b"isom" + b"\x00" * 8) + MM._box(b"moov", moov)
+    assert MM._mp4_meta(p) == (2500, 640, 480)
+
+
+def test_mp4_audio_only_reports_null_dims():
+    moov = MM._box(b"mvhd", _mvhd_v0(1000, 900)) + MM._box(
+        b"trak", MM._box(b"tkhd", _tkhd_v0(0, 0))
+    )
+    p = MM._box(b"ftyp", b"isom" + b"\x00" * 8) + MM._box(b"moov", moov)
+    assert MM._mp4_meta(p) == (900, None, None)
+
+
+def test_av_int32_overflow_is_poison_row_not_task_failure(spark):
+    # hostile-but-parseable containers whose metadata exceeds Int32:
+    # without the per-row bound check, pd.array(dtype="Int32") raises
+    # OUTSIDE the try and kills the whole Arrow batch task
+    wav_sr = bytearray(MM.fake_wav_bytes(1, 8000, 40, 1))
+    # fmt chunk starts at 12+8; sample_rate is its 5th byte (<HHI...)
+    wav_sr[12 + 8 + 4 : 12 + 8 + 8] = struct.pack("<I", 0xFFFFFFFF)
+    moov = MM._box(b"mvhd", _mvhd_v0(1, 0xFFFFFFFF))  # 4.29e12 ms
+    mp4_dur = MM._box(b"ftyp", b"isom" + b"\x00" * 8) + MM._box(b"moov", moov)
+    rows = [
+        (1, wav_sr),
+        (2, bytearray(mp4_dur)),
+        (3, bytearray(MM.fake_wav_bytes(3, 8000, 40, 1))),  # healthy row
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in MM.extract_av_meta(df).collect()}
+    assert not got[1]["decode_ok"] and got[1]["sample_rate"] is None
+    assert not got[2]["decode_ok"] and got[2]["duration_ms"] is None
+    assert got[3]["decode_ok"] and got[3]["sample_rate"] == 8000

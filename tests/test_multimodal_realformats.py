@@ -442,3 +442,56 @@ def test_resize_never_upscales_real_formats(spark):
     row = resize_media(df, max_side=8).collect()[0]
     assert row["resize_ok"]
     assert (row["width"], row["height"]) == (2, 1)
+
+
+def _png_header_only(w: int, h: int, color_type: int = 2) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00"))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_out_of_spec_dims_rejected():
+    # PNG spec bounds dims to [1, 2^31-1]; out-of-spec values would also
+    # overflow the Int32 metadata columns and kill the Arrow batch task
+    from datafoundation_multi_source_retail_data_integration_hub_spark.operators.multimodal import (
+        _png_meta,
+    )
+
+    with pytest.raises(ValueError):
+        _png_meta(_png_header_only(0x80000000, 4))
+    with pytest.raises(ValueError):
+        _png_meta(_png_header_only(4, 0))
+
+
+def test_decompression_bomb_png_degrades_to_data_row(spark):
+    # ~100 bytes declaring 40000x40000: the pixel decoder must refuse
+    # before allocating the 4.8 GB plane; metadata still decodes (the
+    # dims are in-spec), so the failure surfaces as resize_ok=false
+    bomb = _png_header_only(40000, 40000)
+    from datafoundation_multi_source_retail_data_integration_hub_spark.operators.multimodal import (
+        _png_decode_pixels,
+    )
+
+    with pytest.raises(ValueError, match="bomb"):
+        _png_decode_pixels(bomb)
+    df = spark.createDataFrame(
+        [(1, bytearray(bomb))], "media_id long, content binary"
+    )
+    meta = extract_image_meta(df).collect()[0]
+    assert meta["decode_ok"] and meta["width"] == 40000  # header tier ok
+    row = resize_media(df, 16, backend="pure").collect()[0]
+    assert not row["resize_ok"]
+
+
+def test_decompression_bomb_gif_rejected():
+    from datafoundation_multi_source_retail_data_integration_hub_spark.operators.multimodal import (
+        _gif_decode_pixels,
+    )
+
+    hdr = b"GIF89a" + struct.pack("<HH", 65000, 65000) + bytes((0x00, 0, 0))
+    with pytest.raises(ValueError, match="bomb"):
+        _gif_decode_pixels(hdr + b"\x3b")
