@@ -187,3 +187,26 @@ def test_decode_budget_rejects_bomb_dims():
     )
     with pytest.raises(ValueError, match="bomb"):
         J.decode_baseline(bombed)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 20),
+    seed=st.integers(0, 2**31),
+    qseed=st.integers(1, 2**16),
+)
+def test_quantized_roundtrip_property(w, h, seed, qseed):
+    # random non-flat quant tables: error stays bounded by the
+    # quantization step (each dequantized coefficient off by <= q/2)
+    quant = [1 + ((qseed * (i + 3)) % 7) for i in range(64)]  # 1..7
+    pix = bytes(
+        (seed + x * 5 + y * 17 + (x * y) % 11) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+    dw, dh, ch, out = J.decode_baseline(
+        J.encode_baseline(w, h, pix, quant=quant)
+    )
+    assert (dw, dh, ch) == (w, h, 1)
+    assert max(abs(a - b) for a, b in zip(pix, out)) <= 24
