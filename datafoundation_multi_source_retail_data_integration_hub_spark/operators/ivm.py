@@ -15,10 +15,14 @@ stream_mart_refresh``:
   bits as a one-shot aggregation. A ROUNDED double partial does NOT have
   this property (4-decimal midpoints drift — pinned by
   tests/test_fixed_point_parity.py::test_fixed_units_total_merges_across_batches).
-- **Refreshes are batch-keyed** through the ``etl_run_log`` audit table
-  (``pipelines/audit.py``): re-applying an already-applied batch id is a
-  guarded no-op, so at-least-once delivery (stream replays, retried
-  jobs) cannot double-count.
+- **Refreshes are batch-keyed AND versioned**: the ``etl_run_log`` audit
+  guard (``pipelines/audit.py``) short-circuits an already-applied batch
+  id, and the state itself lands in immutable per-version tables
+  (``<table>_v<N>``, N = the micro-batch id) where v{N} is a pure
+  function of v{N-1} plus the batch. A crash between the state write and
+  the audit append therefore redelivers into an idempotent REWRITE of
+  v{N} — at-least-once delivery (stream replays, retried jobs) cannot
+  double-count even inside that window.
 - **Presentation rounds the merged state** with the same decimal-divide
   -> double -> ``round_dp`` sequence as ``fixed_sum``, so the presented
   mart is bit-identical to a one-shot build — which is what the DuckDB
@@ -52,6 +56,13 @@ class IVMConfig:
     unit_cols: tuple[str, ...]
     dp: int = 4
     count_col: str = "n_rows"
+
+    def __post_init__(self) -> None:
+        # same bound as functions/parity.fixed_sum_dec: dp >= 7 makes
+        # present()'s 10**dp literal overflow decimal(7,0) and every
+        # presented total silently NULL under non-ANSI SQL
+        if not 0 <= self.dp <= 6:
+            raise ValueError(f"dp must be in [0, 6], got {self.dp}")
 
     def state_cols(self) -> list[str]:
         return [f"{c}_total" for c in self.unit_cols]
@@ -94,6 +105,11 @@ def present(state: DataFrame, cfg: IVMConfig) -> DataFrame:
     return state.select(*cols)
 
 
+def state_table(table: str, version: int) -> str:
+    """Name of one immutable state version (``<table>_v<version>``)."""
+    return f"{table}_v{version}"
+
+
 def apply_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -102,43 +118,43 @@ def apply_batch(
     database: str,
     cfg: IVMConfig,
     ts: datetime,
+    version: int,
 ) -> bool:
-    """Merge one batch into the stored mart state, batch-keyed through
-    the audit table: returns False (no-op) when ``batch_id`` was already
-    applied — the idempotence contract for at-least-once delivery."""
-    from ..pipelines.audit import RUN_LOG_TABLE, RunLogEntry, log_run
+    """Merge one batch into version ``version`` of the stored mart
+    state. Returns False (no-op) when ``batch_id`` was already applied.
+
+    At-least-once safety does NOT rest on the audit marker alone: each
+    version is a PURE function of the immutable previous version plus
+    the delivered batch, written with overwrite. A crash in the window
+    between the state write and the audit append redelivers the batch,
+    which re-derives v{version} from v{version-1} to the same content —
+    an idempotent rewrite, never a double-merge (the audit guard only
+    short-circuits the recompute once its row landed). ``version`` must
+    be the stream's micro-batch id (or any monotone per-batch integer),
+    which Structured Streaming keeps stable across checkpoint restarts.
+    Old versions accumulate like any versioned table; a production
+    deployment vacuums them the way Delta/Iceberg expire snapshots."""
+    from ..pipelines.audit import RunLogEntry, log_run, run_already_logged
     from ..sources import writers as W
 
-    W.ensure_database(spark, database)
-    if W.table_exists(spark, RUN_LOG_TABLE, database):
-        seen = (
-            W.read_table(spark, RUN_LOG_TABLE, database=database)
-            .filter(
-                (F.col("run_id") == batch_id)
-                & (F.col("table_name") == table)
-            )
-            .limit(1)
-            .count()
-        )
-        if seen:
-            return False
-    partial = state_partials(batch, cfg)
-    if W.table_exists(spark, table, database):
-        # materialized: the merge reads the very table the write replaces
-        merged = merge_state(
-            W.read_table(spark, table, database=database), partial, cfg
-        )
+    if run_already_logged(spark, batch_id, table, database):
+        return False
+    # checkpointed: the audit count and the merge both consume it, and
+    # the audit row must record THIS batch's rows (matching logged_write
+    # semantics), not the cumulative mart count
+    partial = state_partials(batch, cfg).localCheckpoint(eager=True)
+    n = partial.agg(F.sum(cfg.count_col)).first()[0]
+    if version > 0:
+        prev = W.read_table(spark, state_table(table, version - 1), database=database)
+        merged = merge_state(prev, partial, cfg)
     else:
         merged = partial
-    # checkpoint BOTH paths: the table write and the audit-count agg
-    # below each consume ``merged`` — uncheckpointed, the first batch
-    # would pay the full batch aggregation twice
-    merged = merged.localCheckpoint(eager=True)
-    W.write_table(merged, table, database=database)
-    n = merged.agg(F.sum(cfg.count_col)).first()[0]
+    # no checkpoint needed on merged: the write target is v{version},
+    # which the plan never reads (it reads the immutable v{version-1})
+    W.write_table(merged, state_table(table, version), database=database)
     log_run(
         spark,
-        RunLogEntry(batch_id, table, int(n), "success", ts, ts),
+        RunLogEntry(batch_id, table, int(n or 0), "success", ts, ts),
         database=database,
     )
     return True

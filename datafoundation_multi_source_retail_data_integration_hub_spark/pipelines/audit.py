@@ -40,6 +40,27 @@ class RunLogEntry:
     message: str = ""
 
 
+def run_already_logged(
+    spark: SparkSession,
+    run_id: str,
+    table: str,
+    database: str = DEFAULT_DATABASE,
+) -> bool:
+    """True when an audit row for (run_id, table) exists — THE
+    idempotence guard every at-least-once writer shares (one
+    implementation, so the exactly-once predicate cannot drift between
+    writers)."""
+    W.ensure_database(spark, database)
+    if not W.table_exists(spark, RUN_LOG_TABLE, database):
+        return False
+    return not (
+        read_table(spark, RUN_LOG_TABLE, database=database)
+        .filter((F.col("run_id") == run_id) & (F.col("table_name") == table))
+        .limit(1)
+        .isEmpty()
+    )
+
+
 def log_run(
     spark: SparkSession,
     entry: RunLogEntry,
@@ -129,19 +150,8 @@ def logged_stream_sink(
         n = batch.count()
         inner(batch, batch_id)
         run_id = f"{stream_id}#{batch_id}"
-        W.ensure_database(spark, database)
-        if W.table_exists(spark, RUN_LOG_TABLE, database):
-            seen = (
-                read_table(spark, RUN_LOG_TABLE, database=database)
-                .filter(
-                    (F.col("run_id") == run_id)
-                    & (F.col("table_name") == table)
-                )
-                .limit(1)
-                .count()
-            )
-            if seen:
-                return
+        if run_already_logged(spark, run_id, table, database):
+            return
         log_run(
             spark,
             RunLogEntry(run_id, table, n, "success", started_at, finished_at),

@@ -689,17 +689,21 @@ def _mart_incremental_refresh(spark: SparkSession, sf_dir: str, db: str) -> Data
     mart = "mart_daily_state"
     t0 = datetime(2026, 1, 1, 0, 0, 0)
 
-    def apply(batch_id: str, batch_fact: DataFrame) -> bool:
-        return ivm.apply_batch(spark, batch_fact, batch_id, mart, db, cfg, t0)
+    def apply(batch_id: str, batch_fact: DataFrame, version: int) -> bool:
+        return ivm.apply_batch(
+            spark, batch_fact, batch_id, mart, db, cfg, t0, version
+        )
 
     try:
-        base_ok = apply("base", fact.filter(F.col("__ok") % IVM_DELTA_MOD != 0))
+        base_ok = apply(
+            "base", fact.filter(F.col("__ok") % IVM_DELTA_MOD != 0), 0
+        )
         delta = fact.filter(F.col("__ok") % IVM_DELTA_MOD == 0)
-        delta_ok = apply("delta-1", delta)
+        delta_ok = apply("delta-1", delta, 1)
         # at-least-once redelivery of the SAME batch: guarded no-op
-        replay_skipped = not apply("delta-1", delta)
+        replay_skipped = not apply("delta-1", delta, 1)
         out = ivm.present(
-            W.read_table(spark, mart, database=db), cfg
+            W.read_table(spark, ivm.state_table(mart, 1), database=db), cfg
         ).withColumn(
             "replay_skipped",
             F.lit(bool(base_ok and delta_ok and replay_skipped)),

@@ -34,8 +34,10 @@ def _rows(seed: int, n: int):
     ]
 
 
-def _present_map(spark, db):
-    out = ivm.present(read_table(spark, "m", database=db), CFG).collect()
+def _present_map(spark, db, version):
+    out = ivm.present(
+        read_table(spark, ivm.state_table("m", version), database=db), CFG
+    ).collect()
     return {r["g"]: (r["total_x"], r["n_rows"]) for r in out}
 
 
@@ -51,8 +53,8 @@ def test_ivm_any_batching_order_matches_one_shot(spark, seed):
     db_one = f"ivm_prop_one_{seed}"
     db_many = f"ivm_prop_many_{seed}"
     try:
-        assert ivm.apply_batch(spark, df, "all", "m", db_one, CFG, t0)
-        one_shot = _present_map(spark, db_one)
+        assert ivm.apply_batch(spark, df, "all", "m", db_one, CFG, t0, 0)
+        one_shot = _present_map(spark, db_one, 0)
 
         # split into 4 batches, apply in shuffled order, replay one batch
         idx = list(range(len(rows)))
@@ -60,19 +62,30 @@ def test_ivm_any_batching_order_matches_one_shot(spark, seed):
         chunks = [idx[i::4] for i in range(4)]
         order = list(range(4))
         rng.shuffle(order)
-        for b in order:
+        for v, b in enumerate(order):
             batch = spark.createDataFrame(
                 [rows[i] for i in chunks[b]], "g int, x_u long"
             )
-            assert ivm.apply_batch(spark, batch, f"b{b}", "m", db_many, CFG, t0)
+            assert ivm.apply_batch(
+                spark, batch, f"b{b}", "m", db_many, CFG, t0, v
+            )
         # at-least-once redelivery: guarded no-op
         replay = spark.createDataFrame(
             [rows[i] for i in chunks[order[-1]]], "g int, x_u long"
         )
         assert not ivm.apply_batch(
-            spark, replay, f"b{order[-1]}", "m", db_many, CFG, t0
+            spark, replay, f"b{order[-1]}", "m", db_many, CFG, t0, 3
         )
-        assert _present_map(spark, db_many) == one_shot
+        assert _present_map(spark, db_many, 3) == one_shot
+
+        # crash-window redelivery: state write landed but the audit
+        # marker did not (simulated by a fresh batch_id for the same
+        # version) — the rewrite re-derives v3 from the immutable v2,
+        # bit-identical, never a double-merge
+        assert ivm.apply_batch(
+            spark, replay, f"b{order[-1]}-redelivered", "m", db_many, CFG, t0, 3
+        )
+        assert _present_map(spark, db_many, 3) == one_shot
     finally:
         for db in (db_one, db_many):
             spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
