@@ -33,21 +33,11 @@ from ..functions.text import md5_long
 
 Centroids = list[tuple[int, list[float]]]
 
-# Persisted intermediates registered for storage hygiene in long-lived
-# sessions (same pattern as operators.dedup): correctness never depends on
-# the cache, so releasing early just recomputes.
-_PERSISTED: list[DataFrame] = []
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    _PERSISTED.append(df)
-    return df.persist()
-
-
-def unpersist_all() -> None:
-    """Release every intermediate persisted by this module's operators."""
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+# Persisted intermediates go through the SHARED registry
+# (operators/storage.py); correctness never depends on the cache, so
+# releasing early just recomputes. Aliases kept for existing callers.
+from .storage import persist_tracked as _persist  # noqa: E402
+from .storage import unpersist_all  # noqa: E402,F401
 
 
 # Session-scoped memo for FITTED centroids. A fit is deterministic (seeds,
@@ -226,7 +216,10 @@ def kmeans_fit(
     """
     full_key = None
     if cache_key is not None:
-        full_key = (cache_key, k, n_iter, train_mod)
+        # every parameter that changes the fit belongs in the key —
+        # omitting vec_col/id_col/dim would hand one column's centroids
+        # to a fit on a different column of the same corpus
+        full_key = (cache_key, k, n_iter, train_mod, vec_col, id_col, dim)
         if full_key in _FIT_CACHE:
             return _FIT_CACHE[full_key]
     prep = df if pre_cast else prepare_vectors(df, vec_col, id_col)

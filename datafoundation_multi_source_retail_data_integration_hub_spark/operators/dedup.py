@@ -36,23 +36,11 @@ from ..functions.text import (
     ws_tokens,
 )
 
-# Persisted intermediates (postings, signatures) registered here so callers
-# running many dedup queries in one long-lived session can release executor
-# storage between runs: ``unpersist_all()`` after the consuming action
-# completes. Unpersisting before the action is still CORRECT (Spark just
-# recomputes), so this is purely a storage-hygiene hook.
-_PERSISTED: list[DataFrame] = []
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    _PERSISTED.append(df)
-    return df.persist()
-
-
-def unpersist_all() -> None:
-    """Release every intermediate persisted by this module's operators."""
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+# Persisted intermediates (postings, signatures) go through the SHARED
+# registry (operators/storage.py) — one unpersist_all() drains every
+# operator module's caches. Module-level aliases kept for callers.
+from .storage import persist_tracked as _persist  # noqa: E402
+from .storage import unpersist_all  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -447,11 +435,7 @@ def minhash_lsh_pairs(
     return (
         cand.join(docs.withColumnRenamed("doc_id", "id1").withColumnRenamed("sh", "sh1"), "id1")
         .join(docs.withColumnRenamed("doc_id", "id2").withColumnRenamed("sh", "sh2"), "id2")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh1", "sh2")).cast("double")
-            / F.size(F.array_union("sh1", "sh2")),
-        )
+        .withColumn("jaccard", exact_jaccard(F.col("sh1"), F.col("sh2")))
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
@@ -617,7 +601,10 @@ def incremental_dedup(
         .distinct()
         .withColumn("__seen", F.lit(True))
     )
-    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    # order by the POST-alias name: the window resolves against nb,
+    # which exposes only doc_id (an id_col other than "doc_id" would
+    # raise UNRESOLVED_COLUMN here)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
     nb = new_batch.select(
         F.col(id_col).alias("doc_id"),
         key(F.col(text_col)).alias("fingerprint"),
@@ -706,9 +693,14 @@ def edit_distance_pairs(
             "id1",
             "id2",
             "edit_distance",
+            # two empty texts pair at distance 0 with max_len 0: guard
+            # the 0/0 (NULL in Spark) to the correct similarity, 1.0
             round_dp(
-                F.lit(1.0)
-                - F.col("edit_distance").cast("double") / F.col("max_len").cast("double")
+                F.when(F.col("max_len") == 0, F.lit(1.0)).otherwise(
+                    F.lit(1.0)
+                    - F.col("edit_distance").cast("double")
+                    / F.col("max_len").cast("double")
+                )
             ).alias("similarity"),
         )
     )

@@ -110,8 +110,10 @@ def connected_components(
       correct at any scale, O(log diameter) rounds.
 
     Pass ``driver_max_edges=0`` to force the distributed path (tests do,
-    to pin both paths to the same labeling); that path skips the persist
-    entirely (the eager edge checkpoint materializes upstream once).
+    to pin both paths to the same labeling); that path persists the edge
+    frame too — the symmetric union consumes it TWICE (once per
+    direction), and an unpersisted upstream (e.g. a Jaccard candidate
+    join) would execute twice inside the one eager checkpoint job.
 
     ``checkpoint_dir``: when set, fixpoint rounds checkpoint RELIABLY to
     that directory (``sparkContext.setCheckpointDir`` +
@@ -140,6 +142,11 @@ def connected_components(
                     ]
                 ),
             )
+        clean = cached
+    else:
+        # forced-distributed path: the symmetric union below scans
+        # ``clean`` twice — persist so the upstream computes once
+        cached = clean.persist(StorageLevel.MEMORY_AND_DISK)
         clean = cached
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)

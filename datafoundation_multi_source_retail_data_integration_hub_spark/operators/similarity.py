@@ -180,6 +180,13 @@ def cosine_pandas_udf(dim: int):
     from pyspark.sql import types as ST
 
     def for_query(qvec: list[float]):
+        if len(qvec) != dim:
+            # validate at definition time — a mismatched query/corpus
+            # dim would otherwise surface as a numpy broadcast error
+            # deep inside an executor batch
+            raise ValueError(
+                f"query vector has dim {len(qvec)}, expected {dim}"
+            )
         q = np.asarray(qvec, dtype="float64")
         qn = float(np.sqrt((q * q).sum()))
 
@@ -313,24 +320,23 @@ def cosine_neardup_pairs(
         F.col("vid").alias("id2"), F.col("vec").alias("v2"),
         F.col("nrm").alias("n2"), "tbl", "bucket"
     )
-    cand = (
+    scored = (
         lhs.join(rhs, ["tbl", "bucket"])
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "v1", "v2", "n1", "n2")
-    )
-    if n_tables > 1:
-        # the same pair can collide in several tables — dedup BEFORE the
-        # (expensive) exact verification, not after
-        cand = cand.distinct()
-    return (
-        cand.withColumn(
-            "cosine",
-            F.expr(f"{sql_dot('v1', 'v2')} / (n1 * n2)"),
-        )
+        .withColumn("cosine", F.expr(f"{sql_dot('v1', 'v2')} / (n1 * n2)"))
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
-        .distinct()
     )
+    if n_tables > 1:
+        # the same pair can collide in several tables: verify MAP-SIDE
+        # first, then dedup the narrow (id1, id2, cosine) rows — a
+        # pre-verify distinct would shuffle full vector payloads
+        # (~1 KB/row at dim 64) to save at most T-1 recomputed dot
+        # products per duplicated pair. At n_tables=1 one vector has
+        # exactly one bucket, so no pair can repeat and no distinct
+        # (i.e. no extra exchange) is needed at all.
+        scored = scored.distinct()
+    return scored
 
 
 def lsh_scored(

@@ -48,10 +48,15 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from .storage import persist_tracked
 
 
 def window_hash_positions(
-    df: DataFrame, text_col: str, id_col: str, w: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    w: int,
+    staged: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_toks, i, hv) — one row per W-token window of every document;
     ``i`` is 1-based, ``hv`` the 60-bit window hash (``TX.md5_long`` of the
@@ -64,8 +69,12 @@ def window_hash_positions(
     this generate-then-project form, where concat/md5/conv all stay inside
     one codegen stage. The exploded rows carry the token array only within
     the stage (pruned before any exchange), so nothing wider than
-    (id, n_toks, i, hv) ever shuffles."""
-    toks = df.select(
+    (id, n_toks, i, hv) ever shuffles.
+
+    ``staged``: an already-tokenized (id_col, __tl) frame — pass it when
+    the caller also consumes the token arrays (e.g. the trim join), so
+    one persisted tokenize pass feeds both subtrees."""
+    toks = staged if staged is not None else df.select(
         F.col(id_col).alias(id_col),
         # stage the token array once; a multi-referenced split alias is
         # NOT inlined by CollapseProject (functions/text.py note)
@@ -93,13 +102,25 @@ def duplicated_window_positions(
     """(id, n_toks, i, hv) rows for every W-token window whose hash occurs
     at more than one (doc, pos) location corpus-wide. ``i`` is 1-based.
 
-    The duplicate test is a count over a hash-partitioned window — one
-    shuffle carries both the count and the positions (a groupBy+semi-join
-    formulation would shuffle the postings twice).
-    """
-    pos = window_hash_positions(df, text_col, id_col, w)
-    cnt = F.count(F.lit(1)).over(Window.partitionBy("hv"))
-    return pos.withColumn("__cnt", cnt).where(F.col("__cnt") > 1).drop("__cnt")
+    Skew posture: the duplicate test is a partial-agg'd
+    ``groupBy(hv).count`` joined back to the PERSISTED postings — NOT a
+    count-over-window. A window partitioned by ``hv`` concentrates every
+    occurrence of a hot duplicated gram (exactly what a dup-heavy corpus
+    contains) into ONE unsplittable task; the groupBy combines map-side
+    and the semi-join is AQE-skew-splittable. The postings persist
+    because both join sides consume them (one tokenize+hash pass;
+    postings are narrow (id, n_toks, i, hv) rows, the same bytes the
+    window form would have shuffled). Measured FASTER than the window
+    form at sf0.1 (0.54 s vs 0.99 s min-of-3) on top of the skew
+    robustness."""
+    pos = persist_tracked(window_hash_positions(df, text_col, id_col, w))
+    dup_keys = (
+        pos.groupBy("hv")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .where(F.col("__cnt") > 1)
+        .select("hv")
+    )
+    return pos.join(dup_keys, "hv", "left_semi")
 
 
 def merge_spans(dpos: DataFrame, id_col: str, w: int) -> DataFrame:
@@ -153,27 +174,52 @@ def trim_duplicated_spans(
     — ``trimmed_text`` rebuilt from the normalized kept tokens (a doc
     fully covered by later-occurrence spans trims to '').
 
-    Plan: the rank and the duplicate count ride the SAME hash-partition
-    window pass as the report's duplicate test; only rank>1 windows (the
-    drop set) re-shuffle for the islands merge, collapse to per-doc span
-    arrays (doc-grain), and join back to the documents on id. Token
-    removal is then a map-side higher-order filter over the staged token
-    array — the corpus token stream itself never shuffles (an exploded
-    (doc, pos, token) anti-join formulation would move every token)."""
-    toks = df.select(
-        F.col(id_col).alias(id_col),
-        TX.ws_tokens(TX.normalized_text(F.col(text_col))).alias("__tl"),
+    Plan: the duplicate count AND the global-first occurrence come from
+    ONE partial-agg'd ``groupBy(hv)`` (count + min(struct(id, i))),
+    joined back to the postings — the skew posture of
+    :func:`duplicated_window_positions` (a rank-over-window would pin a
+    hot gram's every occurrence to one unsplittable task). Only the
+    drop-set windows re-shuffle for the islands merge, collapse to
+    per-doc span arrays (doc-grain), and join back to the documents on
+    id. Token removal is then a map-side higher-order filter over the
+    staged token array — the corpus token stream itself never shuffles
+    (an exploded (doc, pos, token) anti-join formulation would move
+    every token)."""
+    # ONE persisted tokenize pass feeds both the window-hash subtree and
+    # the final span join — unpersisted, the regexp lower/collapse/split
+    # pipeline (the dominant scan cost) would run twice from source.
+    # The postings persist too: the first-occurrence aggregate and the
+    # drop-set join both consume them (0.91 s vs the old 1.30 s
+    # window-form min-of-3 at sf0.1).
+    toks = persist_tracked(
+        df.select(
+            F.col(id_col).alias(id_col),
+            TX.ws_tokens(TX.normalized_text(F.col(text_col))).alias("__tl"),
+        )
     )
-    pos = window_hash_positions(df, text_col, id_col, w)
-    whash = Window.partitionBy("hv")
-    marked = pos.withColumn(
-        "__cnt", F.count(F.lit(1)).over(whash)
-    ).withColumn(
-        "__rnk",
-        F.row_number().over(Window.partitionBy("hv").orderBy(id_col, "i")),
+    pos = persist_tracked(
+        window_hash_positions(df, text_col, id_col, w, staged=toks)
     )
-    drop = marked.where((F.col("__cnt") > 1) & (F.col("__rnk") > 1)).drop(
-        "__cnt", "__rnk"
+    # min(struct(id, i)) = the row row_number-over-(id, i) would rank 1:
+    # struct comparison is lexicographic by field order
+    firsts = (
+        pos.groupBy("hv")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(F.struct(F.col(id_col), F.col("i"))).alias("__first"),
+        )
+        .where(F.col("__cnt") > 1)
+        .select("hv", "__first")
+    )
+    drop = (
+        pos.join(firsts, "hv")
+        .where(
+            ~(
+                (F.col(id_col) == F.col("__first")[id_col])
+                & (F.col("i") == F.col("__first")["i"])
+            )
+        )
+        .select(id_col, "n_toks", "i", "hv")
     )
     spans = merge_spans(drop, id_col, w)
     span_arr = spans.groupBy(id_col).agg(
@@ -286,7 +332,14 @@ def report_against_store(
       through the (id, island) and (id) groupBys, which reuse the doc
       shuffle's partitioning) instead of a second consumer + join.
     Both passes are ingest-sized plus the store's 8-byte rows — the
-    established corpus contributes only its hash store."""
+    established corpus contributes only its hash store.
+
+    Skew boundary: the fused window pass pins each hv's occurrences to
+    one task — acceptable here because the window side is ONE INGEST
+    BATCH (multiplicity bounded by batch size), unlike the corpus-wide
+    batch operators (:func:`duplicated_window_positions`,
+    :func:`trim_duplicated_spans`), which use the partial-agg groupBy +
+    AQE-splittable join form for exactly that reason."""
     pos = window_hash_positions(new_batch, text_col, id_col, w).withColumn(
         "__src", F.lit(0)
     )

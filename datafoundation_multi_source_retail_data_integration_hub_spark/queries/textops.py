@@ -794,7 +794,10 @@ p AS (
   WHERE a.id < b.id AND abs(a.ln - b.ln) <= {EDIT_TAU}
 )
 SELECT id1, id2, edit_distance,
-       {sql_round_dp("1.0 - CAST(edit_distance AS DOUBLE) / CAST(mx AS DOUBLE)")}
+       {sql_round_dp(
+           "CASE WHEN mx = 0 THEN 1.0 "
+           "ELSE 1.0 - CAST(edit_distance AS DOUBLE) / CAST(mx AS DOUBLE) END"
+       )}
          AS similarity
 FROM p WHERE edit_distance <= {EDIT_TAU}
 """

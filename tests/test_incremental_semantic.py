@@ -66,3 +66,17 @@ def test_semantic_dedup_keeps_lowest_id_per_neighborhood(spark):
         3: (0, False),
         4: (1, True),
     }
+
+
+def test_incremental_dedup_custom_id_col(spark):
+    # regression: the keep-first window ordered by the PRE-alias id name,
+    # so any id_col other than "doc_id" raised UNRESOLVED_COLUMN
+    seen = spark.createDataFrame([(1, "alpha beta")], ["my_id", "text"])
+    batch = spark.createDataFrame(
+        [(10, "fresh one"), (11, "fresh one")], ["my_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup(batch, seen, "text", "my_id").collect()
+    }
+    assert rows == {10: "kept", 11: "dup_in_batch"}
