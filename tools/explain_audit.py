@@ -212,12 +212,12 @@ AUDITED = {
         "forbid_pattern": r"CartesianProduct|BroadcastNestedLoopJoin",
     },
     "doc_substring_dup_spans": {
-        # duplicate test = count over the hash partition (one balanced
-        # exchange carries positions AND the count); islands merge =
-        # Window over doc_id on the duplicated subset only; no joins at
-        # all — a groupBy+semi-join regression would show a Join node
-        "expect": ["Window"],
-        "forbid_pattern": r"\bJoin\b|CartesianProduct",
+        # duplicate test = partial-agg'd groupBy(hv).count semi-joined
+        # back to the persisted postings (skew posture: a count-over-
+        # window would pin a hot gram to one unsplittable task);
+        # islands merge = Window over doc_id on the duplicated subset
+        "expect": ["HashAggregate", "Window", "InMemoryTableScan"],
+        "forbid_pattern": r"CartesianProduct|BatchEvalPython",
     },
     "doc_classifier_quality_score": {
         # pure-expression map: scan -> project, codegen'd end-to-end;
@@ -244,10 +244,12 @@ AUDITED = {
         "forbid_pattern": r"\bJoin\b|\bWindow\b|CartesianProduct",
     },
     "doc_substring_dedup_trim": {
-        # rank+count share one hash window pass; span arrays join back
-        # at doc grain (broadcast at test scale); token removal must be
+        # first-occurrence + count come from ONE partial-agg'd
+        # groupBy(hv) joined to the persisted postings (skew posture,
+        # see doc_substring_dup_spans); islands merge = Window over doc
+        # id; span arrays join back at doc grain; token removal must be
         # the higher-order filter — never an exploded token anti-join
-        "expect": ["Window", "HashAggregate"],
+        "expect": ["Window", "HashAggregate", "InMemoryTableScan"],
         "forbid_pattern": r"CartesianProduct|BatchEvalPython",
     },
     "doc_language_balanced_sample": {
