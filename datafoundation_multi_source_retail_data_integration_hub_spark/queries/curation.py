@@ -290,16 +290,11 @@ def doc_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_QUALITY = (
-    f"CAST(0.4 AS DOUBLE) * ({TO._SQL_LEN_SIG})"
-    f" + CAST(0.3 AS DOUBLE) * ({TO._SQL_STOP_SIG})"
-    f" + CAST(0.3 AS DOUBLE) * (1 - ({TO._SQL_PUNCT}))"
-)
-
-_CC_CTES = TO.DOC_NEARDUP_CLUSTERS_ORACLE.strip().replace(
-    "SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src",
-    "",
-).rstrip()
+# ONE definition each: the quality score and the connected-components
+# CTE chain come from textops (re-deriving them here let the copies
+# drift from the gate they claim to compose)
+_SQL_QUALITY = TO._SQL_QSCORE
+_CC_CTES = TO.SQL_CC_CTE_PREFIX
 
 DOC_CLUSTER_BEST_ORACLE = f"""
 {_CC_CTES},
@@ -529,14 +524,9 @@ def doc_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         lambda acc, x: acc + x,
     ).cast("double") / n
-    keep_rules = ~(
-        (n < TO.QF_MIN_WORDS)
-        | (n > TO.QF_MAX_WORDS)
-        | (wl < TO.QF_WL_MIN)
-        | (wl > TO.QF_WL_MAX)
-        | (TX.stopword_ratio(t) < TO.QF_STOP_MIN)
-        | (TX.punct_ratio(t) > TO.QF_PUNCT_MAX)
-    )
+    # the SHARED six-rule gate (textops) — the manifest composes the
+    # same verdict doc_quality_filter emits, from one builder
+    keep_rules = TO.quality_keep_rules(n, wl, t)
     scored = staged.select(
         "doc_id",
         "text",
@@ -587,15 +577,12 @@ def _sql_curation_manifest() -> str:
     # survivors-only shingle table: the WHERE repeats the rule gate over
     # raw documents (oracle-side recompute is fine; the Spark side stages
     # the flags once)
-    rules_where = (
-        f"NOT (len({TO._SQL_TOKS}) < {TO.QF_MIN_WORDS}"
-        f" OR len({TO._SQL_TOKS}) > {TO.QF_MAX_WORDS}"
-        f" OR CAST(list_sum(list_transform({TO._SQL_TOKS}, t -> len(t))) AS DOUBLE)"
-        f"    / len({TO._SQL_TOKS}) < {TO.QF_WL_MIN}"
-        f" OR CAST(list_sum(list_transform({TO._SQL_TOKS}, t -> len(t))) AS DOUBLE)"
-        f"    / len({TO._SQL_TOKS}) > {TO.QF_WL_MAX}"
-        f" OR {TO._SQL_STOPR} < {TO.QF_STOP_MIN}"
-        f" OR {TO._SQL_PUNCT} > {TO.QF_PUNCT_MAX})"
+    wl_expr = (
+        f"CAST(list_sum(list_transform({TO._SQL_TOKS}, t -> len(t))) AS DOUBLE)"
+        f" / len({TO._SQL_TOKS})"
+    )
+    rules_where = TO.sql_quality_keep(
+        f"len({TO._SQL_TOKS})", wl_expr, TO._SQL_STOPR, TO._SQL_PUNCT
     )
     shingles = TX.sql_hashed_shingle_table(
         "text", TO.N_SHINGLE, where=rules_where

@@ -557,8 +557,7 @@ def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_ROLLING_ANOMALY_ORACLE = f"""
 WITH agg AS (
   SELECT event_type,
-         make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 600) * 600
-                        AS BIGINT) * 1000000) AS window_start,
+         {_sql_bucket_start('CAST(ts AS TIMESTAMP)', 600)} AS window_start,
          count(*) AS n_events,
          sum(CAST(value AS DECIMAL(27,6))) AS v_dec
   FROM events GROUP BY 1, 2

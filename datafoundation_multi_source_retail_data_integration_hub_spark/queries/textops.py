@@ -401,8 +401,11 @@ def doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).withColumnRenamed("node", "doc_id")
 
 
-DOC_NEARDUP_CLUSTERS_ORACLE = f"""
-WITH RECURSIVE pairs AS ({DOC_NGRAM_JACCARD_ORACLE.strip()}),
+# Connected-components CTE prefix (pairs -> symmetric edges -> recursive
+# transitive closure), exported so downstream oracles (curation's
+# cluster-best) can extend the SAME fixpoint instead of string-replacing
+# this oracle's final SELECT out of it
+SQL_CC_CTE_PREFIX = f"""WITH RECURSIVE pairs AS ({DOC_NGRAM_JACCARD_ORACLE.strip()}),
 edges AS (
   SELECT id1 AS a, id2 AS b FROM pairs
   UNION
@@ -412,7 +415,10 @@ reach (src, dst) AS (
   SELECT a, a FROM edges
   UNION
   SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-)
+)"""
+
+DOC_NEARDUP_CLUSTERS_ORACLE = f"""
+{SQL_CC_CTE_PREFIX}
 SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src
 """
 
@@ -493,6 +499,32 @@ QF_STOP_MIN = 0.05
 QF_PUNCT_MAX = 0.2
 
 
+def quality_keep_rules(n, wl, text):
+    """The six-rule Gopher keep verdict as ONE Column builder — the
+    filter query and the curation manifest both call it, so a rule or
+    threshold change cannot reach one gate and miss the other.
+    ``n``/``wl`` are the caller's word-count and mean-word-length
+    Columns; ``text`` the raw text Column."""
+    return ~(
+        (n < QF_MIN_WORDS)
+        | (n > QF_MAX_WORDS)
+        | (wl < QF_WL_MIN)
+        | (wl > QF_WL_MAX)
+        | (TX.stopword_ratio(text) < QF_STOP_MIN)
+        | (TX.punct_ratio(text) > QF_PUNCT_MAX)
+    )
+
+
+def sql_quality_keep(n_words: str, wl: str, stopr: str, punctr: str) -> str:
+    """DuckDB twin of :func:`quality_keep_rules` — interpolates the
+    caller's SQL fragments for the four signals."""
+    return (
+        f"NOT ({n_words} < {QF_MIN_WORDS} OR {n_words} > {QF_MAX_WORDS}"
+        f" OR {wl} < {QF_WL_MIN} OR {wl} > {QF_WL_MAX}"
+        f" OR {stopr} < {QF_STOP_MIN} OR {punctr} > {QF_PUNCT_MAX})"
+    )
+
+
 def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc rule flags + the keep verdict — the rule-based quality
     gate a pretraining pipeline runs before dedup. One codegen'd
@@ -545,9 +577,7 @@ SELECT doc_id, n_words, {sql_round_dp("wl")} AS mean_word_len,
        (wl < {QF_WL_MIN} OR wl > {QF_WL_MAX}) AS bad_word_len,
        stopr < {QF_STOP_MIN} AS low_stopword,
        punctr > {QF_PUNCT_MAX} AS high_punct,
-       NOT (n_words < {QF_MIN_WORDS} OR n_words > {QF_MAX_WORDS}
-            OR wl < {QF_WL_MIN} OR wl > {QF_WL_MAX}
-            OR stopr < {QF_STOP_MIN} OR punctr > {QF_PUNCT_MAX}) AS keep
+       {sql_quality_keep("n_words", "wl", "stopr", "punctr")} AS keep
 FROM s
 """
 

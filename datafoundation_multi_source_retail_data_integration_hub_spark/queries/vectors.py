@@ -300,51 +300,13 @@ def _sql_kmeans_assign() -> str:
     subset, then the final assignment of the FULL corpus. Columns:
     vec_id, vec, cluster_id, dist. Expects the ``v`` CTE
     (``_SQL_V_CTE``) in scope. Shared by the kmeans census and
-    semantic-dedup oracles."""
-    from ..functions.text import sql_md5_long
-
-    hash_expr = sql_md5_long("CAST(vec_id AS VARCHAR)")
-    train = f"(SELECT * FROM v WHERE {hash_expr} % {KMEANS_TRAIN_MOD} = 0)"
-
-    def sqd(v: str, c: str) -> str:
-        return (
-            f"list_sum(list_transform(generate_series(1, {DIM}), "
-            f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
-        )
-
-    def assign(cents: str, source: str) -> str:
-        return f"""(
-  SELECT vec_id, vec, cid AS cluster_id, dist FROM (
-    SELECT *, row_number() OVER (
-        PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM (
-      SELECT t.vec_id, t.vec, s.cid, {sqd("t.vec", "s.vec")} AS dist
-      FROM {source} t CROSS JOIN {cents} s
-    )
-  ) WHERE rn = 1
-)"""
-
-    mean_list = ", ".join(
-        f"CAST(sum(CAST(vec[{i + 1}] AS DECIMAL(27,6))) AS DOUBLE) / count(*)"
-        for i in range(DIM)
-    )
-
-    def update(assigned: str) -> str:
-        return f"""(
-  SELECT cluster_id AS cid, [{mean_list}] AS vec
-  FROM {assigned} GROUP BY cluster_id
-)"""
-
-    seeds = f"""(
-  SELECT CAST(rn - 1 AS INTEGER) AS cid, vec FROM (
-    SELECT vec, row_number() OVER (
-      ORDER BY {hash_expr}, vec_id) AS rn
-    FROM {train} v
-  ) WHERE rn <= {KMEANS_K}
-)"""
-    cents = seeds
-    for _ in range(KMEANS_ITER):
-        cents = update(assign(cents, train))
-    return assign(cents, "v")
+    semantic-dedup oracles — and DELEGATES to the generalized
+    ``_sql_unrolled_kmeans`` (one Lloyd's construction for all oracles,
+    including PQ's per-subspace fits; a fix to one cannot miss the
+    other)."""
+    return _sql_unrolled_kmeans(
+        "v", DIM, KMEANS_K, KMEANS_ITER, train_mod=KMEANS_TRAIN_MOD
+    )[1]
 
 
 def _sql_kmeans_oracle() -> str:
@@ -746,8 +708,6 @@ def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    from pyspark.sql import Window
-
     jacc = (
         shared.join(sizes, "doc_id")
         .join(

@@ -18,8 +18,6 @@ from ..pipelines import retail
 from ..plans.star_schema import StarSchema
 from ..sources.tables import load_tables
 
-ROUND = 4
-
 # Deterministic load dates (the reference uses datetime.today(); tests pin
 # a fixed date for reproducibility — SURVEY §2.8 F7).
 D0 = "2026-01-01"
@@ -157,8 +155,10 @@ def scd2_customer_two_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_merge(dim, _customer_batch2(cust), CUSTOMER_CFG, D1)
 
 
-SCD2_TWO_BATCH_ORACLE = f"""
-WITH init AS (
+# The D0-init + D1-merge CTE chain shared VERBATIM by the two-batch and
+# partition-merge oracles (both describe the same merge; one copy each
+# would let them silently assert different merges)
+_SQL_SCD2_D1_CTES = """init AS (
   SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
          row_number() OVER (ORDER BY c_custkey, c_name, c_mktsegment, c_acctbal)
            AS customer_key
@@ -190,7 +190,10 @@ new_rows AS (
            + row_number() OVER (ORDER BY c_custkey, c_name, c_mktsegment, c_acctbal)
            AS customer_key
   FROM inserts
-)
+)"""
+
+SCD2_TWO_BATCH_ORACLE = f"""
+WITH {_SQL_SCD2_D1_CTES}
 SELECT c_custkey, c_name, c_mktsegment, c_acctbal, customer_key,
        DATE '{D0}' AS effective_date,
        CASE WHEN c_custkey IN (SELECT c_custkey FROM changed)
@@ -415,39 +418,7 @@ def scd2_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SCD2_PARTITION_MERGE_ORACLE = f"""
-WITH init AS (
-  SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
-         row_number() OVER (ORDER BY c_custkey, c_name, c_mktsegment, c_acctbal)
-           AS customer_key
-  FROM (SELECT DISTINCT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer)
-),
-batch2 AS (
-  SELECT c_custkey, c_name, c_mktsegment,
-         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000 ELSE c_acctbal END
-           AS c_acctbal
-  FROM customer
-  UNION ALL
-  SELECT c_custkey + 1000000, c_name || '_new', c_mktsegment, 0.0
-  FROM customer WHERE c_custkey % 17 = 0
-),
-changed AS (
-  SELECT b.* FROM batch2 b JOIN init i USING (c_custkey)
-  WHERE b.c_name IS DISTINCT FROM i.c_name
-     OR b.c_mktsegment IS DISTINCT FROM i.c_mktsegment
-     OR b.c_acctbal IS DISTINCT FROM i.c_acctbal
-),
-new_members AS (
-  SELECT b.* FROM batch2 b LEFT JOIN init i USING (c_custkey)
-  WHERE i.c_custkey IS NULL
-),
-inserts AS (SELECT * FROM changed UNION ALL SELECT * FROM new_members),
-new_rows AS (
-  SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
-         (SELECT max(customer_key) FROM init)
-           + row_number() OVER (ORDER BY c_custkey, c_name, c_mktsegment, c_acctbal)
-           AS customer_key
-  FROM inserts
-),
+WITH {_SQL_SCD2_D1_CTES},
 b3 AS (
   SELECT c_custkey, c_name, c_mktsegment, c_acctbal + 500 AS c_acctbal
   FROM (SELECT DISTINCT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer)
@@ -1509,26 +1480,44 @@ def warehouse_key_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         ):
             remainder.write.insertInto(name, overwrite=True)
 
+        # dynamic overwrite writes NOTHING for a touched bucket whose
+        # rows were ALL erased — the stale partition (and its PII files)
+        # would silently survive; drop those partitions explicitly
+        survivors = {
+            int(r["bucket"])
+            for r in remainder.select("bucket").distinct().collect()
+        }
+        for b in touched:
+            if int(b) not in survivors:
+                spark.sql(
+                    f"ALTER TABLE {name} DROP IF EXISTS "
+                    f"PARTITION (bucket={int(b)})"
+                )
+
         after = spark.table(name)
         leftover = after.where(F.col("o_custkey") % ERASE_MOD == 0).count()
         # vacuously true when every bucket was touched (possible at larger
         # SFs where the request list covers all residues);
         # tests/test_key_erasure.py asserts non-vacuity at the oracle SF
         intact = inventory(untouched) == inv_before
-        counts = (
-            after.groupBy("bucket")
+        counts = {
+            int(r["bucket"]): int(r["rows_after"])
+            for r in after.groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("rows_after"))
             .collect()
-        )
+        }
+        # emit one row per ORIGINAL bucket: a fully-erased bucket is
+        # absent from the table after the drop but the oracle (and the
+        # erasure report a user expects) carries it with rows_after=0
         rows = [
             (
-                int(r["bucket"]),
-                int(r["rows_after"]),
-                int(before[r["bucket"]] - r["rows_after"]),
+                int(b),
+                counts.get(int(b), 0),
+                int(before[b] - counts.get(int(b), 0)),
                 bool(leftover == 0),
                 bool(intact),
             )
-            for r in counts
+            for b in sorted(before)
         ]
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

@@ -36,3 +36,20 @@ def test_untouched_claim_is_not_vacuous_at_oracle_sf(spark):
         .collect()
     }
     assert len(touched) < ERASE_BUCKETS
+
+
+def test_full_bucket_erasure_drops_partition(spark, monkeypatch):
+    # regression: dynamic partition overwrite writes NOTHING for a
+    # bucket whose rows were all erased — without the explicit
+    # DROP PARTITION the stale files (and the PII) survived. ERASE_MOD=1
+    # erases every key, so EVERY bucket hits the empty-remainder path.
+    from datafoundation_multi_source_retail_data_integration_hub_spark.queries import (
+        warehouse as WH,
+    )
+
+    monkeypatch.setattr(WH, "ERASE_MOD", 1)
+    out = WH.warehouse_key_erasure(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    assert all(r["rows_after"] == 0 for r in out)
+    assert all(r["rows_erased"] > 0 for r in out)
+    assert all(r["erasure_complete"] for r in out)
