@@ -185,15 +185,21 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-``TFIDF_TOP`` terms per doc by tf * (N+1)/(df+1), rank ties
     broken by token order. Two hash aggregations + one equi-join on the
     token; the doc-frequency side is vocabulary-sized (broadcastable)."""
+    from ..operators.storage import persist_tracked
+
     d = _docs(spark, sf_dir)
     toks = d.select(
         "doc_id",
         F.explode(TX.ws_tokens(TX.normalized_text(F.col("text")))).alias("token"),
     )
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df_ = toks.select("doc_id", "token").distinct().groupBy("token").agg(
-        F.count("*").alias("df")
+    # tf is persisted and feeds BOTH consumers: the scored join and the
+    # doc-frequency aggregate (df = count of (doc, token) rows per token
+    # — tf already holds exactly one row per pair, so no second
+    # tokenize+explode pass over the corpus and no separate distinct)
+    tf = persist_tracked(
+        toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = d.count()
     scored = tf.join(df_, "token").withColumn(
         "tfidf",
@@ -422,7 +428,14 @@ def mixture_quotas(
     """Largest-remainder (Hamilton) apportionment of ``total`` slots to
     integer weights: floor the proportional share, then hand the leftover
     slots to the largest fractional remainders (ties to source name).
-    Integer arithmetic throughout — no float apportionment drift."""
+    Integer arithmetic throughout — no float apportionment drift.
+
+    SAME algorithm, different idiom:
+    ``pipelineops.doc_language_balanced_sample`` runs this apportionment
+    as window expressions over the |languages|-row aggregate (its quotas
+    must stay inside one distributed plan for the oracle hash). A
+    semantic change here (tie-break, floor form) must be mirrored there
+    and in both SQL oracles."""
     wsum = sum(weights.values())
     floors = {s: (total * w) // wsum for s, w in weights.items()}
     rema = {s: (total * w) % wsum for s, w in weights.items()}

@@ -101,16 +101,21 @@ def _nfc_normalize(s: pd.Series) -> pd.Series:
 
 def doc_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    probed = F.concat(F.col("text"), F.lit(_NFC_PROBE))
     staged = docs.select(
         "doc_id",
         F.length("text").alias("n_raw_chars"),
         _nfc_normalize(F.col("text")).alias("__nfc"),
-        # gate-only column: NFC applied to text+probe so composition is
-        # observable per row without polluting the emitted clean_text
-        (F.length(probed) - F.length(_nfc_normalize(probed))).alias(
-            "nfc_delta"
-        ),
+        # gate-only probe, evaluated on the CONSTANT probe text: NFC
+        # factorizes across the probe's leading-starter boundary (a
+        # space composes/reorders with nothing before it), so
+        # delta(text || probe) == delta(text) + delta(probe). The r09
+        # form re-normalized the ENTIRE corpus text a second time just
+        # to learn this per-row sum; the probe still rides the executor
+        # UDF, so a broken NFC path still reddens the oracle gate.
+        (
+            F.lit(len(_NFC_PROBE))
+            - F.length(_nfc_normalize(F.lit(_NFC_PROBE)))
+        ).alias("__probe_delta"),
     )
     clean = F.trim(
         F.regexp_replace(
@@ -122,7 +127,9 @@ def doc_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_raw_chars",
         clean.alias("clean_text"),
         F.length(clean).alias("n_clean_chars"),
-        "nfc_delta",
+        (
+            F.col("n_raw_chars") - F.length("__nfc") + F.col("__probe_delta")
+        ).alias("nfc_delta"),
     )
 
 
@@ -420,6 +427,12 @@ def doc_language_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Hamilton) in INTEGER math, then a deterministic id-hash-ranked take
     per language. sqrt is IEEE-correctly-rounded, so floor(sqrt(n)*1000)
     is engine-exact; everything after is integer arithmetic.
+
+    The apportionment is the SAME Hamilton algorithm as
+    ``llmops.mixture_quotas`` (driver-side integer form there; window
+    expressions over the |languages|-row aggregate here) — a semantic
+    change to either (tie-break, floor form) must be mirrored in the
+    other and in both SQL oracles.
 
     Scale shape: the quota table derives from language COUNTS (a
     vocabulary-sized aggregate; the global windows below run over

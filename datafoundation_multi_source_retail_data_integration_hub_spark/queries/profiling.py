@@ -45,6 +45,7 @@ from ..operators.keys import with_global_row_number
 from ..operators.quantiles import exact_quantile_edges
 from ..operators.skew import salted_join
 from ..sources.tables import load_tables
+from .relational import _SQL_REVENUE, DP_REVENUE
 
 N_DECILES = 10
 
@@ -306,7 +307,7 @@ def salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(li, ords, "l_orderkey", hot, n_salts=N_SALTS)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
-        fixed_sum("l_extendedprice * (1 - l_discount)", 4).alias("revenue"),
+        fixed_sum(_SQL_REVENUE, DP_REVENUE).alias("revenue"),
     )
 
 
@@ -869,7 +870,13 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     sketch queries."""
     from pyspark.sql import Window
 
-    events = load_tables(spark, sf_dir, "events")["events"]
+    # a NULL timestamp has no day: exclude it explicitly on BOTH engines
+    # (unfiltered, the oracle's DISTINCT day emits a (NULL, 0) row the
+    # NULL-rejecting range join here could never match)
+    events = (
+        load_tables(spark, sf_dir, "events")["events"]
+        .where(F.col("ts").isNotNull())
+    )
     day = F.col("ts").cast("date")
     daily = (
         events.select(day.alias("d"), "user_id")
@@ -908,7 +915,9 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 EVENTS_ROLLING_MAU_ORACLE = """
-WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+WITH days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d FROM events WHERE ts IS NOT NULL
+)
 SELECT d,
        (SELECT count(DISTINCT user_id) FROM events e
         WHERE CAST(e.ts AS DATE) BETWEEN d - 6 AND d) AS n_users_7d,

@@ -22,7 +22,10 @@ from ..functions.parity import (
 )
 from ..sources.tables import load_tables
 
-_SQL_REVENUE = "l_extendedprice * (1 - l_discount)"
+# ONE spelling of the revenue invariant and its decimal scales — a
+# hand-typed copy drifting one character from the oracle twin is a
+# silent parity failure, not a compile error
+from .relational import _SQL_REVENUE, DP_MONEY, DP_REVENUE  # noqa: E402
 
 
 def supplier_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,7 +43,7 @@ def supplier_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
     )
     return joined.groupBy(F.col("n_name").alias("nation_name")).agg(
-        fixed_sum("l_extendedprice * (1 - l_discount)", 4).alias("revenue"),
+        fixed_sum(_SQL_REVENUE, DP_REVENUE).alias("revenue"),
         F.count("*").alias("n_lineitems"),
     )
 
@@ -133,7 +136,7 @@ def weekend_weekday_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("is_weekend")
         .agg(
-            fixed_sum("o_totalprice", 2).alias("sales"),
+            fixed_sum("o_totalprice", DP_MONEY).alias("sales"),
             F.count("*").alias("n_orders"),
             F.countDistinct("o_custkey").alias("n_customers"),
         )
@@ -161,7 +164,7 @@ def nation_purchasing_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
-            fixed_sum("o_totalprice", 2).alias("total_spend"),
+            fixed_sum("o_totalprice", DP_MONEY).alias("total_spend"),
             fixed_avg("o_totalprice", 2).alias("avg_order_value"),
             F.countDistinct("o_custkey").alias("n_customers"),
             F.count("*").alias("n_orders"),
@@ -218,9 +221,7 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            fixed_sum_dec(
-                "l_extendedprice * (1 - l_discount)", 4
-            ).alias("rev_dec")
+            fixed_sum_dec(_SQL_REVENUE, DP_REVENUE).alias("rev_dec")
         )
     )
     return (
@@ -259,7 +260,10 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     big_orders = (
         t["lineitem"]
         .groupBy("l_orderkey")
-        .agg(round_dp(F.sum("l_quantity")).alias("total_qty"))
+        # exact fixed-point sum (the parity pair of the oracle's
+        # decimal sum): a plain double sum is partial-agg-order
+        # dependent and can land across a rounding midpoint
+        .agg(fixed_sum("l_quantity", DP_MONEY).alias("total_qty"))
         .filter(F.col("total_qty") > 150)
     )
     return (
@@ -273,8 +277,8 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LARGE_VOLUME_ORACLE = f"""
 WITH big AS (
-  SELECT l_orderkey, {sql_round_dp("sum(l_quantity)")} AS total_qty
-  FROM lineitem GROUP BY 1 HAVING {sql_round_dp("sum(l_quantity)")} > 150
+  SELECT l_orderkey, {sql_stable_sum("l_quantity")} AS total_qty
+  FROM lineitem GROUP BY 1 HAVING {sql_stable_sum("l_quantity")} > 150
 )
 SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
 FROM big

@@ -52,7 +52,17 @@ _SPREAD_MASKS = (
 
 def _spread16_sql(expr: str) -> str:
     """SQL for the 16-bit Morton bit-spread of ``expr`` (inserts a 0 bit
-    between consecutive bits: 0bABCD -> 0b0A0B0C0D)."""
+    between consecutive bits: 0bABCD -> 0b0A0B0C0D).
+
+    Size boundary: each cascade step references the previous step TWICE,
+    so the emitted text holds 2^len(_SPREAD_MASKS) = 16 copies of the
+    scale expression per dimension — bounded and parse-cheap at the
+    16-bit/4-step cascade (whole-stage codegen's subexpression
+    elimination evaluates it once per row). Widening to a 24/32-bit
+    spread must NOT extend this doubling (named staging through
+    withColumn does not help either — CollapseProject re-inlines cheap
+    multi-referenced aliases); use a codegen-friendly reformulation or
+    accept a UDF at that point."""
     out = f"({expr})"
     for shift, mask in _SPREAD_MASKS:
         out = f"((({out} | shiftleft({out}, {shift}))) & {mask})"
@@ -97,6 +107,15 @@ def column_domains(df: DataFrame, cols: tuple[str, ...]) -> dict[str, tuple[floa
     for c in cols:
         aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
     row = df.agg(*aggs).collect()[0]
+    for c in cols:
+        if row[f"__min_{c}"] is None:
+            # empty input or an all-NULL clustering column: no domain
+            # exists — raise the actual condition instead of a bare
+            # float(None) TypeError deep in the key expression
+            raise ValueError(
+                f"column_domains: no non-NULL values in {c!r} "
+                "(empty frame or all-NULL column) — nothing to cluster on"
+            )
     return {c: (float(row[f"__min_{c}"]), float(row[f"__max_{c}"])) for c in cols}
 
 

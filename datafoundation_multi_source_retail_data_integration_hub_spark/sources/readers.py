@@ -158,6 +158,14 @@ def read_jdbc(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # a None bound would be forwarded as a Java null inside the
+            # JDBC option map and die with an opaque JVM-side error —
+            # fail here with the actual contract instead
+            raise ValueError(
+                "read_jdbc: partition_column requires BOTH lower_bound "
+                "and upper_bound (range-sliced partitioned scan)"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("numPartitions", num_partitions)

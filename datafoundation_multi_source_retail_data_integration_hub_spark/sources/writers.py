@@ -106,11 +106,11 @@ def compact_parquet(
     format remove even those at cluster scale).
     """
     import math
-    import shutil
 
     sc = spark.sparkContext
     hconf = sc._jsc.hadoopConfiguration()
-    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    Path = sc._jvm.org.apache.hadoop.fs.Path
+    jpath = Path(path)
     fs = jpath.getFileSystem(hconf)
     total = fs.getContentSummary(jpath).getLength()
     n_files = max(1, math.ceil(total / target_bytes_per_file))
@@ -119,6 +119,9 @@ def compact_parquet(
     spark.read.parquet(path).repartition(n_files).write.mode(
         "overwrite"
     ).parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    # swap through the SAME Hadoop FileSystem that sized the input —
+    # shutil only resolves local paths, and this maintenance pass must
+    # work on hdfs:// and object-store URIs too
+    fs.delete(jpath, True)
+    fs.rename(Path(tmp), jpath)
     return n_files
