@@ -19,9 +19,12 @@ whole partition. Hot keys behave like any skewed exchange (AQE split /
 salting both apply).
 
 Determinism: right-side ties on (keys, time) are broken by ``tie_break``
-(greatest wins) so the result is a pure function of the inputs — required
-because the driver hash-compares results against a DuckDB ``ASOF JOIN``
-oracle whose kept row is otherwise arbitrary.
+— GREATEST wins in the backward direction, SMALLEST in the forward
+direction (each is the value "closest past the boundary" in its scan
+order; pinned by tests/test_asof_rangejoin.py) — so the result is a pure
+function of the inputs, required because the driver hash-compares
+results against a DuckDB ``ASOF JOIN`` oracle whose kept row is
+otherwise arbitrary.
 """
 
 from __future__ import annotations

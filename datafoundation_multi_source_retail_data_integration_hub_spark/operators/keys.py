@@ -11,7 +11,9 @@ stays fully parallel:
 
 1. range-partition + local sort on the order columns (one shuffle — the
    same shuffle a global sort would need anyway),
-2. ``row_number`` per partition (parallel, no data movement),
+2. per-partition contiguous rank from ``monotonically_increasing_id``'s
+   (partition id, local counter) encoding (a narrow projection — no
+   window, no second exchange),
 3. per-partition counts -> cumulative offsets (a tiny driver-side list,
    one row per partition), broadcast-joined back.
 
@@ -81,15 +83,33 @@ def with_global_row_number(
         )
 
     parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    ranged = df.repartitionByRange(int(parts), *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # Per-partition rank WITHOUT a window: a Window.partitionBy(__pid)
+    # does not know __pid is aligned with the physical partitioning, so
+    # EnsureRequirements would insert a SECOND full hash exchange (+ a
+    # re-sort) — the very cost this operator exists to avoid. Instead,
+    # monotonically_increasing_id over the range-partitioned, locally
+    # sorted rows encodes (physical partition id << 33) + a contiguous
+    # 0-based local counter assigned in row order; two bit ops recover
+    # both, and the only exchange in the plan is the range partition
+    # a global sort needs anyway.
+    ranged = (
+        df.repartitionByRange(int(parts), *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__mid", F.monotonically_increasing_id())
     )
-    local_w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
     # Persist before fanning out to two consumers: the range partitioner
     # samples its boundaries per materialization, so without pinning one
     # materialization the counts job and the final join would see
     # different partition sizes -> wrong offsets.
-    ranked = ranged.withColumn("__rn", F.row_number().over(local_w)).persist()
+    from .storage import persist_tracked
+
+    ranked = persist_tracked(
+        ranged.withColumn("__pid", F.shiftright("__mid", 33).cast("int"))
+        .withColumn(
+            "__rn", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1
+        )
+        .drop("__mid")
+    )
     counts = (
         ranked.groupBy("__pid").count().orderBy("__pid").collect()
     )  # one row per partition — tiny

@@ -40,7 +40,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .keys import SMALL_DIM_THRESHOLD, _estimated_rows, with_global_row_number
+from .keys import SMALL_DIM_THRESHOLD, with_global_row_number
 
 __all__ = ["exact_quantile_edges"]
 
@@ -52,7 +52,10 @@ def exact_quantile_edges(
     ``probs``, bit-identical to ``quantile_interp`` over the sorted
     column (and therefore to the DuckDB ``quantile_cont`` oracle).
     Returns [] on empty input."""
-    v = values.select(F.col(col).alias("v"))
+    # NULLs are excluded, matching quantile_cont (unfiltered, they would
+    # count into n AND sort into the lowest ranks — wrong edges, or a
+    # float(None) crash when a needed rank lands on a NULL)
+    v = values.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
     n = v.count()
     if n == 0:
         return []

@@ -37,7 +37,14 @@ def time_window_pairs(
     ``b_`` plus ``gap_us`` (exact BIGINT microseconds, ``>= 0``).
     Pair identity/order is pinned by ``a_<id_col> < b_<id_col>``.
     """
-    delta_us = int(round(max_gap_seconds * 1_000_000))
+    gap_limit_us = int(round(max_gap_seconds * 1_000_000))
+    if gap_limit_us < 0:
+        raise ValueError(f"max_gap_seconds must be >= 0, got {max_gap_seconds}")
+    # bucket width must be >= 1: a zero-gap query ("simultaneous events")
+    # would otherwise compute `__us % 0` = NULL in every bucket and
+    # silently return no pairs; the filter below still applies the exact
+    # gap_limit_us bound
+    delta_us = max(1, gap_limit_us)
     base = df.select(
         *df.columns, F.unix_micros(F.col(ts_col)).alias("__us")
     ).withColumn("__b", F.col("__us") - F.col("__us") % delta_us)
@@ -61,7 +68,7 @@ def time_window_pairs(
         probe.join(build, "__probe")
         .filter(
             (F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
-            & (F.abs(F.col("__a_us") - F.col("__b_us")) <= delta_us)
+            & (F.abs(F.col("__a_us") - F.col("__b_us")) <= gap_limit_us)
         )
         .withColumn("gap_us", F.abs(F.col("__a_us") - F.col("__b_us")))
         .drop("__probe", "__a_us", "__b_us")

@@ -44,9 +44,18 @@ def session_stats(
     ts_col: str = "ts",
     value_col: str = "value",
     gap_seconds: int = 1800,
+    order_tiebreak: str = "event_id",
 ) -> DataFrame:
-    """Per-session aggregate: bounds, event count, total value."""
-    s = sessionize(df, user_col=user_col, ts_col=ts_col, gap_seconds=gap_seconds)
+    """Per-session aggregate: bounds, event count, total value.
+    ``order_tiebreak`` plumbs through to :func:`sessionize` — frames
+    without an ``event_id`` column must name their own tie column."""
+    s = sessionize(
+        df,
+        user_col=user_col,
+        ts_col=ts_col,
+        order_tiebreak=order_tiebreak,
+        gap_seconds=gap_seconds,
+    )
     return s.groupBy(user_col, "session_id").agg(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),

@@ -57,7 +57,14 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join on ``key`` with the listed hot keys salted across
     ``n_salts`` buckets. Semantically identical to
-    ``large.join(small, key, how)`` for inner/left joins."""
+    ``large.join(small, key, how)`` for inner/left joins — and ONLY
+    those: the small side is replicated per salt, so right/full joins
+    would emit every unmatched hot small-side row n_salts times."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r} "
+            "(the replicated small side would duplicate unmatched rows)"
+        )
     lg = salt_large_side(large, key, hot_keys, n_salts)
     sm = replicate_small_side(small, key, hot_keys, n_salts)
     return lg.join(sm, [key, SALT_COL], how).drop(SALT_COL)

@@ -94,6 +94,20 @@ def merge_dimension(
     version — matching the reference, which runs every dim through the
     same SCD2 routine)."""
     present = tuple(c for c in spec.columns if c in src.columns)
+    if not present:
+        # batch lost every column of this dim (build_dimension's skip
+        # case): nothing to merge — the existing dim stands unchanged
+        return existing
+    if set(present) != {c for c in spec.columns if c in existing.columns}:
+        # a PARTIAL subset would rebuild the merge config from the
+        # shrunken column list and scd2_merge's final projection would
+        # silently DROP the missing column from every historical row —
+        # schema drift between batches must be explicit, not data loss
+        raise ValueError(
+            f"merge_dimension({spec.name}): batch columns {present} do not "
+            "match the existing dimension's member columns — "
+            "a partial batch cannot merge without losing history"
+        )
     cfg = spec.scd2_config(present)
     return scd2_merge(existing, src, cfg, effective_date)
 
@@ -125,7 +139,9 @@ def resolve_fact(
     """
     keep = [c for c in fact_spec.measure_columns if c in src.columns]
     key_cols = [c for c in fact_spec.dim_keys.values() if c in src.columns]
-    if fact_spec.date_column:
+    # tolerate an absent date column the same way absent dims/measures
+    # are tolerated (the select below would otherwise raise)
+    if fact_spec.date_column and fact_spec.date_column in src.columns:
         key_cols.append(fact_spec.date_column)
     fact = src.select(*dict.fromkeys(key_cols + keep))
 
@@ -144,7 +160,7 @@ def resolve_fact(
             kmap = kmap.withColumnRenamed(cfg.natural_key, fact_nk)
         fact = fact.join(kmap, fact_nk, "left").drop(fact_nk)
 
-    if fact_spec.date_column:
+    if fact_spec.date_column and fact_spec.date_column in fact.columns:
         # The reference stores the int date_key under the fact's original
         # date column name (SURVEY §2.3 naming quirk) — keep that contract.
         fact = fact.withColumn(
