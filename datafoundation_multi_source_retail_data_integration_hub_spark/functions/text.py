@@ -132,25 +132,40 @@ def _index_range(hi: Column) -> Column:
     )
 
 
-def shingles_from_tokens(toks: Column, n: int) -> Column:
-    """Distinct word n-gram shingles from a MATERIALIZED token-array
+def grams_from_tokens(toks: Column, n: int) -> Column:
+    """Position-ordered word n-grams from a MATERIALIZED token-array
     column (see performance note above; pass a plain column reference).
 
-    1-based ``slice`` over the token array; DuckDB equivalent:
-    ``list_distinct(list_transform(generate_series(1, len(t)-n+1),
-    i -> array_to_string(t[i:i+n-1], ' ')))``.
-    """
-    idx = _index_range(F.size(toks) - (n - 1))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.array_distinct(grams)
+    Built by zipping the token array against its own 1..n-1 shifts —
+    n-1 linear array passes — instead of ``transform(sequence(...),
+    i -> concat_ws(' ', slice(toks, i, n)))``, whose per-position
+    ``slice`` allocates an n-element array for every gram (measured
+    1.7x slower for bigrams over the sf0.1 documents corpus, 1.04 s vs
+    0.62 s min-of-3). ``zip_with`` pads the shorter side with NULLs and
+    ``concat`` propagates them, so the trailing n-1 partial grams come
+    out NULL and the final ``slice`` drops them — identical output to
+    the index form (DuckDB twin: ``list_transform(generate_series(1,
+    len(t)-n+1), i -> array_to_string(t[i:i+n-1], ' '))``)."""
+    if n == 1:
+        return toks
+    size = F.size(toks)
+    cur = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(size - k, F.lit(0)))
+        cur = F.zip_with(cur, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.slice(cur, 1, F.greatest(size - (n - 1), F.lit(0)))
+
+
+def shingles_from_tokens(toks: Column, n: int) -> Column:
+    """Distinct word n-gram shingles from a materialized token-array
+    column — :func:`grams_from_tokens` + dedup."""
+    return F.array_distinct(grams_from_tokens(toks, n))
 
 
 def positional_hashes_from_tokens(toks: Column, n: int) -> Column:
     """Position-ordered (no dedup) shingle hashes from a materialized
     token-array column — input for rolling-window schemes (winnowing)."""
-    idx = _index_range(F.size(toks) - (n - 1))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.transform(grams, md5_long)
+    return F.transform(grams_from_tokens(toks, n), md5_long)
 
 
 def winnowing_from_hashes(h: Column, window: int) -> Column:

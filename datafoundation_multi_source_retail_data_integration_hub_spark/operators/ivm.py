@@ -145,7 +145,21 @@ def apply_batch(
     partial = state_partials(batch, cfg).localCheckpoint(eager=True)
     n = partial.agg(F.sum(cfg.count_col)).first()[0]
     if version > 0:
-        prev = W.read_table(spark, state_table(table, version - 1), database=database)
+        prev_table = state_table(table, version - 1)
+        if not W.table_exists(spark, prev_table, database=database):
+            # surface the versioned-state contract instead of a generic
+            # missing-table error: v{N} is derived from the immutable
+            # v{N-1}, so a vacuum policy that expires old versions (or a
+            # rebuilt state database) must keep at least the latest
+            # version or redelivered batches can no longer be applied
+            raise RuntimeError(
+                f"ivm.apply_batch: previous state version {prev_table!r} "
+                f"not found in database {database!r} — version {version} "
+                f"is a pure function of version {version - 1}, which must "
+                "exist before it can be derived (was it vacuumed, or the "
+                "state database rebuilt?)"
+            )
+        prev = W.read_table(spark, prev_table, database=database)
         merged = merge_state(prev, partial, cfg)
     else:
         merged = partial

@@ -110,9 +110,29 @@ def with_global_row_number(
         )
         .drop("__mid")
     )
+    # one row per partition — tiny. __pid_ok rides the same job as a
+    # map-side projection: it cross-checks the bit-derived partition id
+    # against spark_partition_id() on the pinned materialization, so a
+    # future change to monotonically_increasing_id's documented
+    # "current implementation" bit layout fails loudly at runtime
+    # instead of silently mis-numbering (the pinned plan test guards
+    # the same invariant in CI; this guards production runs).
     counts = (
-        ranked.groupBy("__pid").count().orderBy("__pid").collect()
-    )  # one row per partition — tiny
+        ranked.withColumn(
+            "__pid_ok", F.col("__pid") == F.spark_partition_id()
+        )
+        .groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("count"), F.min("__pid_ok").alias("ok"))
+        .orderBy("__pid")
+        .collect()
+    )
+    if not all(r["ok"] for r in counts):
+        raise RuntimeError(
+            "with_global_row_number: monotonically_increasing_id's "
+            "partition-id bit layout no longer matches "
+            "spark_partition_id() — the distributed numbering path "
+            "cannot derive per-partition offsets on this Spark build"
+        )
     cum = 0
     offsets = []
     for r in counts:

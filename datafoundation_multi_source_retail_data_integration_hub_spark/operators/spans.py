@@ -306,6 +306,7 @@ def report_against_store(
     text_col: str,
     id_col: str,
     w: int,
+    pos: DataFrame | None = None,
 ) -> DataFrame:
     """Ingest-time substring dedup: flag every W-token window of the
     incoming batch that (a) already exists in the persisted window-hash
@@ -339,10 +340,17 @@ def report_against_store(
     BATCH (multiplicity bounded by batch size), unlike the corpus-wide
     batch operators (:func:`duplicated_window_positions`,
     :func:`trim_duplicated_spans`), which use the partial-agg groupBy +
-    AQE-splittable join form for exactly that reason."""
-    pos = window_hash_positions(new_batch, text_col, id_col, w).withColumn(
-        "__src", F.lit(0)
-    )
+    AQE-splittable join form for exactly that reason.
+
+    ``pos``: an already-computed ``window_hash_positions(new_batch, ...)``
+    frame — pass it (persisted) when the caller also folds the batch's
+    windows into the store, so one tokenize+hash pass feeds both the
+    report and the store merge (the streaming ingest handler re-derived
+    the windows from the raw text for each consumer before r11: two full
+    scans per micro-batch)."""
+    if pos is None:
+        pos = window_hash_positions(new_batch, text_col, id_col, w)
+    pos = pos.withColumn("__src", F.lit(0))
     id_type, n_type, i_type = [f.dataType for f in pos.schema.fields[:3]]
     store_rows = store_hv.select(
         F.lit(None).cast(id_type).alias(id_col),

@@ -861,36 +861,64 @@ def stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def spath(version: int) -> str:
         return f"{base}/store/v{version}"
 
+    # the oracle parity proof assumes each availableNow run folds into
+    # EXACTLY one micro-batch (the two-branch oracle and the
+    # within-batch keep-first both depend on it); a session conf like
+    # maxFilesPerTrigger, or a source that splits batches, would
+    # silently diverge. EXACT check: the batch id must equal the count
+    # of completed runs (each prior run contributed exactly one batch),
+    # so a split run's SECOND batch dies here before writing a mid-run
+    # report — a `batch_id > 1` bound would let it through until the
+    # next run.
+    progress = {"runs": 0, "batches": 0}
+
     def handler(batch: DataFrame, batch_id: int) -> None:
-        # the oracle parity proof assumes each availableNow run folds
-        # into EXACTLY one micro-batch (the two-branch oracle and the
-        # within-batch keep-first both depend on it); a session conf
-        # like maxFilesPerTrigger, or a source that splits batches,
-        # would silently diverge — fail loudly instead
-        if batch_id > 1:
+        if batch_id != progress["runs"]:
             raise AssertionError(
-                f"stream_substring_dedup: micro-batch {batch_id} — the "
-                "one-batch-per-run assumption of the two-batch oracle "
-                "no longer holds"
+                f"stream_substring_dedup: micro-batch {batch_id} in run "
+                f"{progress['runs']} — the one-batch-per-run assumption "
+                "of the two-batch oracle no longer holds"
             )
         s = batch.sparkSession
-        # previous store addressed by BATCH ID, not driver-local state:
-        # a redelivered batch re-derives its outputs from the immutable
-        # v{batch_id-1}, and both writes are overwrite — idempotent
-        if batch_id > 0:
-            store_hv = s.read.parquet(spath(batch_id - 1))
-        else:
-            store_hv = s.createDataFrame([], "hv long")
-        report = SP.report_against_store(
-            batch, store_hv, "text", "doc_id", SUBSTR_W
-        )
-        report.write.mode("overwrite").parquet(f"{base}/reports/b{batch_id}")
-        merged = (
-            store_hv.select("hv")
-            .union(SP.window_hash_store(batch, "text", SUBSTR_W))
-            .distinct()
-        )
-        merged.write.mode("overwrite").parquet(spath(batch_id))
+        # this handler runs STATELESS batch jobs with real per-row work
+        # (tokenize + window-hash the micro-batch), so the state-store
+        # sizing rationale behind STREAM_SHUFFLE_PARTITIONS does not
+        # apply inside it — rescope to the batch default for the
+        # handler's own shuffles (measured 0.6 s faster at sf0.1; the
+        # stream source/sink machinery around it never shuffles)
+        from ..session import scoped_confs
+
+        with scoped_confs(s, {"spark.sql.shuffle.partitions": "16"}):
+            # previous store addressed by BATCH ID, not driver-local
+            # state: a redelivered batch re-derives its outputs from the
+            # immutable v{batch_id-1}, and both writes are overwrite —
+            # idempotent
+            if batch_id > 0:
+                store_hv = s.read.parquet(spath(batch_id - 1))
+            else:
+                store_hv = s.createDataFrame([], "hv long")
+            # ONE tokenize+hash window pass per micro-batch, persisted:
+            # the report and the store fold both consume it (re-deriving
+            # the windows from raw text per consumer measured ~2x the
+            # handler cost at sf0.1); one distinct over the union
+            # replaces the old per-side distinct — same store contents
+            pos = SP.window_hash_positions(
+                batch, "text", "doc_id", SUBSTR_W
+            ).persist()
+            try:
+                report = SP.report_against_store(
+                    batch, store_hv, "text", "doc_id", SUBSTR_W, pos=pos
+                )
+                report.write.mode("overwrite").parquet(
+                    f"{base}/reports/b{batch_id}"
+                )
+                merged = (
+                    store_hv.select("hv").union(pos.select("hv")).distinct()
+                )
+                merged.write.mode("overwrite").parquet(spath(batch_id))
+            finally:
+                pos.unpersist()
+        progress["batches"] += 1
 
     def run() -> None:
         q = (
@@ -902,6 +930,14 @@ def stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         _drain(q, "substring-dedup")
+        progress["runs"] += 1
+        if progress["batches"] != progress["runs"]:
+            raise AssertionError(
+                f"stream_substring_dedup: run {progress['runs'] - 1} "
+                f"completed with {progress['batches']} total micro-batches "
+                f"(expected {progress['runs']}) — one-batch-per-run "
+                "assumption violated"
+            )
 
     try:
         docs = load_tables(spark, sf_dir, "documents")["documents"]
