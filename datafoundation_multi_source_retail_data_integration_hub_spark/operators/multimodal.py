@@ -14,12 +14,13 @@ The codec boundary has three tiers:
   depths with high-byte downsample, palette->RGB expansion, Adam7
   interlace, the five scanline filters), GIF first frames
   (variable-width LZW, deinterlace, palette compose), and baseline
-  JPEGs (Huffman + IDCT, gray/YCbCr 4:4:4/4:2:2/4:2:0, restart
-  markers — ``operators/jpeg.py``) decode, nearest-neighbor resize,
-  and re-encode in PURE PYTHON — real thumbnails with no raster
-  dependency; progressive/arithmetic JPEG streams use Pillow when
-  importable, else the row surfaces as ``resize_ok=false`` — never a
-  task failure;
+  and progressive JPEGs (Huffman + IDCT, gray/YCbCr
+  4:4:4/4:2:2/4:2:0, restart markers, spectral selection + successive
+  approximation — ``operators/jpeg.py``) decode, nearest-neighbor
+  resize, and re-encode in PURE PYTHON — real thumbnails with no
+  raster dependency; arithmetic-coded/12-bit JPEG streams use Pillow
+  when importable, else the row surfaces as ``resize_ok=false`` —
+  never a task failure;
 - the FAKE format (``fake_image_bytes``) keeps its fully-deterministic
   arithmetic resize path so the DuckDB oracle can pin the pipeline.
 
@@ -331,9 +332,10 @@ def _png_resize(payload: bytes, max_side: int) -> bytes:
 
 
 def _jpeg_resize(payload: bytes, max_side: int) -> bytes:
-    """Baseline-sequential JPEG -> PNG thumbnail via the pure decoder
-    (``operators/jpeg.py``); progressive/arithmetic streams raise
-    NotImplementedError for the caller's Pillow fallback."""
+    """Baseline-sequential or progressive JPEG -> PNG thumbnail via the
+    pure decoder (``operators/jpeg.py``); arithmetic-coded/12-bit
+    streams raise NotImplementedError for the caller's Pillow
+    fallback."""
     from .jpeg import decode_baseline
 
     w, h, ch, data = decode_baseline(payload)
@@ -598,7 +600,7 @@ def resize_image(payload: bytes, max_side: int, backend: str = "native") -> byte
     - ``"pure"``: stdlib-only PNG/GIF/baseline-JPEG raster paths first
       — bit-exact deterministic on any machine, so oracle queries and
       tests pin this backend; Pillow only as a corrupt-stream (or
-      progressive-JPEG) fallback.
+      arithmetic-coded-JPEG) fallback.
 
     All paths are SHRINK-ONLY (upscaling is never performed, the
     standard thumbnail semantics); with no backend able to decode,
@@ -631,10 +633,11 @@ def resize_image(payload: bytes, max_side: int, backend: str = "native") -> byte
                     raise
         elif payload[:2] == b"\xff\xd8":
             try:
-                # pure-Python baseline Huffman+IDCT path -> PNG thumbnail
+                # pure-Python Huffman+IDCT path (baseline AND
+                # progressive) -> PNG thumbnail
                 return _jpeg_resize(payload, max_side)
             except _CORRUPT + (struct.error, NotImplementedError):
-                # progressive/arithmetic/12-bit (NotImplementedError) or
+                # arithmetic-coded/12-bit (NotImplementedError) or
                 # a corrupt stream: Pillow if present, else surface
                 if _PILImage is None:
                     raise

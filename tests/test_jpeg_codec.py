@@ -1,10 +1,14 @@
-"""Pure-Python baseline JPEG codec (VERDICT r09 directive 7).
+"""Pure-Python JPEG codec: baseline (VERDICT r09 directive 7) and
+progressive (r11 directive 7).
 
-Fixtures are REAL baseline-sequential streams built by the module's own
-encoder (unity quant tables -> near-lossless round-trips), so the
-decoder is exercised on spec-valid Huffman/DCT data with no Pillow in
-the environment. The done-criterion test: a real baseline JPEG flows
-through ``resize_media`` with ``resize_ok=true`` and Pillow absent.
+Fixtures are REAL streams built by the module's own encoders (unity
+quant tables -> near-lossless round-trips), so both decode paths are
+exercised on spec-valid Huffman/DCT data with no Pillow in the
+environment. Done-criterion tests: a real baseline JPEG and a real
+progressive JPEG each flow through ``resize_media`` with
+``resize_ok=true`` and Pillow absent. Progressive fixtures carry the
+same quantized coefficients as their baseline twins, so their decodes
+are asserted BYTE-IDENTICAL, not merely within tolerance.
 """
 
 from __future__ import annotations
@@ -93,10 +97,22 @@ def test_gray_roundtrip_property(w, h, seed):
     assert max(abs(a - b) for a, b in zip(pix, out)) <= 2
 
 
-def test_progressive_raises_notimplemented():
+def test_mislabelled_progressive_raises_valueerror():
+    # a baseline stream whose SOF is flipped to SOF2 is MALFORMED as
+    # progressive (its single scan has Ss=0, Se=63 — a progressive DC
+    # scan must have Se=0) — the r11 progressive decoder must reject it
+    # rather than decode garbage
     enc = bytearray(J.encode_baseline(8, 8, _gray(8, 8)))
     i = enc.find(b"\xff\xc0")
     enc[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError):
+        J.decode_baseline(bytes(enc))
+
+
+def test_arithmetic_frame_raises_notimplemented():
+    enc = bytearray(J.encode_baseline(8, 8, _gray(8, 8)))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC9  # SOF9: arithmetic-coded sequential
     with pytest.raises(NotImplementedError):
         J.decode_baseline(bytes(enc))
 
@@ -129,15 +145,15 @@ def test_real_jpeg_through_resize_media_no_pillow(spark):
     assert (row["width"], row["height"]) == (6, 3)
 
 
-def test_progressive_jpeg_degrades_to_data_row(spark):
+def test_arithmetic_jpeg_degrades_to_data_row(spark):
     enc = bytearray(J.encode_baseline(8, 8, _gray(8, 8)))
     i = enc.find(b"\xff\xc0")
-    enc[i + 1] = 0xC2
+    enc[i + 1] = 0xC9  # arithmetic-coded: metadata yes, pixels no
     df = spark.createDataFrame(
         [(1, bytearray(bytes(enc)))], "media_id long, content binary"
     )
     row = MM.resize_media(df, max_side=4).collect()[0]
-    # header still parses (SOF walk accepts SOF2 dims); pixels don't
+    # header still parses (SOF walk accepts SOF9 dims); pixels don't
     assert (row["src_width"], row["src_height"]) == (8, 8)
     assert row["resize_ok"] is False
 
@@ -210,3 +226,90 @@ def test_quantized_roundtrip_property(w, h, seed, qseed):
     )
     assert (dw, dh, ch) == (w, h, 1)
     assert max(abs(a - b) for a, b in zip(pix, out)) <= 24
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decode — r11: fixtures from the module's own
+# progressive encoder, which emits the SAME quantized coefficients as
+# encode_baseline, so progressive decodes must be BYTE-IDENTICAL to the
+# baseline twin's decode (stronger than a tolerance bound).
+# ---------------------------------------------------------------------------
+
+
+def _prog_equal(w, h, pix, **kw):
+    base = J.decode_baseline(J.encode_baseline(w, h, pix, **{
+        k: v for k, v in kw.items() if k not in ("successive",)
+    }))
+    prog = J.decode_baseline(J.encode_progressive(w, h, pix, **kw))
+    assert prog == base
+
+
+def test_progressive_spectral_selection_gray():
+    _prog_equal(16, 12, _gray(16, 12))
+
+
+def test_progressive_successive_approximation_gray():
+    _prog_equal(16, 12, _gray(16, 12), successive=True)
+
+
+@pytest.mark.parametrize("sampling", [(1, 1), (2, 2), (2, 1), (1, 2)])
+def test_progressive_color_all_samplings(sampling):
+    pix = _rgb(20, 12)
+    _prog_equal(20, 12, pix, channels=3, sampling=sampling)
+    _prog_equal(20, 12, pix, channels=3, sampling=sampling, successive=True)
+
+
+def test_progressive_non_multiple_of_8_dims():
+    _prog_equal(17, 9, _gray(17, 9), successive=True)
+
+
+def test_progressive_restart_markers():
+    pix = _gray(48, 8)
+    enc = J.encode_progressive(48, 8, pix, restart_interval=2, successive=True)
+    assert b"\xff\xd0" in enc
+    _prog_equal(48, 8, pix, restart_interval=2, successive=True)
+
+
+def test_progressive_non_uniform_quant():
+    # non-flat table pins the zigzag<->natural dequant pairing on the
+    # progressive path too (quant applies AFTER scan accumulation there)
+    quant = [1 + ((3 * i) % 5) for i in range(64)]
+    _prog_equal(24, 16, _gray(24, 16), quant=quant, successive=True)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 20),
+    seed=st.integers(0, 2**31),
+    qseed=st.integers(1, 2**16),
+    successive=st.booleans(),
+)
+def test_progressive_roundtrip_property(w, h, seed, qseed, successive):
+    quant = [1 + ((qseed * (i + 3)) % 7) for i in range(64)]
+    pix = bytes(
+        (seed + x * 5 + y * 17 + (x * y) % 11) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+    base = J.decode_baseline(J.encode_baseline(w, h, pix, quant=quant))
+    prog = J.decode_baseline(
+        J.encode_progressive(w, h, pix, quant=quant, successive=successive)
+    )
+    assert prog == base
+
+
+def test_progressive_jpeg_through_resize_media_no_pillow(spark):
+    """r11 directive 7 done-criterion: a progressive JPEG flows through
+    resize_media with resize_ok=true and Pillow absent."""
+    assert MM._PILImage is None, "test environment unexpectedly has Pillow"
+    enc = J.encode_progressive(
+        24, 12, _rgb(24, 12), channels=3, sampling=(2, 2), successive=True
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(enc))], "media_id long, content binary"
+    )
+    row = MM.resize_media(df, max_side=6).collect()[0]
+    assert row["resize_ok"] is True
+    assert (row["src_width"], row["src_height"]) == (24, 12)
+    assert (row["width"], row["height"]) == (6, 3)
