@@ -744,7 +744,8 @@ def generate_fake_media(df: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# audio/video tier: WAV/RIFF + MP4/ISO-BMFF header metadata
+# audio/video tier: WAV/RIFF + MP4/ISO-BMFF (r10) and MP3 + Ogg
+# Vorbis/Opus (r11) header metadata
 # (VERDICT r09 gap #3 — same pure-parser tier as the image headers: a
 # 100 TB AV corpus gets duration/rate/dims at scan speed with zero
 # codec dependency; pixel/sample DECODE stays out of scope)
@@ -808,6 +809,88 @@ def fake_mp4_bytes(media_id: int, duration_ms: int, width: int, height: int) -> 
     moov = _box(b"mvhd", mvhd) + _box(b"trak", _box(b"tkhd", tkhd))
     ftyp = b"isom" + struct.pack(">I", 512) + b"isomiso2mp41"
     return _box(b"ftyp", ftyp) + _box(b"moov", moov)
+
+
+_MP3_BITRATE_IDX = {32: 1, 40: 2, 48: 3, 56: 4, 64: 5, 80: 6, 96: 7,
+                    112: 8, 128: 9, 160: 10, 192: 11, 224: 12, 256: 13,
+                    320: 14}
+_MP3_RATE_IDX = {44100: 0, 48000: 1, 32000: 2}
+
+
+def fake_mp3_bytes(
+    media_id: int,
+    sample_rate: int,
+    bitrate: int,
+    n_frames: int,
+    channels: int = 1,
+    id3_pad: int = 0,
+) -> bytes:
+    """A complete MPEG-1 Layer III stream: optional ID3v2 tag
+    (``id3_pad`` payload bytes, syncsafe-sized) + ``n_frames`` CBR
+    frames with real headers and deterministic pseudo-audio bodies.
+    ``bitrate`` in bit/s must be a Layer III table entry."""
+    sr_idx = _MP3_RATE_IDX[sample_rate]
+    br_idx = _MP3_BITRATE_IDX[bitrate // 1000]
+    mode = 3 if channels == 1 else 0  # single-channel / stereo
+    flen = (144 * bitrate) // sample_rate  # padding bit always 0
+    header = bytes((
+        0xFF,
+        0xFB,  # sync + MPEG-1 + Layer III + no CRC
+        (br_idx << 4) | (sr_idx << 2),
+        mode << 6,
+    ))
+    out = bytearray()
+    if id3_pad:
+        out += b"ID3" + bytes((4, 0, 0))
+        out += bytes((
+            (id3_pad >> 21) & 0x7F,
+            (id3_pad >> 14) & 0x7F,
+            (id3_pad >> 7) & 0x7F,
+            id3_pad & 0x7F,
+        ))
+        out += bytes((media_id + i) % 256 for i in range(id3_pad))
+    for f in range(n_frames):
+        out += header
+        out += bytes((media_id * 7 + f * 31 + i * 13) % 256 for i in range(flen - 4))
+    return bytes(out)
+
+
+def _ogg_page(
+    htype: int, granule: int, serial: int, seq: int, segments: list[bytes]
+) -> bytes:
+    """One Ogg page (checksum left zero — the metadata parser does not
+    verify CRCs, matching the header-only tier's posture)."""
+    return (
+        b"OggS"
+        + bytes((0, htype))
+        + struct.pack("<q", granule)
+        + struct.pack("<II", serial, seq)
+        + b"\x00" * 4
+        + bytes((len(segments),))
+        + bytes(len(s) for s in segments)
+        + b"".join(segments)
+    )
+
+
+def fake_ogg_bytes(
+    media_id: int, sample_rate: int, n_samples: int, channels: int = 1
+) -> bytes:
+    """A minimal spec-shaped Ogg Vorbis stream: a BOS page whose sole
+    packet is the 30-byte Vorbis identification header, then an EOS
+    page with a deterministic dummy audio packet and granule position
+    ``n_samples`` (total PCM samples — the duration authority)."""
+    ident = (
+        b"\x01vorbis"
+        + struct.pack("<IB", 0, channels)  # version, channels
+        + struct.pack("<I", sample_rate)
+        + struct.pack("<iii", -1, 128000, -1)  # bitrate max/nominal/min
+        + bytes((0x66, 1))  # blocksizes (64/512), framing bit
+    )
+    serial = media_id % 0xFFFF + 1
+    audio = bytes((media_id * 19 + i * 5) % 256 for i in range(16))
+    return _ogg_page(0x02, 0, serial, 0, [ident]) + _ogg_page(
+        0x04, n_samples, serial, 1, [audio]
+    )
 
 
 def _wav_meta(p: bytes) -> tuple[int, int, int]:
@@ -903,6 +986,106 @@ def _mp4_meta(p: bytes) -> tuple[int, int, int]:
     return duration_ms, width, height
 
 
+# MPEG-1 Layer III tables (ISO/IEC 11172-3): bitrate index -> kbit/s,
+# sample-rate index -> Hz; 1152 samples per Layer III frame
+_MP3_BITRATES = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, None,
+)
+_MP3_RATES = (44100, 48000, 32000, None)
+_MP3_SAMPLES_PER_FRAME = 1152
+
+
+def _id3v2_size(p: bytes) -> int:
+    """Bytes to skip for a leading ID3v2 tag (0 when absent). The four
+    size bytes are SYNCSAFE (7 bits each, high bit zero) per id3.org."""
+    if p[:3] != b"ID3" or len(p) < 10:
+        return 0
+    return 10 + (
+        ((p[6] & 0x7F) << 21)
+        | ((p[7] & 0x7F) << 14)
+        | ((p[8] & 0x7F) << 7)
+        | (p[9] & 0x7F)
+    )
+
+
+def _mp3_meta(p: bytes) -> tuple[int, int, int]:
+    """(duration_ms, sample_rate, channels) from an MPEG-1 Layer III
+    stream (optionally ID3v2-tagged). Walks every frame header — frame
+    length is derivable from the header alone (144 * bitrate /
+    sample_rate + padding), so the walk never inspects audio data —
+    and derives the EXACT duration from the frame count (1152 samples
+    per frame), which is correct for CBR and VBR alike."""
+    i = _id3v2_size(p)
+    sr0 = ch0 = None
+    n_frames = 0
+    while i + 4 <= len(p):
+        if p[i] != 0xFF or (p[i + 1] & 0xE0) != 0xE0:
+            raise ValueError("malformed MP3: lost frame sync")
+        version = (p[i + 1] >> 3) & 3
+        layer = (p[i + 1] >> 1) & 3
+        if version != 3 or layer != 1:  # MPEG-1, Layer III
+            raise NotImplementedError(
+                "only MPEG-1 Layer III audio frames are parsed"
+            )
+        br_idx = p[i + 2] >> 4
+        sr_idx = (p[i + 2] >> 2) & 3
+        padding = (p[i + 2] >> 1) & 1
+        bitrate = _MP3_BITRATES[br_idx]
+        sr = _MP3_RATES[sr_idx]
+        if bitrate is None or sr is None:
+            raise ValueError("malformed MP3: bad bitrate/sample-rate index")
+        mode = p[i + 3] >> 6
+        if sr0 is None:
+            sr0, ch0 = sr, 1 if mode == 3 else 2
+        flen = (144 * bitrate * 1000) // sr + padding
+        if flen <= 4:
+            raise ValueError("malformed MP3: degenerate frame length")
+        if i + flen > len(p):
+            raise ValueError("malformed MP3: truncated final frame")
+        i += flen
+        n_frames += 1
+    # (< 4 trailing bytes after the last complete frame are ignored;
+    # >= 4 fail the sync check above — deterministic either way)
+    if not n_frames:
+        raise ValueError("malformed MP3: no audio frames")
+    return (n_frames * _MP3_SAMPLES_PER_FRAME * 1000) // sr0, sr0, ch0
+
+
+def _ogg_meta(p: bytes) -> tuple[int, int, int]:
+    """(duration_ms, sample_rate, channels) from an Ogg stream carrying
+    Vorbis or Opus. The identification header is the sole packet of the
+    first (BOS) page; total duration comes from the LAST page's granule
+    position (PCM sample count for Vorbis; 48 kHz units for Opus, whose
+    granules are defined at 48 kHz regardless of input rate)."""
+    if p[:4] != b"OggS" or len(p) < 28:
+        raise ValueError("malformed Ogg: no capture pattern")
+    nseg = p[26]
+    body = 27 + nseg
+    if p[body : body + 7] == b"\x01vorbis":
+        if body + 16 > len(p):
+            raise ValueError("malformed Ogg: truncated Vorbis id header")
+        ch = p[body + 11]
+        (sr,) = struct.unpack("<I", p[body + 12 : body + 16])
+    elif p[body : body + 8] == b"OpusHead":
+        if body + 10 > len(p):
+            raise ValueError("malformed Ogg: truncated OpusHead")
+        ch = p[body + 9]
+        sr = 48000
+    else:
+        raise NotImplementedError(
+            "Ogg stream is neither Vorbis nor Opus (id header missing)"
+        )
+    if not sr or not ch:
+        raise ValueError("malformed Ogg: zero sample rate or channels")
+    last = p.rfind(b"OggS")
+    if last + 14 > len(p):
+        raise ValueError("malformed Ogg: truncated final page header")
+    (granule,) = struct.unpack("<q", p[last + 6 : last + 14])
+    if granule < 0:  # -1: no packet ends on this page
+        granule = 0
+    return (granule * 1000) // sr, sr, ch
+
+
 def extract_av_meta(
     df: DataFrame, id_col: str = "media_id", binary_col: str = "content"
 ) -> DataFrame:
@@ -911,9 +1094,9 @@ def extract_av_meta(
     Same posture as ``extract_image_meta``: iterator-of-batches keeps
     memory bounded by Arrow batch size at any corpus scale, and a
     poison blob becomes a ``decode_ok=false`` data row, never a task
-    failure. WAV rows carry (duration_ms, sample_rate, channels);
-    MP4 rows carry (duration_ms, width, height); unknown containers
-    carry nulls."""
+    failure. WAV/MP3/Ogg rows carry (duration_ms, sample_rate,
+    channels); MP4 rows carry (duration_ms, width, height); unknown
+    containers carry nulls."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -929,6 +1112,16 @@ def extract_av_meta(
                     elif len(p) >= 12 and p[4:8] == b"ftyp":
                         container = "mp4"
                         dur, w, h = _mp4_meta(p)
+                    elif p[:4] == b"OggS":
+                        container = "ogg"
+                        dur, sr, ch = _ogg_meta(p)
+                    elif p[:3] == b"ID3" or (
+                        len(p) >= 2
+                        and p[0] == 0xFF
+                        and (p[1] & 0xE0) == 0xE0
+                    ):
+                        container = "mp3"
+                        dur, sr, ch = _mp3_meta(p)
                     if container is not None:
                         # a hostile-but-parseable container (byte_rate=1,
                         # timescale=1 + 64-bit duration, ...) can yield
@@ -941,7 +1134,12 @@ def extract_av_meta(
                                     "AV metadata field exceeds int32"
                                 )
                         ok = True
-                except (ValueError, struct.error, IndexError):
+                except (
+                    ValueError,
+                    struct.error,
+                    IndexError,
+                    NotImplementedError,  # recognized container, codec out of scope
+                ):
                     dur = sr = ch = w = h = None
                 rows.append((mid, len(p), container, dur, sr, ch, w, h, ok))
             yield pd.DataFrame(
@@ -963,10 +1161,12 @@ def extract_av_meta(
 
 def generate_fake_av(df: DataFrame) -> DataFrame:
     """Arrow-batched AV-container generator for tests/demos: one row per
-    media item with ``kind`` ('wav'|'mp4') and the per-kind parameters
-    (wav: sample_rate, n_samples, channels; mp4: duration_ms, width,
-    height) -> (media_id, content) with complete spec-valid container
-    bytes. Stands in for the binary scan of a real AV corpus."""
+    media item with ``kind`` ('wav'|'mp4'|'mp3'|'ogg') and the per-kind
+    parameters (wav/ogg: sample_rate, n_samples, channels; mp4:
+    duration_ms, width, height; mp3: sample_rate, bitrate, n_frames,
+    channels, id3_pad) -> (media_id, content) with complete spec-valid
+    container bytes. Stands in for the binary scan of a real AV
+    corpus."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -975,6 +1175,26 @@ def generate_fake_av(df: DataFrame) -> DataFrame:
                 if r.kind == "wav":
                     payloads.append(
                         fake_wav_bytes(
+                            int(r.media_id),
+                            int(r.sample_rate),
+                            int(r.n_samples),
+                            int(r.channels),
+                        )
+                    )
+                elif r.kind == "mp3":
+                    payloads.append(
+                        fake_mp3_bytes(
+                            int(r.media_id),
+                            int(r.sample_rate),
+                            int(r.bitrate),
+                            int(r.n_frames),
+                            int(r.channels),
+                            int(r.id3_pad),
+                        )
+                    )
+                elif r.kind == "ogg":
+                    payloads.append(
+                        fake_ogg_bytes(
                             int(r.media_id),
                             int(r.sample_rate),
                             int(r.n_samples),

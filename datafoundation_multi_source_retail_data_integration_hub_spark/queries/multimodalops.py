@@ -107,56 +107,99 @@ FROM r
 
 # AV container parameters derived from the id — the oracle recomputes
 # them arithmetically; the Spark side derives metadata from REAL
-# container bytes (RIFF chunk walk / ISO-BMFF box walk), so a parser
-# or builder bug shows up as an oracle mismatch
+# container bytes (RIFF chunk / ISO-BMFF box / MP3 frame / Ogg page
+# walks), so a parser or builder bug shows up as an oracle mismatch.
+# Containers rotate on id % 4 (wav, mp4, mp3, ogg — r11 added the last
+# two, folded into this oracle row per the 150-name surface policy);
+# per-kind parameters use moduli coprime to 4 so each container sees
+# its parameter's full range.
 _SR = "8000 + (media_id % 5) * 2000"
 _NS = "200 + media_id % 400"
-# dialect-neutral (no // vs DIV): even ids split 1ch/2ch on id % 4
-_CH = "CASE WHEN media_id % 4 < 2 THEN 1 ELSE 2 END"
+_CH = "CASE WHEN media_id % 3 = 0 THEN 1 ELSE 2 END"
 _DUR = "500 + (media_id * 37) % 9500"
+_MP3_SR = "CASE media_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END"
+_MP3_BR = (
+    "CASE media_id % 5 WHEN 0 THEN 64000 WHEN 1 THEN 96000 "
+    "WHEN 2 THEN 128000 WHEN 3 THEN 160000 ELSE 192000 END"
+)
+_MP3_NF = "3 + media_id % 7"
+_MP3_PAD = "media_id % 63"
+_OGG_NS = "1000 + (media_id * 13) % 9000"
+_KIND = (
+    "CASE media_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'mp4' "
+    "WHEN 2 THEN 'mp3' ELSE 'ogg' END"
+)
 
 
 def doc_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio/video header metadata over opaque binary payloads: even
-    ids become complete PCM WAV files, odd ids minimal ISO-BMFF MP4s
-    (ftyp + moov(mvhd, trak(tkhd))); ``extract_av_meta`` walks the
-    RIFF chunks / BMFF boxes to recover duration, sample rate/channels
-    (audio) and track dims (video). Pure-parser tier — no codec
-    dependency, runs at scan speed on any corpus size."""
+    """Audio/video header metadata over opaque binary payloads: ids
+    rotate through complete PCM WAV files, minimal ISO-BMFF MP4s
+    (ftyp + moov(mvhd, trak(tkhd))), MPEG-1 Layer III streams (ID3v2
+    tag + real CBR frames), and Ogg Vorbis streams (BOS id-header page
+    + EOS page); ``extract_av_meta`` walks the RIFF chunks / BMFF
+    boxes / MP3 frame headers / Ogg pages to recover duration, sample
+    rate/channels (audio) and track dims (video). Pure-parser tier —
+    no codec dependency, runs at scan speed on any corpus size."""
     from ..operators.multimodal import extract_av_meta, generate_fake_av
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
+    is_mp3 = F.col("doc_id") % 4 == 2
+    is_ogg = F.col("doc_id") % 4 == 3
     params = docs.select(
         F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 2 == 0, F.lit("wav")).otherwise("mp4").alias("kind"),
-        F.expr(_SR).cast("int").alias("sample_rate"),
-        F.expr(_NS).cast("int").alias("n_samples"),
-        F.expr(_CH).cast("int").alias("channels"),
-        F.expr(_DUR).cast("int").alias("duration_ms"),
-        F.expr(_W).cast("int").alias("width"),
-        F.expr(_H).cast("int").alias("height"),
+        F.expr(_KIND.replace("media_id", "doc_id")).alias("kind"),
+        F.when(is_mp3, F.expr(_MP3_SR.replace("media_id", "doc_id")))
+        .otherwise(F.expr(_SR.replace("media_id", "doc_id")))
+        .cast("int")
+        .alias("sample_rate"),
+        F.when(is_ogg, F.expr(_OGG_NS.replace("media_id", "doc_id")))
+        .otherwise(F.expr(_NS.replace("media_id", "doc_id")))
+        .cast("int")
+        .alias("n_samples"),
+        F.expr(_CH.replace("media_id", "doc_id")).cast("int").alias("channels"),
+        F.expr(_DUR.replace("media_id", "doc_id")).cast("int").alias("duration_ms"),
+        F.expr(_W.replace("media_id", "doc_id")).cast("int").alias("width"),
+        F.expr(_H.replace("media_id", "doc_id")).cast("int").alias("height"),
+        F.expr(_MP3_BR.replace("media_id", "doc_id")).cast("int").alias("bitrate"),
+        F.expr(_MP3_NF.replace("media_id", "doc_id")).cast("int").alias("n_frames"),
+        F.expr(_MP3_PAD.replace("media_id", "doc_id")).cast("int").alias("id3_pad"),
     )
     return extract_av_meta(generate_fake_av(params))
 
 
+def _o(expr: str) -> str:
+    return expr.replace("media_id", "doc_id")
+
+
 # byte lengths are structural: WAV = 44-byte header + n_samples *
-# channels * 2 PCM bytes; the minimal MP4 is a fixed 244-byte box tree.
-# WAV duration floors exactly like the parser: (data_len*1000) //
-# byte_rate == (n_samples*1000) // sample_rate (common block_align
-# factor cancels under floor division)
+# channels * 2 PCM bytes; the minimal MP4 is a fixed 244-byte box tree;
+# MP3 = optional (10 + pad) ID3v2 bytes + n_frames CBR frames of
+# (144 * bitrate) // sample_rate bytes (padding bit 0); the minimal Ogg
+# is two fixed pages, 58 + 44 = 102 bytes. Durations floor exactly like
+# the parsers: WAV (data_len*1000)//byte_rate == (n_samples*1000)//sr
+# (block_align cancels under floor), MP3 (frames*1152*1000)//sr, Ogg
+# (granule*1000)//sr.
 DOC_AV_META_ORACLE = f"""
 SELECT doc_id AS media_id,
-       CAST(CASE WHEN doc_id % 2 = 0
-                 THEN 44 + ({_NS.replace('media_id', 'doc_id')}) * ({_CH.replace('media_id', 'doc_id')}) * 2
-                 ELSE 244 END AS INTEGER) AS byte_len,
-       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS container,
-       CAST(CASE WHEN doc_id % 2 = 0
-                 THEN (({_NS.replace('media_id', 'doc_id')}) * 1000) // ({_SR.replace('media_id', 'doc_id')})
-                 ELSE {_DUR.replace('media_id', 'doc_id')} END AS INTEGER) AS duration_ms,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN {_SR.replace('media_id', 'doc_id')} END AS INTEGER) AS sample_rate,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN {_CH.replace('media_id', 'doc_id')} END AS INTEGER) AS channels,
-       CAST(CASE WHEN doc_id % 2 = 1 THEN 16 + doc_id % 48 END AS INTEGER) AS width,
-       CAST(CASE WHEN doc_id % 2 = 1 THEN 16 + (doc_id * 7) % 48 END AS INTEGER) AS height,
+       CAST(CASE doc_id % 4
+                 WHEN 0 THEN 44 + ({_o(_NS)}) * ({_o(_CH)}) * 2
+                 WHEN 1 THEN 244
+                 WHEN 2 THEN (CASE WHEN ({_o(_MP3_PAD)}) = 0 THEN 0
+                              ELSE 10 + ({_o(_MP3_PAD)}) END)
+                             + ({_o(_MP3_NF)}) * ((144 * ({_o(_MP3_BR)})) // ({_o(_MP3_SR)}))
+                 ELSE 102 END AS INTEGER) AS byte_len,
+       {_o(_KIND)} AS container,
+       CAST(CASE doc_id % 4
+                 WHEN 0 THEN (({_o(_NS)}) * 1000) // ({_o(_SR)})
+                 WHEN 1 THEN {_o(_DUR)}
+                 WHEN 2 THEN (({_o(_MP3_NF)}) * 1152 * 1000) // ({_o(_MP3_SR)})
+                 ELSE (({_o(_OGG_NS)}) * 1000) // ({_o(_SR)})
+            END AS INTEGER) AS duration_ms,
+       CAST(CASE doc_id % 4 WHEN 0 THEN {_o(_SR)} WHEN 2 THEN {_o(_MP3_SR)}
+                 WHEN 3 THEN {_o(_SR)} END AS INTEGER) AS sample_rate,
+       CAST(CASE WHEN doc_id % 4 != 1 THEN {_o(_CH)} END AS INTEGER) AS channels,
+       CAST(CASE WHEN doc_id % 4 = 1 THEN {_o(_W)} END AS INTEGER) AS width,
+       CAST(CASE WHEN doc_id % 4 = 1 THEN {_o(_H)} END AS INTEGER) AS height,
        TRUE AS decode_ok
 FROM documents
 """

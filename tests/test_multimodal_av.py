@@ -163,3 +163,115 @@ def test_av_int32_overflow_is_poison_row_not_task_failure(spark):
     assert not got[1]["decode_ok"] and got[1]["sample_rate"] is None
     assert not got[2]["decode_ok"] and got[2]["duration_ms"] is None
     assert got[3]["decode_ok"] and got[3]["sample_rate"] == 8000
+
+
+# ---------------------------------------------------------------------------
+# MP3 + Ogg tier (r11): same pure-parser posture as WAV/MP4
+# ---------------------------------------------------------------------------
+
+
+def test_mp3_roundtrip_no_id3():
+    p = MM.fake_mp3_bytes(5, 44100, 128000, 10, 1)
+    # 10 frames * 1152 samples @ 44.1k -> (11520 * 1000) // 44100 = 261 ms
+    assert MM._mp3_meta(p) == (261, 44100, 1)
+    assert len(p) == 10 * ((144 * 128000) // 44100)
+
+
+def test_mp3_roundtrip_with_id3_and_stereo():
+    p = MM.fake_mp3_bytes(6, 48000, 160000, 4, 2, id3_pad=37)
+    assert MM._mp3_meta(p) == ((4 * 1152 * 1000) // 48000, 48000, 2)
+    assert p[:3] == b"ID3" and len(p) == 10 + 37 + 4 * ((144 * 160000) // 48000)
+
+
+@pytest.mark.parametrize("sr", [44100, 48000, 32000])
+@pytest.mark.parametrize("br", [64000, 96000, 128000, 160000, 192000])
+def test_mp3_all_rates_and_bitrates(sr, br):
+    p = MM.fake_mp3_bytes(1, sr, br, 3, 2, id3_pad=8)
+    dur, got_sr, ch = MM._mp3_meta(p)
+    assert (got_sr, ch) == (sr, 2)
+    assert dur == (3 * 1152 * 1000) // sr
+
+
+def test_mp3_syncsafe_id3_size():
+    # a pad of 200 crosses the 7-bit syncsafe byte boundary
+    p = MM.fake_mp3_bytes(2, 32000, 64000, 2, 1, id3_pad=200)
+    assert MM._mp3_meta(p) == ((2 * 1152 * 1000) // 32000, 32000, 1)
+
+
+def test_mp3_malformed():
+    with pytest.raises(ValueError):
+        MM._mp3_meta(b"\xff\xfb\x00\x00")  # bitrate index 0 (free) unsupported
+    with pytest.raises(ValueError):
+        MM._mp3_meta(b"ID3" + bytes((4, 0, 0, 0, 0, 0, 0)))  # tag, no frames
+    good = MM.fake_mp3_bytes(1, 44100, 128000, 2, 1)
+    with pytest.raises(ValueError):
+        MM._mp3_meta(good + b"\x00\x01\x02\x03")  # trailing garbage loses sync
+    with pytest.raises(ValueError):
+        MM._mp3_meta(good[:-5])  # truncated final frame
+
+
+def test_ogg_vorbis_roundtrip():
+    p = MM.fake_ogg_bytes(11, 16000, 4800, 2)
+    assert MM._ogg_meta(p) == (300, 16000, 2)  # 4800 samples @ 16k
+    assert len(p) == 102  # structural: 58-byte BOS page + 44-byte EOS page
+
+
+def test_ogg_opus_branch():
+    # swap the Vorbis id packet for an OpusHead one (same page framing)
+    opus_id = (
+        b"OpusHead" + bytes((1, 2)) + struct.pack("<H", 312)
+        + struct.pack("<I", 48000) + struct.pack("<h", 0) + bytes((0,))
+    )
+    page1 = MM._ogg_page(0x02, 0, 7, 0, [opus_id])
+    page2 = MM._ogg_page(0x04, 96000, 7, 1, [b"x" * 8])
+    # Opus granules are 48 kHz regardless of the input rate field
+    assert MM._ogg_meta(page1 + page2) == (2000, 48000, 2)
+
+
+def test_ogg_negative_granule_means_zero_duration():
+    p = MM.fake_ogg_bytes(3, 8000, 100, 1)
+    page1 = p[:58]
+    page2 = MM._ogg_page(0x04, -1, 3 % 0xFFFF + 1, 1, [b"y" * 16])
+    assert MM._ogg_meta(page1 + page2)[0] == 0
+
+
+def test_ogg_malformed():
+    with pytest.raises(ValueError):
+        MM._ogg_meta(b"OggX" + b"\x00" * 40)
+    with pytest.raises(NotImplementedError):
+        # valid page framing, unknown codec id packet
+        MM._ogg_meta(MM._ogg_page(0x02, 0, 1, 0, [b"\x01speex unsupported"]))
+
+
+def test_extract_av_meta_dispatches_all_four(spark):
+    payloads = [
+        (1, MM.fake_wav_bytes(1, 8000, 80, 1)),
+        (2, MM.fake_mp4_bytes(2, 1500, 320, 240)),
+        (3, MM.fake_mp3_bytes(3, 44100, 96000, 5, 2, id3_pad=12)),
+        (4, MM.fake_ogg_bytes(4, 12000, 6000, 1)),
+        (5, b"\x00not a container"),
+    ]
+    df = spark.createDataFrame(
+        [(m, bytearray(b)) for m, b in payloads],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in MM.extract_av_meta(df).collect()}
+    assert rows[1]["container"] == "wav" and rows[1]["decode_ok"]
+    assert rows[2]["container"] == "mp4" and rows[2]["decode_ok"]
+    assert rows[3]["container"] == "mp3" and rows[3]["decode_ok"]
+    assert rows[3]["duration_ms"] == (5 * 1152 * 1000) // 44100
+    assert rows[4]["container"] == "ogg" and rows[4]["decode_ok"]
+    assert rows[4]["duration_ms"] == 500
+    assert rows[5]["container"] is None and not rows[5]["decode_ok"]
+
+
+def test_truncated_mp3_ogg_are_poison_rows_not_task_failures(spark):
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(MM.fake_mp3_bytes(1, 44100, 128000, 3, 1)[:10])),
+            (2, bytearray(MM.fake_ogg_bytes(2, 8000, 100, 1)[:20])),
+        ],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in MM.extract_av_meta(df).collect()}
+    assert not rows[1]["decode_ok"] and not rows[2]["decode_ok"]
