@@ -145,7 +145,12 @@ def grams_from_tokens(toks: Column, n: int) -> Column:
     ``concat`` propagates them, so the trailing n-1 partial grams come
     out NULL and the final ``slice`` drops them — identical output to
     the index form (DuckDB twin: ``list_transform(generate_series(1,
-    len(t)-n+1), i -> array_to_string(t[i:i+n-1], ' '))``)."""
+    len(t)-n+1), i -> array_to_string(t[i:i+n-1], ' '))``).
+
+    NULL-array behavior: a NULL ``toks`` yields NULL (the DuckDB twin's
+    behavior too), where the pre-r11 sequence/slice form yielded ``[]``
+    — no caller feeds NULL (tokenizers never return it), but note the
+    contract change."""
     if n == 1:
         return toks
     size = F.size(toks)

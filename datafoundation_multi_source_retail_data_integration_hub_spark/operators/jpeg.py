@@ -297,6 +297,12 @@ def _decode_scan(
         raise ValueError(
             f"decompression bomb: {fw}x{fh} exceeds the decode budget"
         )
+    # before any plane allocation: the header may declare up to 255
+    # components, each of which would get a frame-sized bytearray below
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(
+            f"{len(comps)}-component JPEG (only 1 or 3)"
+        )
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
@@ -648,9 +654,24 @@ def _decode_progressive(
     fw, fh, comps = frame
     if fw == 0 or fh == 0:
         raise ValueError("malformed JPEG: zero dimension")
-    if fw * fh > (1 << 26):
+    # TIGHTER budget than the baseline path's 1<<26: the progressive
+    # coefficient store is Python int lists (~576 B per 64-coef block
+    # in CPython — ~9x the 64-byte bytearray block the baseline path
+    # streams through), allocated up front from HEADER dims. At 1<<22
+    # pixels (≈2048x2048) the store tops out around 100 MB; at the
+    # baseline budget a ~200-byte crafted SOF2 header would force >1 GB
+    # before any scan data is read — an uncatchable executor OOM, not a
+    # resize_ok=false data row. Larger REAL progressive images fall to
+    # the Pillow backend (interpreted per-coefficient decode would take
+    # minutes on them anyway).
+    if fw * fh > (1 << 22):
         raise ValueError(
-            f"decompression bomb: {fw}x{fh} exceeds the decode budget"
+            f"decompression bomb: {fw}x{fh} exceeds the progressive "
+            "decode budget"
+        )
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(
+            f"{len(comps)}-component JPEG (only 1 or 3)"
         )
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)

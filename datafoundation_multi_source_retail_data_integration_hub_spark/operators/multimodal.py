@@ -997,15 +997,17 @@ _MP3_SAMPLES_PER_FRAME = 1152
 
 def _id3v2_size(p: bytes) -> int:
     """Bytes to skip for a leading ID3v2 tag (0 when absent). The four
-    size bytes are SYNCSAFE (7 bits each, high bit zero) per id3.org."""
+    size bytes are SYNCSAFE (7 bits each, high bit zero) per id3.org;
+    the footer flag (bit 4 of the flags byte) adds 10 more."""
     if p[:3] != b"ID3" or len(p) < 10:
         return 0
-    return 10 + (
+    size = (
         ((p[6] & 0x7F) << 21)
         | ((p[7] & 0x7F) << 14)
         | ((p[8] & 0x7F) << 7)
         | (p[9] & 0x7F)
     )
+    return 10 + size + (10 if p[5] & 0x10 else 0)
 
 
 def _mp3_meta(p: bytes) -> tuple[int, int, int]:
@@ -1016,9 +1018,14 @@ def _mp3_meta(p: bytes) -> tuple[int, int, int]:
     and derives the EXACT duration from the frame count (1152 samples
     per frame), which is correct for CBR and VBR alike."""
     i = _id3v2_size(p)
+    end = len(p)
+    # the ubiquitous ID3v1 trailer: exactly 128 'TAG'-prefixed bytes at
+    # the end of the file — parse frames up to it
+    if end - i >= 128 and p[end - 128 : end - 125] == b"TAG":
+        end -= 128
     sr0 = ch0 = None
     n_frames = 0
-    while i + 4 <= len(p):
+    while i + 4 <= end:
         if p[i] != 0xFF or (p[i + 1] & 0xE0) != 0xE0:
             raise ValueError("malformed MP3: lost frame sync")
         version = (p[i + 1] >> 3) & 3
@@ -1040,12 +1047,12 @@ def _mp3_meta(p: bytes) -> tuple[int, int, int]:
         flen = (144 * bitrate * 1000) // sr + padding
         if flen <= 4:
             raise ValueError("malformed MP3: degenerate frame length")
-        if i + flen > len(p):
+        if i + flen > end:
             raise ValueError("malformed MP3: truncated final frame")
         i += flen
         n_frames += 1
-    # (< 4 trailing bytes after the last complete frame are ignored;
-    # >= 4 fail the sync check above — deterministic either way)
+    # (< 4 trailing bytes after the last complete frame/ID3v1 trailer
+    # are ignored; >= 4 fail the sync check — deterministic either way)
     if not n_frames:
         raise ValueError("malformed MP3: no audio frames")
     return (n_frames * _MP3_SAMPLES_PER_FRAME * 1000) // sr0, sr0, ch0
@@ -1077,12 +1084,26 @@ def _ogg_meta(p: bytes) -> tuple[int, int, int]:
         )
     if not sr or not ch:
         raise ValueError("malformed Ogg: zero sample rate or channels")
-    last = p.rfind(b"OggS")
-    if last + 14 > len(p):
-        raise ValueError("malformed Ogg: truncated final page header")
-    (granule,) = struct.unpack("<q", p[last + 6 : last + 14])
-    if granule < 0:  # -1: no packet ends on this page
-        granule = 0
+    # walk the PAGE STRUCTURE to the last page (header + segment-table
+    # lacing values give each page's exact length, so bodies are
+    # skipped, never scanned) — packet bodies are NOT escaped and
+    # routinely contain the 'OggS' capture pattern, so an rfind-style
+    # scan would read a granule out of audio data
+    granule = 0
+    i = 0
+    while i < len(p):
+        if p[i : i + 4] != b"OggS" or i + 27 > len(p):
+            raise ValueError("malformed Ogg: lost page sync")
+        (gp,) = struct.unpack("<q", p[i + 6 : i + 14])
+        if gp >= 0:  # -1: no packet ends on this page
+            granule = gp
+        nseg = p[i + 26]
+        if i + 27 + nseg > len(p):
+            raise ValueError("malformed Ogg: truncated segment table")
+        body = sum(p[i + 27 : i + 27 + nseg])
+        i += 27 + nseg + body
+    if i != len(p):
+        raise ValueError("malformed Ogg: final page overruns the stream")
     return (granule * 1000) // sr, sr, ch
 
 
@@ -1118,7 +1139,12 @@ def extract_av_meta(
                     elif p[:3] == b"ID3" or (
                         len(p) >= 2
                         and p[0] == 0xFF
-                        and (p[1] & 0xE0) == 0xE0
+                        # full MPEG-1 Layer III signature, not just the
+                        # 11-bit sync: ADTS AAC (0xFFF1/0xFFF9) and
+                        # MPEG-2 / Layer I-II streams share the sync
+                        # and must stay container=None, not be labeled
+                        # 'mp3' with a failed decode
+                        and (p[1] & 0xFE) == 0xFA
                     ):
                         container = "mp3"
                         dur, sr, ch = _mp3_meta(p)

@@ -275,3 +275,64 @@ def test_truncated_mp3_ogg_are_poison_rows_not_task_failures(spark):
     )
     rows = {r["media_id"]: r for r in MM.extract_av_meta(df).collect()}
     assert not rows[1]["decode_ok"] and not rows[2]["decode_ok"]
+
+
+# ---------------------------------------------------------------------------
+# r11 review regressions
+# ---------------------------------------------------------------------------
+
+
+def test_ogg_capture_pattern_inside_packet_body_is_not_a_page():
+    # packet bodies are not escaped: a body containing 'OggS' + garbage
+    # must NOT be read as a page header (the pre-fix rfind-based parser
+    # returned a garbage granule here with decode_ok=true)
+    evil_body = b"OggS" + b"\xff" * 12  # fake 'page' with a huge granule
+    serial = 12 % 0xFFFF + 1
+    ident_page = MM.fake_ogg_bytes(12, 16000, 4800, 2)[:58]
+    eos = MM._ogg_page(0x04, 4800, serial, 1, [evil_body])
+    assert MM._ogg_meta(ident_page + eos) == (300, 16000, 2)
+
+
+def test_mp3_id3v1_trailer_accepted():
+    # the ubiquitous 128-byte 'TAG' trailer must not kill the parse
+    p = MM.fake_mp3_bytes(4, 44100, 128000, 6, 2)
+    trailer = b"TAG" + bytes(125)
+    assert MM._mp3_meta(p + trailer) == MM._mp3_meta(p)
+
+
+def test_mp3_id3v2_footer_flag_skipped():
+    p = MM.fake_mp3_bytes(4, 48000, 96000, 3, 1)
+    # hand-build an ID3v2 tag with the footer flag (0x10): 10-byte
+    # header + 20-byte body + 10-byte footer
+    tag = b"ID3" + bytes((4, 0, 0x10)) + bytes((0, 0, 0, 20)) + bytes(20) + b"3DI" + bytes(7)
+    assert MM._mp3_meta(tag + p) == MM._mp3_meta(p)
+
+
+def test_adts_aac_not_labeled_mp3(spark):
+    # ADTS AAC shares the 11-bit sync; it must stay container=None,
+    # not be labeled 'mp3' with a failed decode
+    aac = b"\xff\xf1" + bytes(64)
+    df = spark.createDataFrame(
+        [(1, bytearray(aac))], "media_id long, content binary"
+    )
+    row = MM.extract_av_meta(df).collect()[0]
+    assert row["container"] is None and row["decode_ok"] is False
+
+
+def test_progressive_jpeg_bomb_budget():
+    # a crafted SOF2 header declaring dims over the progressive budget
+    # must raise BEFORE the coefficient store allocates (the store is
+    # ~9x the baseline path's per-pixel footprint)
+    from datafoundation_multi_source_retail_data_integration_hub_spark.operators import (
+        jpeg as J,
+    )
+
+    small = J.encode_progressive(8, 8, bytes(64))
+    sof_at = small.find(b"\xff\xc2")
+    bombed = (
+        small[: sof_at + 5]
+        + struct.pack(">HH", 8192, 8192)
+        + small[sof_at + 9 :]
+    )
+    with pytest.raises(ValueError, match="bomb"):
+        J.decode_baseline(bombed)
