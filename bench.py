@@ -12,8 +12,10 @@ methodology with one fewer rep), so the summary "value" is comparable
 to BASELINE_COMPARE.md's committed gate basis; expect a single session
 to read ~10-50% above the committed min-of-3 number (this box swings
 that much run-to-run — measured 73/88/77 s on identical code where the
-min-of-3 basis says 58.6 s, and 70.2 s against the r10 47.6 s basis). Work-asymmetric pipelines run once, cold,
-and are subtotaled separately.
+min-of-3 basis says 58.6 s, 70.2 s against the r10 47.6 s basis, and
+58.1/80.0/66.4 s gate totals across three identical-code tool runs in
+one r11 afternoon). Work-asymmetric pipelines run once, cold, and are
+subtotaled separately.
 
 Each query is timed end-to-end: plan + execute + result delivery to the
 client over the engine's bulk-transfer path — Arrow ``toPandas()``,

@@ -84,9 +84,12 @@ def main() -> None:
     rows = []
     for name in names:
         # work-asymmetric rows are outside the gate and dominated by
-        # checkpoint/table-write machinery (the heaviest run 10-20 s per
-        # invocation) — one timed pass suffices for their side table
-        reps = 1 if name in WORK_ASYMMETRIC else REPS
+        # checkpoint/table-write machinery; through r10 they were single
+        # warm samples, but single samples of the 2-6 s replays swing
+        # +-40% session-to-session and these rows feed the old-basis
+        # trend line — min-of-2 warm (r11) is the same steady-state
+        # estimate the gate rows use, one rep cheaper
+        reps = 2 if name in WORK_ASYMMETRIC else REPS
         unpersist_all()
         qs[name](spark, sf_dir).toPandas()  # warm spark plan
         t_spark = float("inf")
@@ -176,8 +179,32 @@ def main() -> None:
         "but measured min-of-2 in one fresh session — expect it to read",
         "~10-50% above this file's min-of-3 number (measured 73/88/77 s",
         "on identical r09 code against a 58.6 s min-of-3 basis, and",
-        "70.2 s on identical r10 code against this 47.6 s basis; the",
+        "70.2 s on identical r10 code against a 47.6 s basis; the",
         "box's session-to-session swing, not a regression signal).",
+        "The swing applies to THIS file too: three full tool runs on",
+        "identical r11 code measured gate totals of 58.1 / 80.0 / 66.4 s",
+        "in one afternoon (the committed file is the last run, not a",
+        "per-row min across sessions — the file stays reproducible by",
+        "one tool invocation). Cross-round ratio comparisons below ~1.2x",
+        "resolution are therefore session noise.",
+        "",
+        "Per-query notes on the >2x stragglers with real work (r11 watch",
+        "items; everything else >2x is a sub-second query where Spark's",
+        "~0.3-2 s scheduling floor is the entire story):",
+        "",
+        "- `doc_substring_dedup_ingest` (~1 s): the Spark plan is two",
+        "  window-hash passes (store-half build + batch-half probe fused",
+        "  over one hv shuffle) = 4 stages, each paying the ~0.2 s task-",
+        "  launch floor that DuckDB's single fused pipeline never pays;",
+        "  per-row work (tokenize + md5 per window) is symmetric. The",
+        "  stage count is scale-constant, so the gap is the toy-scale",
+        "  floor, not a scale-killer.",
+        "- `orders_join_cardinality` (~0.8 s): the Spark side runs the",
+        "  EXACT join-count twin branch alongside the sampled estimator",
+        "  to gate the estimator's math; at the design point only the",
+        "  sampled branch runs (~1/8 of a counting pass).",
+        "- `doc_unicode_clean` (~0.4 s): sub-second and constant-",
+        "  dominated; the r10 double-normalization was already removed.",
     ]
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
