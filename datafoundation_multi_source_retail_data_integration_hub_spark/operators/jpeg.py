@@ -657,14 +657,16 @@ def _decode_progressive(
     # TIGHTER budget than the baseline path's 1<<26: the progressive
     # coefficient store is Python int lists (~576 B per 64-coef block
     # in CPython — ~9x the 64-byte bytearray block the baseline path
-    # streams through), allocated up front from HEADER dims. At 1<<22
-    # pixels (≈2048x2048) the store tops out around 100 MB; at the
-    # baseline budget a ~200-byte crafted SOF2 header would force >1 GB
-    # before any scan data is read — an uncatchable executor OOM, not a
-    # resize_ok=false data row. Larger REAL progressive images fall to
-    # the Pillow backend (interpreted per-coefficient decode would take
-    # minutes on them anyway).
-    if fw * fh > (1 << 22):
+    # streams through), allocated up front from HEADER dims. At the
+    # baseline budget a ~200-byte crafted SOF2 header would force
+    # >2 GB before any scan data is read — an uncatchable executor
+    # OOM, not a resize_ok=false data row. 1<<24 pixels (≈4096x4096,
+    # 16.7 MP) covers real smartphone/web photo sizes while bounding
+    # the worst case (3-component 4:4:4) near 500 MB transient per
+    # blob, one blob at a time per task. Past the budget the row
+    # degrades to resize_ok=false (or Pillow when importable) — the
+    # same contract as every other decode boundary here.
+    if fw * fh > (1 << 24):
         raise ValueError(
             f"decompression bomb: {fw}x{fh} exceeds the progressive "
             "decode budget"

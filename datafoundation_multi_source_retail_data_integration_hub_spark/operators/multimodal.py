@@ -1010,19 +1010,35 @@ def _id3v2_size(p: bytes) -> int:
     return 10 + size + (10 if p[5] & 0x10 else 0)
 
 
+def _mp3_is_layer3(p: bytes, i: int) -> bool:
+    """True when offset ``i`` carries the full MPEG-1 Layer III frame
+    signature (11-bit sync + version + layer) — shared by the dispatch
+    sniff and the tag-skipping entry so an ID3-tagged AAC/Layer-II
+    stream is never labeled 'mp3'."""
+    return i + 2 <= len(p) and p[i] == 0xFF and (p[i + 1] & 0xFE) == 0xFA
+
+
 def _mp3_meta(p: bytes) -> tuple[int, int, int]:
     """(duration_ms, sample_rate, channels) from an MPEG-1 Layer III
-    stream (optionally ID3v2-tagged). Walks every frame header — frame
-    length is derivable from the header alone (144 * bitrate /
-    sample_rate + padding), so the walk never inspects audio data —
-    and derives the EXACT duration from the frame count (1152 samples
-    per frame), which is correct for CBR and VBR alike."""
+    stream (optionally ID3v2-tagged / ID3v1-trailed). Walks every frame
+    header — frame length is derivable from the header alone
+    (144 * bitrate / sample_rate + padding), so the walk never inspects
+    audio data — and derives the EXACT duration from the frame count
+    (1152 samples per frame), which is correct for CBR and VBR alike."""
     i = _id3v2_size(p)
-    end = len(p)
-    # the ubiquitous ID3v1 trailer: exactly 128 'TAG'-prefixed bytes at
-    # the end of the file — parse frames up to it
-    if end - i >= 128 and p[end - 128 : end - 125] == b"TAG":
-        end -= 128
+    try:
+        return _mp3_walk(p, i, len(p))
+    except ValueError:
+        # the ubiquitous ID3v1 trailer: exactly 128 'TAG'-prefixed
+        # bytes at the end. Retried ONLY after the plain walk fails, so
+        # valid audio whose frame data happens to contain 'TAG' at
+        # offset len-128 still parses via the full-length walk
+        if len(p) - i >= 128 and p[-128:-125] == b"TAG":
+            return _mp3_walk(p, i, len(p) - 128)
+        raise
+
+
+def _mp3_walk(p: bytes, i: int, end: int) -> tuple[int, int, int]:
     sr0 = ch0 = None
     n_frames = 0
     while i + 4 <= end:
@@ -1136,16 +1152,13 @@ def extract_av_meta(
                     elif p[:4] == b"OggS":
                         container = "ogg"
                         dur, sr, ch = _ogg_meta(p)
-                    elif p[:3] == b"ID3" or (
-                        len(p) >= 2
-                        and p[0] == 0xFF
-                        # full MPEG-1 Layer III signature, not just the
-                        # 11-bit sync: ADTS AAC (0xFFF1/0xFFF9) and
-                        # MPEG-2 / Layer I-II streams share the sync
-                        # and must stay container=None, not be labeled
-                        # 'mp3' with a failed decode
-                        and (p[1] & 0xFE) == 0xFA
-                    ):
+                    # full MPEG-1 Layer III signature (after any ID3v2
+                    # tag), not just the 11-bit sync: ADTS AAC
+                    # (0xFFF1/0xFFF9) and MPEG-2 / Layer I-II streams —
+                    # tagged or raw — share the sync and must stay
+                    # container=None, not be labeled 'mp3' with a
+                    # failed decode
+                    elif _mp3_is_layer3(p, _id3v2_size(p)):
                         container = "mp3"
                         dur, sr, ch = _mp3_meta(p)
                     if container is not None:

@@ -287,9 +287,15 @@ def test_ogg_capture_pattern_inside_packet_body_is_not_a_page():
     # must NOT be read as a page header (the pre-fix rfind-based parser
     # returned a garbage granule here with decode_ok=true)
     evil_body = b"OggS" + b"\xff" * 12  # fake 'page' with a huge granule
-    serial = 12 % 0xFFFF + 1
-    ident_page = MM.fake_ogg_bytes(12, 16000, 4800, 2)[:58]
-    eos = MM._ogg_page(0x04, 4800, serial, 1, [evil_body])
+    ident = (
+        b"\x01vorbis"
+        + struct.pack("<IB", 0, 2)
+        + struct.pack("<I", 16000)
+        + struct.pack("<iii", -1, 128000, -1)
+        + bytes((0x66, 1))
+    )
+    ident_page = MM._ogg_page(0x02, 0, 7, 0, [ident])
+    eos = MM._ogg_page(0x04, 4800, 7, 1, [evil_body])
     assert MM._ogg_meta(ident_page + eos) == (300, 16000, 2)
 
 
@@ -336,3 +342,33 @@ def test_progressive_jpeg_bomb_budget():
     )
     with pytest.raises(ValueError, match="bomb"):
         J.decode_baseline(bombed)
+
+
+def test_id3_tagged_aac_not_labeled_mp3(spark):
+    # ID3v2 tags are routinely attached to ADTS AAC: the dispatcher
+    # must check the post-tag frame signature before labeling 'mp3'
+    tag = b"ID3" + bytes((4, 0, 0)) + bytes((0, 0, 0, 8)) + bytes(8)
+    aac = tag + b"\xff\xf1" + bytes(64)
+    df = spark.createDataFrame(
+        [(1, bytearray(aac))], "media_id long, content binary"
+    )
+    row = MM.extract_av_meta(df).collect()[0]
+    assert row["container"] is None and row["decode_ok"] is False
+
+
+def test_mp3_audio_containing_tag_at_trailer_offset_still_parses():
+    # the trailer strip is a RETRY after the plain walk fails, so a
+    # valid file whose audio bytes spell 'TAG' at offset len-128 is
+    # parsed full-length, not truncated mid-frame
+    p = bytearray(MM.fake_mp3_bytes(8, 32000, 64000, 3, 1))
+    # frame length 288: place 'TAG' inside the last frame's audio data
+    assert len(p) > 128 and len(p) == 3 * 288
+    p[len(p) - 128 : len(p) - 125] = b"TAG"
+    dur, sr, ch = MM._mp3_meta(bytes(p))
+    assert (dur, sr, ch) == ((3 * 1152 * 1000) // 32000, 32000, 1)
+
+
+def test_mp3_id3v1_trailer_on_corrupt_audio_still_raises():
+    trailer = b"TAG" + bytes(125)
+    with pytest.raises(ValueError):
+        MM._mp3_meta(b"\xff\xfb\x00\x00" + trailer)  # bad bitrate idx + trailer
