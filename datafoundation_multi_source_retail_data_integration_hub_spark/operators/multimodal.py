@@ -744,8 +744,8 @@ def generate_fake_media(df: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# audio/video tier: WAV/RIFF + MP4/ISO-BMFF (r10) and MP3 + Ogg
-# Vorbis/Opus (r11) header metadata
+# audio/video tier: WAV/RIFF + MP4/ISO-BMFF (r10) and MP3 + ADTS AAC
+# + Ogg Vorbis/Opus (r11) header metadata
 # (VERDICT r09 gap #3 — same pure-parser tier as the image headers: a
 # 100 TB AV corpus gets duration/rate/dims at scan speed with zero
 # codec dependency; pixel/sample DECODE stays out of scope)
@@ -1010,6 +1010,82 @@ def _id3v2_size(p: bytes) -> int:
     return 10 + size + (10 if p[5] & 0x10 else 0)
 
 
+# ADTS sampling_frequency_index -> Hz (ISO/IEC 13818-7 / 14496-3)
+_ADTS_RATES = (
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+    16000, 12000, 11025, 8000, 7350, None, None, None,
+)
+_ADTS_SAMPLES_PER_BLOCK = 1024
+
+
+def _adts_is_aac(p: bytes, i: int) -> bool:
+    """True when offset ``i`` carries an ADTS AAC frame header:
+    12-bit sync (0xFFF) + layer bits 00 (which distinguishes it from
+    MPEG audio, whose layer bits are nonzero)."""
+    return (
+        i + 2 <= len(p)
+        and p[i] == 0xFF
+        and (p[i + 1] & 0xF6) == 0xF0
+    )
+
+
+def _adts_meta(p: bytes) -> tuple[int, int, int]:
+    """(duration_ms, sample_rate, channels) from an ADTS AAC stream
+    (optionally ID3v2-tagged). Each 7/9-byte header carries the exact
+    frame byte length and raw-data-block count, so the walk skips
+    payloads; duration is exact: 1024 samples per raw data block."""
+    i = _id3v2_size(p)
+    end = len(p)
+    sr0 = ch0 = None
+    blocks = 0
+    while i + 7 <= end:
+        if not _adts_is_aac(p, i):
+            raise ValueError("malformed ADTS: lost frame sync")
+        sr = _ADTS_RATES[(p[i + 2] >> 2) & 0x0F]
+        ch = ((p[i + 2] & 0x01) << 2) | (p[i + 3] >> 6)
+        if sr is None or ch == 0:
+            raise ValueError("malformed ADTS: bad rate/channel index")
+        flen = ((p[i + 3] & 0x03) << 11) | (p[i + 4] << 3) | (p[i + 5] >> 5)
+        if flen < 7:
+            raise ValueError("malformed ADTS: degenerate frame length")
+        if i + flen > end:
+            raise ValueError("malformed ADTS: truncated final frame")
+        if sr0 is None:
+            sr0, ch0 = sr, ch
+        blocks += (p[i + 6] & 0x03) + 1  # raw_data_blocks_in_frame + 1
+        i += flen
+    if not blocks:
+        raise ValueError("malformed ADTS: no frames")
+    return (blocks * _ADTS_SAMPLES_PER_BLOCK * 1000) // sr0, sr0, ch0
+
+
+def fake_adts_bytes(
+    media_id: int,
+    sample_rate: int,
+    n_frames: int,
+    channels: int = 2,
+    payload_len: int = 64,
+) -> bytes:
+    """A complete ADTS AAC stream: ``n_frames`` frames with real 7-byte
+    headers (no CRC) and deterministic pseudo-payloads, one raw data
+    block per frame."""
+    sr_idx = _ADTS_RATES.index(sample_rate)
+    flen = 7 + payload_len
+    out = bytearray()
+    for f in range(n_frames):
+        hdr = bytearray(7)
+        hdr[0] = 0xFF
+        hdr[1] = 0xF1  # sync + MPEG-4 + layer 00 + no CRC
+        hdr[2] = (0x01 << 6) | (sr_idx << 2) | ((channels >> 2) & 0x01)
+        hdr[3] = ((channels & 0x03) << 6) | ((flen >> 11) & 0x03)
+        hdr[4] = (flen >> 3) & 0xFF
+        hdr[5] = ((flen & 0x07) << 5) | 0x1F  # buffer fullness high bits
+        hdr[6] = 0xFC  # fullness low + 0 extra raw data blocks
+        out += hdr
+        out += bytes((media_id * 11 + f * 23 + i * 3) % 256 for i in range(payload_len))
+    return bytes(out)
+
+
 def _mp3_is_layer3(p: bytes, i: int) -> bool:
     """True when offset ``i`` carries the full MPEG-1 Layer III frame
     signature (11-bit sync + version + layer) — shared by the dispatch
@@ -1131,7 +1207,7 @@ def extract_av_meta(
     Same posture as ``extract_image_meta``: iterator-of-batches keeps
     memory bounded by Arrow batch size at any corpus scale, and a
     poison blob becomes a ``decode_ok=false`` data row, never a task
-    failure. WAV/MP3/Ogg rows carry (duration_ms, sample_rate,
+    failure. WAV/MP3/AAC/Ogg rows carry (duration_ms, sample_rate,
     channels); MP4 rows carry (duration_ms, width, height); unknown
     containers carry nulls."""
 
@@ -1152,15 +1228,17 @@ def extract_av_meta(
                     elif p[:4] == b"OggS":
                         container = "ogg"
                         dur, sr, ch = _ogg_meta(p)
-                    # full MPEG-1 Layer III signature (after any ID3v2
-                    # tag), not just the 11-bit sync: ADTS AAC
-                    # (0xFFF1/0xFFF9) and MPEG-2 / Layer I-II streams —
-                    # tagged or raw — share the sync and must stay
-                    # container=None, not be labeled 'mp3' with a
-                    # failed decode
+                    # full frame signatures (after any ID3v2 tag), not
+                    # just the shared 11-bit sync: the layer bits split
+                    # MPEG-1 Layer III (01) from ADTS AAC (00);
+                    # MPEG-2 / Layer I-II stay container=None rather
+                    # than being mislabeled with a failed decode
                     elif _mp3_is_layer3(p, _id3v2_size(p)):
                         container = "mp3"
                         dur, sr, ch = _mp3_meta(p)
+                    elif _adts_is_aac(p, _id3v2_size(p)):
+                        container = "aac"
+                        dur, sr, ch = _adts_meta(p)
                     if container is not None:
                         # a hostile-but-parseable container (byte_rate=1,
                         # timescale=1 + 64-bit duration, ...) can yield

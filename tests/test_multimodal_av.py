@@ -314,15 +314,17 @@ def test_mp3_id3v2_footer_flag_skipped():
     assert MM._mp3_meta(tag + p) == MM._mp3_meta(p)
 
 
-def test_adts_aac_not_labeled_mp3(spark):
-    # ADTS AAC shares the 11-bit sync; it must stay container=None,
-    # not be labeled 'mp3' with a failed decode
-    aac = b"\xff\xf1" + bytes(64)
+def test_adts_aac_labeled_aac_not_mp3(spark):
+    # ADTS AAC shares the 11-bit sync with MPEG audio; the layer bits
+    # route it to the AAC parser, never the mp3 label
+    aac = MM.fake_adts_bytes(9, 48000, 5, 2)
     df = spark.createDataFrame(
         [(1, bytearray(aac))], "media_id long, content binary"
     )
     row = MM.extract_av_meta(df).collect()[0]
-    assert row["container"] is None and row["decode_ok"] is False
+    assert row["container"] == "aac" and row["decode_ok"] is True
+    assert row["duration_ms"] == (5 * 1024 * 1000) // 48000
+    assert (row["sample_rate"], row["channels"]) == (48000, 2)
 
 
 def test_progressive_jpeg_bomb_budget():
@@ -344,16 +346,41 @@ def test_progressive_jpeg_bomb_budget():
         J.decode_baseline(bombed)
 
 
-def test_id3_tagged_aac_not_labeled_mp3(spark):
+def test_id3_tagged_aac_routes_to_aac_parser(spark):
     # ID3v2 tags are routinely attached to ADTS AAC: the dispatcher
-    # must check the post-tag frame signature before labeling 'mp3'
+    # checks the post-tag frame signature, so tagged AAC parses as
+    # 'aac' and is never labeled 'mp3'
     tag = b"ID3" + bytes((4, 0, 0)) + bytes((0, 0, 0, 8)) + bytes(8)
-    aac = tag + b"\xff\xf1" + bytes(64)
+    aac = tag + MM.fake_adts_bytes(3, 44100, 4, 1)
     df = spark.createDataFrame(
         [(1, bytearray(aac))], "media_id long, content binary"
     )
     row = MM.extract_av_meta(df).collect()[0]
-    assert row["container"] is None and row["decode_ok"] is False
+    assert row["container"] == "aac" and row["decode_ok"] is True
+    assert row["duration_ms"] == (4 * 1024 * 1000) // 44100
+
+
+def test_adts_malformed_degrades(spark):
+    # valid sync but degenerate header fields: labeled aac, decode fails
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xf1" + bytes(64))),
+         (2, bytearray(MM.fake_adts_bytes(2, 32000, 3, 2)[:-10]))],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in MM.extract_av_meta(df).collect()}
+    assert rows[1]["container"] == "aac" and not rows[1]["decode_ok"]
+    assert rows[2]["container"] == "aac" and not rows[2]["decode_ok"]
+
+
+def test_adts_multi_rate_roundtrip():
+    for sr in (96000, 44100, 16000, 8000):
+        dur, got_sr, ch = MM._adts_meta(MM.fake_adts_bytes(1, sr, 7, 2))
+        assert (got_sr, ch) == (sr, 2)
+        assert dur == (7 * 1024 * 1000) // sr
+    # MPEG-2 style (0xFF 0xF9, CRC-less bit unset) also syncs
+    p = bytearray(MM.fake_adts_bytes(1, 44100, 2, 1))
+    p[1] = 0xF9
+    assert MM._adts_meta(bytes(p))[1] == 44100
 
 
 def test_mp3_audio_containing_tag_at_trailer_offset_still_parses():
