@@ -745,7 +745,7 @@ def generate_fake_media(df: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # audio/video tier: WAV/RIFF + MP4/ISO-BMFF (r10) and MP3 + ADTS AAC
-# + Ogg Vorbis/Opus (r11) header metadata
+# + Ogg Vorbis/Opus + Matroska/WebM (r11) header metadata
 # (VERDICT r09 gap #3 — same pure-parser tier as the image headers: a
 # 100 TB AV corpus gets duration/rate/dims at scan speed with zero
 # codec dependency; pixel/sample DECODE stays out of scope)
@@ -1010,6 +1010,159 @@ def _id3v2_size(p: bytes) -> int:
     return 10 + size + (10 if p[5] & 0x10 else 0)
 
 
+# --- Matroska/WebM (EBML) — RFC 8794 varints + the Matroska element
+# IDs needed for the metadata tier (matroska.org spec)
+_EBML_MAGIC = b"\x1aE\xdf\xa3"
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACK_ENTRY = 0xAE
+_MKV_VIDEO = 0xE0
+_MKV_AUDIO = 0xE1
+_MKV_MASTERS = {
+    _MKV_SEGMENT, _MKV_INFO, _MKV_TRACKS, _MKV_TRACK_ENTRY,
+    _MKV_VIDEO, _MKV_AUDIO,
+}
+_MKV_TIMESTAMP_SCALE = 0x2AD7B1  # uint, ns per timestamp unit (default 1e6)
+_MKV_DURATION = 0x4489  # float, in timestamp units
+_MKV_TRACK_TYPE = 0x83  # uint: 1 = video, 2 = audio
+_MKV_PIXEL_W = 0xB0
+_MKV_PIXEL_H = 0xBA
+_MKV_SAMPLING = 0xB5  # float Hz
+_MKV_CHANNELS = 0x9F  # uint
+
+
+def _ebml_vint(p: bytes, i: int, keep_marker: bool) -> tuple[int, int]:
+    """(value, byte_length) of the EBML varint at ``i``. Element IDs
+    keep their length-marker bits (matching the spec's ID notation);
+    sizes strip them."""
+    if i >= len(p) or p[i] == 0:
+        raise ValueError("malformed MKV: bad varint")
+    n = 1
+    mask = 0x80
+    while not (p[i] & mask):
+        mask >>= 1
+        n += 1
+    if i + n > len(p):
+        raise ValueError("malformed MKV: truncated varint")
+    v = p[i] if keep_marker else p[i] & (mask - 1)
+    for k in range(1, n):
+        v = (v << 8) | p[i + k]
+    return v, n
+
+
+def _mkv_meta(p: bytes) -> tuple[int, int, int, int, int]:
+    """(duration_ms, sample_rate, channels, width, height) from a
+    Matroska/WebM stream — Segment/Info for the duration, the first
+    video TrackEntry for dims, the first audio TrackEntry for
+    rate/channels; absent pieces stay None. Walks element headers only
+    (sizes skip payloads); an unknown-size element (all value bits set
+    — common for live-muxed Segments) extends to its parent's end."""
+    if p[:4] != _EBML_MAGIC:
+        raise ValueError("malformed MKV: no EBML header")
+    out = {"scale": 1_000_000, "dur": None, "sr": None, "ch": None,
+           "w": None, "h": None, "track_type": None}
+
+    def walk(start: int, end: int, depth: int) -> None:
+        if depth > 8:
+            raise ValueError("malformed MKV: element nesting too deep")
+        i = start
+        while i < end:
+            eid, n1 = _ebml_vint(p, i, keep_marker=True)
+            size, n2 = _ebml_vint(p, i + n1, keep_marker=False)
+            body = i + n1 + n2
+            if size == (1 << (7 * n2)) - 1:  # unknown size
+                bend = end
+            else:
+                bend = body + size
+            if bend > end:
+                raise ValueError("malformed MKV: element overruns parent")
+            if eid in _MKV_MASTERS:
+                if eid == _MKV_TRACK_ENTRY:
+                    out["track_type"] = None
+                walk(body, bend, depth + 1)
+            elif eid == _MKV_TIMESTAMP_SCALE:
+                out["scale"] = int.from_bytes(p[body:bend], "big")
+            elif eid == _MKV_DURATION:
+                fmt = ">f" if bend - body == 4 else ">d"
+                (out["dur"],) = struct.unpack(fmt, p[body:bend])
+            elif eid == _MKV_TRACK_TYPE:
+                out["track_type"] = int.from_bytes(p[body:bend], "big")
+            elif eid == _MKV_PIXEL_W and out["track_type"] == 1 and out["w"] is None:
+                out["w"] = int.from_bytes(p[body:bend], "big")
+            elif eid == _MKV_PIXEL_H and out["track_type"] == 1 and out["h"] is None:
+                out["h"] = int.from_bytes(p[body:bend], "big")
+            elif eid == _MKV_SAMPLING and out["track_type"] == 2 and out["sr"] is None:
+                fmt = ">f" if bend - body == 4 else ">d"
+                out["sr"] = int(struct.unpack(fmt, p[body:bend])[0])
+            elif eid == _MKV_CHANNELS and out["track_type"] == 2 and out["ch"] is None:
+                out["ch"] = int.from_bytes(p[body:bend], "big")
+            i = bend
+
+    walk(0, len(p), 0)
+    if out["dur"] is None:
+        raise ValueError("malformed MKV: no Info duration")
+    if not out["scale"]:
+        raise ValueError("malformed MKV: zero timestamp scale")
+    dur_ms = int(out["dur"] * out["scale"]) // 1_000_000
+    return dur_ms, out["sr"], out["ch"], out["w"], out["h"]
+
+
+def _ebml_elt(eid: int, payload: bytes) -> bytes:
+    """One EBML element: ID bytes (marker kept) + minimal-length size
+    varint + payload."""
+    idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    n = 1
+    while len(payload) >= (1 << (7 * n)) - 1:  # all-ones = unknown, skip it
+        n += 1
+    size = ((0x80 >> (n - 1)) << (8 * (n - 1))) | len(payload)
+    return idb + size.to_bytes(n, "big") + payload
+
+
+def fake_mkv_bytes(
+    media_id: int,
+    duration_ms: int,
+    width: int | None = None,
+    height: int | None = None,
+    sample_rate: int | None = None,
+    channels: int | None = None,
+) -> bytes:
+    """A minimal spec-shaped Matroska file: EBML header + Segment(Info(
+    TimestampScale=1e6, Duration), Tracks(video and/or audio
+    TrackEntry))."""
+    ebml = _ebml_elt(0x1A45DFA3, _ebml_elt(0x4282, b"matroska"))  # DocType
+    info = _ebml_elt(
+        _MKV_INFO,
+        _ebml_elt(_MKV_TIMESTAMP_SCALE, (1_000_000).to_bytes(3, "big"))
+        + _ebml_elt(_MKV_DURATION, struct.pack(">d", float(duration_ms))),
+    )
+    tracks_payload = b""
+    if width is not None:
+        tracks_payload += _ebml_elt(
+            _MKV_TRACK_ENTRY,
+            _ebml_elt(_MKV_TRACK_TYPE, b"\x01")
+            + _ebml_elt(
+                _MKV_VIDEO,
+                _ebml_elt(_MKV_PIXEL_W, width.to_bytes(2, "big"))
+                + _ebml_elt(_MKV_PIXEL_H, height.to_bytes(2, "big")),
+            ),
+        )
+    if sample_rate is not None:
+        tracks_payload += _ebml_elt(
+            _MKV_TRACK_ENTRY,
+            _ebml_elt(_MKV_TRACK_TYPE, b"\x02")
+            + _ebml_elt(
+                _MKV_AUDIO,
+                _ebml_elt(_MKV_SAMPLING, struct.pack(">d", float(sample_rate)))
+                + _ebml_elt(_MKV_CHANNELS, bytes((channels or 1,))),
+            ),
+        )
+    segment = _ebml_elt(
+        _MKV_SEGMENT, info + _ebml_elt(_MKV_TRACKS, tracks_payload)
+    )
+    return ebml + segment
+
+
 # ADTS sampling_frequency_index -> Hz (ISO/IEC 13818-7 / 14496-3)
 _ADTS_RATES = (
     96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
@@ -1208,8 +1361,9 @@ def extract_av_meta(
     memory bounded by Arrow batch size at any corpus scale, and a
     poison blob becomes a ``decode_ok=false`` data row, never a task
     failure. WAV/MP3/AAC/Ogg rows carry (duration_ms, sample_rate,
-    channels); MP4 rows carry (duration_ms, width, height); unknown
-    containers carry nulls."""
+    channels); MP4 rows carry (duration_ms, width, height); MKV/WebM
+    rows carry all five (video dims + audio rate/channels when the
+    respective tracks exist); unknown containers carry nulls."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1239,6 +1393,9 @@ def extract_av_meta(
                     elif _adts_is_aac(p, _id3v2_size(p)):
                         container = "aac"
                         dur, sr, ch = _adts_meta(p)
+                    elif p[:4] == _EBML_MAGIC:
+                        container = "mkv"
+                        dur, sr, ch, w, h = _mkv_meta(p)
                     if container is not None:
                         # a hostile-but-parseable container (byte_rate=1,
                         # timescale=1 + 64-bit duration, ...) can yield

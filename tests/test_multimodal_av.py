@@ -399,3 +399,64 @@ def test_mp3_id3v1_trailer_on_corrupt_audio_still_raises():
     trailer = b"TAG" + bytes(125)
     with pytest.raises(ValueError):
         MM._mp3_meta(b"\xff\xfb\x00\x00" + trailer)  # bad bitrate idx + trailer
+
+
+# ---------------------------------------------------------------------------
+# Matroska/WebM tier (r11): EBML varint walk
+# ---------------------------------------------------------------------------
+
+
+def test_mkv_video_and_audio_roundtrip():
+    p = MM.fake_mkv_bytes(1, 5400, width=1920, height=1080,
+                          sample_rate=48000, channels=2)
+    assert MM._mkv_meta(p) == (5400, 48000, 2, 1920, 1080)
+
+
+def test_mkv_video_only_and_audio_only():
+    assert MM._mkv_meta(MM.fake_mkv_bytes(2, 800, width=640, height=360)) == (
+        800, None, None, 640, 360)
+    assert MM._mkv_meta(
+        MM.fake_mkv_bytes(3, 1200, sample_rate=44100, channels=1)
+    ) == (1200, 44100, 1, None, None)
+
+
+def test_mkv_unknown_size_segment():
+    # live-muxed Matroska commonly writes the Segment with unknown size
+    # (all value bits set) — it must extend to end-of-stream
+    p = bytearray(MM.fake_mkv_bytes(4, 999, width=320, height=240))
+    seg_id = (0x18538067).to_bytes(4, "big")
+    at = p.index(seg_id) + 4
+    # the builder's segment size varint starts at `at`; rewrite it to
+    # unknown-size of the same byte length
+    n = 1
+    while not (p[at] & (0x80 >> (n - 1))):
+        n += 1
+    p[at] = 0x80 >> (n - 1) | (0xFF >> n)
+    for k in range(1, n):
+        p[at + k] = 0xFF
+    assert MM._mkv_meta(bytes(p)) == (999, None, None, 320, 240)
+
+
+def test_mkv_malformed():
+    with pytest.raises(ValueError):
+        MM._mkv_meta(b"\x1aE\xdf\xa3")  # header magic only, no duration
+    with pytest.raises(ValueError):
+        MM._mkv_meta(b"RIFF not ebml")
+    # element claiming to overrun its parent
+    bad = b"\x1aE\xdf\xa3" + bytes((0x84,)) + b"\xff\xff\xff\xff"
+    with pytest.raises(ValueError):
+        MM._mkv_meta(bad)
+
+
+def test_extract_av_meta_mkv_row(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(MM.fake_mkv_bytes(7, 2500, width=1280, height=720,
+                                         sample_rate=16000, channels=2))),
+         (2, bytearray(MM._EBML_MAGIC + bytes(8)))],  # poison mkv
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in MM.extract_av_meta(df).collect()}
+    assert rows[1]["container"] == "mkv" and rows[1]["decode_ok"]
+    assert (rows[1]["duration_ms"], rows[1]["width"], rows[1]["height"]) == (2500, 1280, 720)
+    assert (rows[1]["sample_rate"], rows[1]["channels"]) == (16000, 2)
+    assert rows[2]["container"] == "mkv" and not rows[2]["decode_ok"]
