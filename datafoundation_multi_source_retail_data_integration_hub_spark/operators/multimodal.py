@@ -32,6 +32,7 @@ for large blobs); decode parallelism == partition count of the scan.
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
 from collections.abc import Iterator
@@ -1063,9 +1064,9 @@ def _mkv_meta(p: bytes) -> tuple[int, int, int, int, int]:
     out = {"scale": 1_000_000, "dur": None, "sr": None, "ch": None,
            "w": None, "h": None, "track_type": None}
 
-    def walk(start: int, end: int, depth: int) -> None:
-        if depth > 8:
-            raise ValueError("malformed MKV: element nesting too deep")
+    def elements(start: int, end: int):
+        """Yield (eid, body_start, body_end) for the child elements of
+        [start, end) — the single header-walk shared by both passes."""
         i = start
         while i < end:
             eid, n1 = _ebml_vint(p, i, keep_marker=True)
@@ -1077,34 +1078,61 @@ def _mkv_meta(p: bytes) -> tuple[int, int, int, int, int]:
                 bend = body + size
             if bend > end:
                 raise ValueError("malformed MKV: element overruns parent")
+            yield eid, body, bend
+            i = bend
+
+    def _float(body: int, bend: int) -> float:
+        fmt = ">f" if bend - body == 4 else ">d"
+        (v,) = struct.unpack(fmt, p[body:bend])
+        if not math.isfinite(v):
+            raise ValueError("malformed MKV: non-finite float field")
+        return v
+
+    def walk(start: int, end: int, depth: int) -> None:
+        if depth > 8:
+            raise ValueError("malformed MKV: element nesting too deep")
+        for eid, body, bend in elements(start, end):
             if eid in _MKV_MASTERS:
                 if eid == _MKV_TRACK_ENTRY:
-                    out["track_type"] = None
+                    # EBML does not constrain child order: TrackType may
+                    # legally follow the Video/Audio master, so resolve
+                    # it with a pre-scan of the entry's direct children
+                    # before descending
+                    out["track_type"] = next(
+                        (
+                            int.from_bytes(p[b:e], "big")
+                            for e2, b, e in elements(body, bend)
+                            if e2 == _MKV_TRACK_TYPE
+                        ),
+                        None,
+                    )
                 walk(body, bend, depth + 1)
             elif eid == _MKV_TIMESTAMP_SCALE:
                 out["scale"] = int.from_bytes(p[body:bend], "big")
             elif eid == _MKV_DURATION:
-                fmt = ">f" if bend - body == 4 else ">d"
-                (out["dur"],) = struct.unpack(fmt, p[body:bend])
-            elif eid == _MKV_TRACK_TYPE:
-                out["track_type"] = int.from_bytes(p[body:bend], "big")
+                out["dur"] = _float(body, bend)
             elif eid == _MKV_PIXEL_W and out["track_type"] == 1 and out["w"] is None:
                 out["w"] = int.from_bytes(p[body:bend], "big")
             elif eid == _MKV_PIXEL_H and out["track_type"] == 1 and out["h"] is None:
                 out["h"] = int.from_bytes(p[body:bend], "big")
             elif eid == _MKV_SAMPLING and out["track_type"] == 2 and out["sr"] is None:
-                fmt = ">f" if bend - body == 4 else ">d"
-                out["sr"] = int(struct.unpack(fmt, p[body:bend])[0])
+                out["sr"] = int(_float(body, bend))
             elif eid == _MKV_CHANNELS and out["track_type"] == 2 and out["ch"] is None:
                 out["ch"] = int.from_bytes(p[body:bend], "big")
-            i = bend
 
     walk(0, len(p), 0)
     if out["dur"] is None:
         raise ValueError("malformed MKV: no Info duration")
+    if out["dur"] < 0:
+        raise ValueError("malformed MKV: negative duration")
     if not out["scale"]:
         raise ValueError("malformed MKV: zero timestamp scale")
-    dur_ms = int(out["dur"] * out["scale"]) // 1_000_000
+    # dur * scale is finite-by-construction here only if it fits a
+    # float — a huge scale can still overflow the product to inf
+    ns = out["dur"] * out["scale"]
+    if not math.isfinite(ns):
+        raise ValueError("malformed MKV: duration overflows")
+    dur_ms = int(ns) // 1_000_000
     return dur_ms, out["sr"], out["ch"], out["w"], out["h"]
 
 
@@ -1182,22 +1210,41 @@ def _adts_is_aac(p: bytes, i: int) -> bool:
     )
 
 
+# ADTS channel_configuration -> channel count (ISO/IEC 14496-3): 7 is
+# 7.1 = 8 channels; 0 means the map rides an in-band PCE — a VALID
+# stream whose count the header alone cannot give (None)
+_ADTS_CHANNEL_COUNT = (None, 1, 2, 3, 4, 5, 6, 8)
+
+
 def _adts_meta(p: bytes) -> tuple[int, int, int]:
     """(duration_ms, sample_rate, channels) from an ADTS AAC stream
-    (optionally ID3v2-tagged). Each 7/9-byte header carries the exact
-    frame byte length and raw-data-block count, so the walk skips
-    payloads; duration is exact: 1024 samples per raw data block."""
+    (optionally ID3v2-tagged / ID3v1-trailed). Each 7/9-byte header
+    carries the exact frame byte length and raw-data-block count, so
+    the walk skips payloads; duration is exact: 1024 samples per raw
+    data block."""
     i = _id3v2_size(p)
-    end = len(p)
+    try:
+        return _adts_walk(p, i, len(p))
+    except ValueError:
+        # same ID3v1-trailer retry as the mp3 path: only after the
+        # plain walk fails, so audio bytes spelling 'TAG' at the
+        # trailer offset cannot truncate a valid stream
+        if len(p) - i >= 128 and p[-128:-125] == b"TAG":
+            return _adts_walk(p, i, len(p) - 128)
+        raise
+
+
+def _adts_walk(p: bytes, i: int, end: int) -> tuple[int, int, int]:
     sr0 = ch0 = None
     blocks = 0
     while i + 7 <= end:
         if not _adts_is_aac(p, i):
             raise ValueError("malformed ADTS: lost frame sync")
         sr = _ADTS_RATES[(p[i + 2] >> 2) & 0x0F]
-        ch = ((p[i + 2] & 0x01) << 2) | (p[i + 3] >> 6)
-        if sr is None or ch == 0:
-            raise ValueError("malformed ADTS: bad rate/channel index")
+        cfg = ((p[i + 2] & 0x01) << 2) | (p[i + 3] >> 6)
+        ch = _ADTS_CHANNEL_COUNT[cfg]  # cfg 0 (PCE-carried) -> None
+        if sr is None:
+            raise ValueError("malformed ADTS: bad sample-rate index")
         flen = ((p[i + 3] & 0x03) << 11) | (p[i + 4] << 3) | (p[i + 5] >> 5)
         if flen < 7:
             raise ValueError("malformed ADTS: degenerate frame length")
@@ -1403,15 +1450,16 @@ def extract_av_meta(
                         # would then raise OUTSIDE this per-row try and
                         # kill the task; treat overflow as a failed decode
                         for v in (dur, sr, ch, w, h):
-                            if v is not None and v > 0x7FFFFFFF:
+                            if v is not None and not 0 <= v <= 0x7FFFFFFF:
                                 raise ValueError(
-                                    "AV metadata field exceeds int32"
+                                    "AV metadata field outside int32"
                                 )
                         ok = True
                 except (
                     ValueError,
                     struct.error,
                     IndexError,
+                    OverflowError,  # hostile float fields (inf * scale)
                     NotImplementedError,  # recognized container, codec out of scope
                 ):
                     dur = sr = ch = w = h = None

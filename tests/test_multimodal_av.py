@@ -460,3 +460,65 @@ def test_extract_av_meta_mkv_row(spark):
     assert (rows[1]["duration_ms"], rows[1]["width"], rows[1]["height"]) == (2500, 1280, 720)
     assert (rows[1]["sample_rate"], rows[1]["channels"]) == (16000, 2)
     assert rows[2]["container"] == "mkv" and not rows[2]["decode_ok"]
+
+
+def test_mkv_hostile_floats_are_poison_rows_not_task_failures(spark):
+    inf_dur = MM._ebml_elt(0x1A45DFA3, b"") + MM._ebml_elt(
+        MM._MKV_SEGMENT,
+        MM._ebml_elt(MM._MKV_INFO,
+                     MM._ebml_elt(MM._MKV_DURATION, struct.pack(">d", float("inf")))),
+    )
+    neg_dur = MM._ebml_elt(0x1A45DFA3, b"") + MM._ebml_elt(
+        MM._MKV_SEGMENT,
+        MM._ebml_elt(MM._MKV_INFO,
+                     MM._ebml_elt(MM._MKV_DURATION, struct.pack(">d", -1e12))),
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(inf_dur)), (2, bytearray(neg_dur)),
+         (3, bytearray(MM.fake_mkv_bytes(3, 700, width=64, height=48)))],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in MM.extract_av_meta(df).collect()}
+    assert not rows[1]["decode_ok"] and rows[1]["duration_ms"] is None
+    assert not rows[2]["decode_ok"] and rows[2]["duration_ms"] is None
+    assert rows[3]["decode_ok"] and rows[3]["duration_ms"] == 700
+
+
+def test_mkv_tracktype_after_video_element_still_yields_dims():
+    # EBML does not constrain child order: TrackType may follow Video
+    video = MM._ebml_elt(
+        MM._MKV_VIDEO,
+        MM._ebml_elt(MM._MKV_PIXEL_W, (640).to_bytes(2, "big"))
+        + MM._ebml_elt(MM._MKV_PIXEL_H, (360).to_bytes(2, "big")),
+    )
+    entry = MM._ebml_elt(
+        MM._MKV_TRACK_ENTRY, video + MM._ebml_elt(MM._MKV_TRACK_TYPE, b"\x01")
+    )
+    p = (
+        MM._ebml_elt(0x1A45DFA3, b"")
+        + MM._ebml_elt(
+            MM._MKV_SEGMENT,
+            MM._ebml_elt(MM._MKV_INFO,
+                         MM._ebml_elt(MM._MKV_DURATION, struct.pack(">d", 100.0)))
+            + MM._ebml_elt(MM._MKV_TRACKS, entry),
+        )
+    )
+    assert MM._mkv_meta(p) == (100, None, None, 640, 360)
+
+
+def test_adts_id3v1_trailer_accepted():
+    p = MM.fake_adts_bytes(5, 44100, 3)
+    assert MM._adts_meta(p + b"TAG" + bytes(125)) == MM._adts_meta(p)
+
+
+def test_adts_channel_config_mapping():
+    # config 7 is 7.1 = 8 channels per ISO/IEC 14496-3
+    assert MM._adts_meta(MM.fake_adts_bytes(1, 44100, 2, channels=7))[2] == 8
+    # config 0: channel map rides an in-band PCE — valid stream, the
+    # header alone cannot give a count (None), parse still succeeds
+    p = bytearray(MM.fake_adts_bytes(1, 44100, 2, channels=1))
+    for off in (0, 7 + 64):  # both frame headers
+        p[off + 2] &= 0xFE
+        p[off + 3] &= 0x3F
+    dur, sr, ch = MM._adts_meta(bytes(p))
+    assert (sr, ch) == (44100, None) and dur == (2 * 1024 * 1000) // 44100
