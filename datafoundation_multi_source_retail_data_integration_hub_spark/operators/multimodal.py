@@ -1252,6 +1252,10 @@ def _adts_walk(p: bytes, i: int, end: int) -> tuple[int, int, int]:
             raise ValueError("malformed ADTS: truncated final frame")
         if sr0 is None:
             sr0, ch0 = sr, ch
+        elif sr != sr0:
+            # same spliced-stream hazard as _mp3_walk: duration math
+            # assumes one rate for the whole block count
+            raise ValueError("malformed ADTS: sample rate changes mid-stream")
         blocks += (p[i + 6] & 0x03) + 1  # raw_data_blocks_in_frame + 1
         i += flen
     if not blocks:
@@ -1336,6 +1340,10 @@ def _mp3_walk(p: bytes, i: int, end: int) -> tuple[int, int, int]:
         mode = p[i + 3] >> 6
         if sr0 is None:
             sr0, ch0 = sr, 1 if mode == 3 else 2
+        elif sr != sr0:
+            # a spliced stream with mixed sample rates would otherwise
+            # be silently mis-timed (frame count x first frame's rate)
+            raise ValueError("malformed MP3: sample rate changes mid-stream")
         flen = (144 * bitrate * 1000) // sr + padding
         if flen <= 4:
             raise ValueError("malformed MP3: degenerate frame length")
@@ -1355,20 +1363,25 @@ def _ogg_meta(p: bytes) -> tuple[int, int, int]:
     Vorbis or Opus. The identification header is the sole packet of the
     first (BOS) page; total duration comes from the LAST page's granule
     position (PCM sample count for Vorbis; 48 kHz units for Opus, whose
-    granules are defined at 48 kHz regardless of input rate)."""
+    granules are defined at 48 kHz regardless of input rate). Opus
+    durations subtract the OpusHead pre-skip — RFC 7845 §4.2 excludes
+    those leading samples from playback, so a granule-only duration
+    reads ~6.5 ms long on typical encoder output (pre-skip 312)."""
     if p[:4] != b"OggS" or len(p) < 28:
         raise ValueError("malformed Ogg: no capture pattern")
     nseg = p[26]
     body = 27 + nseg
+    pre_skip = 0
     if p[body : body + 7] == b"\x01vorbis":
         if body + 16 > len(p):
             raise ValueError("malformed Ogg: truncated Vorbis id header")
         ch = p[body + 11]
         (sr,) = struct.unpack("<I", p[body + 12 : body + 16])
     elif p[body : body + 8] == b"OpusHead":
-        if body + 10 > len(p):
+        if body + 12 > len(p):
             raise ValueError("malformed Ogg: truncated OpusHead")
         ch = p[body + 9]
+        (pre_skip,) = struct.unpack("<H", p[body + 10 : body + 12])
         sr = 48000
     else:
         raise NotImplementedError(
@@ -1396,7 +1409,7 @@ def _ogg_meta(p: bytes) -> tuple[int, int, int]:
         i += 27 + nseg + body
     if i != len(p):
         raise ValueError("malformed Ogg: final page overruns the stream")
-    return (granule * 1000) // sr, sr, ch
+    return (max(granule - pre_skip, 0) * 1000) // sr, sr, ch
 
 
 def extract_av_meta(
@@ -1483,12 +1496,13 @@ def extract_av_meta(
 
 def generate_fake_av(df: DataFrame) -> DataFrame:
     """Arrow-batched AV-container generator for tests/demos: one row per
-    media item with ``kind`` ('wav'|'mp4'|'mp3'|'ogg') and the per-kind
-    parameters (wav/ogg: sample_rate, n_samples, channels; mp4:
-    duration_ms, width, height; mp3: sample_rate, bitrate, n_frames,
-    channels, id3_pad) -> (media_id, content) with complete spec-valid
-    container bytes. Stands in for the binary scan of a real AV
-    corpus."""
+    media item with ``kind`` ('wav'|'mp4'|'mp3'|'ogg'|'aac'|'mkv') and
+    the per-kind parameters (wav/ogg: sample_rate, n_samples, channels;
+    mp4: duration_ms, width, height; mp3: sample_rate, bitrate,
+    n_frames, channels, id3_pad; aac: sample_rate, n_frames, channels,
+    payload_len; mkv: duration_ms, width, height, sample_rate,
+    channels) -> (media_id, content) with complete spec-valid container
+    bytes. Stands in for the binary scan of a real AV corpus."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1520,6 +1534,27 @@ def generate_fake_av(df: DataFrame) -> DataFrame:
                             int(r.media_id),
                             int(r.sample_rate),
                             int(r.n_samples),
+                            int(r.channels),
+                        )
+                    )
+                elif r.kind == "aac":
+                    payloads.append(
+                        fake_adts_bytes(
+                            int(r.media_id),
+                            int(r.sample_rate),
+                            int(r.n_frames),
+                            int(r.channels),
+                            int(getattr(r, "payload_len", 64)),
+                        )
+                    )
+                elif r.kind == "mkv":
+                    payloads.append(
+                        fake_mkv_bytes(
+                            int(r.media_id),
+                            int(r.duration_ms),
+                            int(r.width),
+                            int(r.height),
+                            int(r.sample_rate),
                             int(r.channels),
                         )
                     )

@@ -54,8 +54,8 @@ FROM documents WHERE doc_id % 10 = 0
 
 MEDIA_MAX_SIDE = 20
 # fake media dims derived from the id — the oracle recomputes them
-_W = "16 + media_id % 48"
-_H = "16 + (media_id * 7) % 48"
+_W = "16 + media_id % 47"
+_H = "16 + (media_id * 7) % 47"
 
 
 def doc_media_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,27 +107,36 @@ FROM r
 
 # AV container parameters derived from the id — the oracle recomputes
 # them arithmetically; the Spark side derives metadata from REAL
-# container bytes (RIFF chunk / ISO-BMFF box / MP3 frame / Ogg page
-# walks), so a parser or builder bug shows up as an oracle mismatch.
-# Containers rotate on id % 4 (wav, mp4, mp3, ogg — r11 added the last
-# two, folded into this oracle row per the 150-name surface policy);
-# per-kind parameters use moduli coprime to 4 so each container sees
-# its parameter's full range.
+# container bytes (RIFF chunk / ISO-BMFF box / MP3 frame / Ogg page /
+# ADTS frame / Matroska EBML walks), so a parser or builder bug shows
+# up as an oracle mismatch. Containers rotate on id % 6 (wav, mp4,
+# mp3, ogg, aac, mkv — r12 folded the last two into this oracle row
+# per the 150-name surface policy); per-kind parameters use moduli
+# coprime to 6 so each container sees its parameter's full range
+# (a modulus sharing a factor with 6 would pin that factor's residue
+# per container — e.g. a % 3 channel rule would make every aac row
+# stereo).
 _SR = "8000 + (media_id % 5) * 2000"
-_NS = "200 + media_id % 400"
-_CH = "CASE WHEN media_id % 3 = 0 THEN 1 ELSE 2 END"
-_DUR = "500 + (media_id * 37) % 9500"
-_MP3_SR = "CASE media_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END"
+_NS = "200 + media_id % 401"
+_CH = "CASE WHEN media_id % 5 = 0 THEN 1 ELSE 2 END"
+_DUR = "500 + (media_id * 37) % 9499"
+_MP3_SR = (
+    "CASE media_id % 7 WHEN 0 THEN 44100 WHEN 1 THEN 48000 "
+    "WHEN 2 THEN 32000 WHEN 3 THEN 44100 WHEN 4 THEN 48000 "
+    "WHEN 5 THEN 32000 ELSE 44100 END"
+)
 _MP3_BR = (
     "CASE media_id % 5 WHEN 0 THEN 64000 WHEN 1 THEN 96000 "
     "WHEN 2 THEN 128000 WHEN 3 THEN 160000 ELSE 192000 END"
 )
 _MP3_NF = "3 + media_id % 7"
-_MP3_PAD = "media_id % 63"
-_OGG_NS = "1000 + (media_id * 13) % 9000"
+_MP3_PAD = "media_id % 65"
+_OGG_NS = "1000 + (media_id * 13) % 9001"
+_AAC_PL = "40 + media_id % 101"
 _KIND = (
-    "CASE media_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'mp4' "
-    "WHEN 2 THEN 'mp3' ELSE 'ogg' END"
+    "CASE media_id % 6 WHEN 0 THEN 'wav' WHEN 1 THEN 'mp4' "
+    "WHEN 2 THEN 'mp3' WHEN 3 THEN 'ogg' WHEN 4 THEN 'aac' "
+    "ELSE 'mkv' END"
 )
 
 
@@ -135,20 +144,26 @@ def doc_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio/video header metadata over opaque binary payloads: ids
     rotate through complete PCM WAV files, minimal ISO-BMFF MP4s
     (ftyp + moov(mvhd, trak(tkhd))), MPEG-1 Layer III streams (ID3v2
-    tag + real CBR frames), and Ogg Vorbis streams (BOS id-header page
-    + EOS page); ``extract_av_meta`` walks the RIFF chunks / BMFF
-    boxes / MP3 frame headers / Ogg pages to recover duration, sample
-    rate/channels (audio) and track dims (video). Pure-parser tier —
-    no codec dependency, runs at scan speed on any corpus size."""
+    tag + real CBR frames), Ogg Vorbis streams (BOS id-header page +
+    EOS page), ADTS AAC streams (real 7-byte frame headers), and
+    Matroska files (EBML header + Segment(Info, Tracks));
+    ``extract_av_meta`` walks the RIFF chunks / BMFF boxes / MP3 and
+    ADTS frame headers / Ogg pages / EBML elements to recover
+    duration, sample rate/channels (audio) and track dims (video).
+    Pure-parser tier — no codec dependency, runs at scan speed on any
+    corpus size."""
     from ..operators.multimodal import extract_av_meta, generate_fake_av
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    is_mp3 = F.col("doc_id") % 4 == 2
-    is_ogg = F.col("doc_id") % 4 == 3
+    uses_aac_rate = (F.col("doc_id") % 6 == 2) | (F.col("doc_id") % 6 == 4)
+    is_ogg = F.col("doc_id") % 6 == 3
     params = docs.select(
         F.col("doc_id").alias("media_id"),
         F.expr(_KIND.replace("media_id", "doc_id")).alias("kind"),
-        F.when(is_mp3, F.expr(_MP3_SR.replace("media_id", "doc_id")))
+        # mp3 AND aac rows need a rate from the Layer III / ADTS tables
+        # (the builders index those tables); wav/ogg/mkv take the free
+        # 8-16 kHz PCM range
+        F.when(uses_aac_rate, F.expr(_MP3_SR.replace("media_id", "doc_id")))
         .otherwise(F.expr(_SR.replace("media_id", "doc_id")))
         .cast("int")
         .alias("sample_rate"),
@@ -163,6 +178,7 @@ def doc_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_MP3_BR.replace("media_id", "doc_id")).cast("int").alias("bitrate"),
         F.expr(_MP3_NF.replace("media_id", "doc_id")).cast("int").alias("n_frames"),
         F.expr(_MP3_PAD.replace("media_id", "doc_id")).cast("int").alias("id3_pad"),
+        F.expr(_AAC_PL.replace("media_id", "doc_id")).cast("int").alias("payload_len"),
     )
     return extract_av_meta(generate_fake_av(params))
 
@@ -175,31 +191,41 @@ def _o(expr: str) -> str:
 # channels * 2 PCM bytes; the minimal MP4 is a fixed 244-byte box tree;
 # MP3 = optional (10 + pad) ID3v2 bytes + n_frames CBR frames of
 # (144 * bitrate) // sample_rate bytes (padding bit 0); the minimal Ogg
-# is two fixed pages, 58 + 44 = 102 bytes. Durations floor exactly like
-# the parsers: WAV (data_len*1000)//byte_rate == (n_samples*1000)//sr
-# (block_align cancels under floor), MP3 (frames*1152*1000)//sr, Ogg
-# (granule*1000)//sr.
+# is two fixed pages, 58 + 44 = 102 bytes; ADTS = n_frames frames of
+# (7-byte header + payload_len); the minimal MKV with one video and one
+# audio track is a fixed 84-byte element tree (every field fixed-width:
+# 8-byte doubles for Duration/SamplingFrequency, 2-byte dims, 1-byte
+# channels). Durations floor exactly like the parsers: WAV
+# (data_len*1000)//byte_rate == (n_samples*1000)//sr (block_align
+# cancels under floor), MP3 (frames*1152*1000)//sr, Ogg (granule*1000)
+# //sr (Vorbis pre-skip 0), ADTS (blocks*1024*1000)//sr, MKV
+# int(float(dur_ms)*1e6)//1e6 == dur_ms (exact: dur_ms < 2^53).
 DOC_AV_META_ORACLE = f"""
 SELECT doc_id AS media_id,
-       CAST(CASE doc_id % 4
+       CAST(CASE doc_id % 6
                  WHEN 0 THEN 44 + ({_o(_NS)}) * ({_o(_CH)}) * 2
                  WHEN 1 THEN 244
                  WHEN 2 THEN (CASE WHEN ({_o(_MP3_PAD)}) = 0 THEN 0
                               ELSE 10 + ({_o(_MP3_PAD)}) END)
                              + ({_o(_MP3_NF)}) * ((144 * ({_o(_MP3_BR)})) // ({_o(_MP3_SR)}))
-                 ELSE 102 END AS INTEGER) AS byte_len,
+                 WHEN 3 THEN 102
+                 WHEN 4 THEN ({_o(_MP3_NF)}) * (7 + ({_o(_AAC_PL)}))
+                 ELSE 84 END AS INTEGER) AS byte_len,
        {_o(_KIND)} AS container,
-       CAST(CASE doc_id % 4
+       CAST(CASE doc_id % 6
                  WHEN 0 THEN (({_o(_NS)}) * 1000) // ({_o(_SR)})
                  WHEN 1 THEN {_o(_DUR)}
                  WHEN 2 THEN (({_o(_MP3_NF)}) * 1152 * 1000) // ({_o(_MP3_SR)})
-                 ELSE (({_o(_OGG_NS)}) * 1000) // ({_o(_SR)})
+                 WHEN 3 THEN (({_o(_OGG_NS)}) * 1000) // ({_o(_SR)})
+                 WHEN 4 THEN (({_o(_MP3_NF)}) * 1024 * 1000) // ({_o(_MP3_SR)})
+                 ELSE {_o(_DUR)}
             END AS INTEGER) AS duration_ms,
-       CAST(CASE doc_id % 4 WHEN 0 THEN {_o(_SR)} WHEN 2 THEN {_o(_MP3_SR)}
-                 WHEN 3 THEN {_o(_SR)} END AS INTEGER) AS sample_rate,
-       CAST(CASE WHEN doc_id % 4 != 1 THEN {_o(_CH)} END AS INTEGER) AS channels,
-       CAST(CASE WHEN doc_id % 4 = 1 THEN {_o(_W)} END AS INTEGER) AS width,
-       CAST(CASE WHEN doc_id % 4 = 1 THEN {_o(_H)} END AS INTEGER) AS height,
+       CAST(CASE doc_id % 6 WHEN 0 THEN {_o(_SR)} WHEN 2 THEN {_o(_MP3_SR)}
+                 WHEN 3 THEN {_o(_SR)} WHEN 4 THEN {_o(_MP3_SR)}
+                 WHEN 5 THEN {_o(_SR)} END AS INTEGER) AS sample_rate,
+       CAST(CASE WHEN doc_id % 6 != 1 THEN {_o(_CH)} END AS INTEGER) AS channels,
+       CAST(CASE WHEN doc_id % 6 IN (1, 5) THEN {_o(_W)} END AS INTEGER) AS width,
+       CAST(CASE WHEN doc_id % 6 IN (1, 5) THEN {_o(_H)} END AS INTEGER) AS height,
        TRUE AS decode_ok
 FROM documents
 """

@@ -224,8 +224,20 @@ def test_ogg_opus_branch():
     )
     page1 = MM._ogg_page(0x02, 0, 7, 0, [opus_id])
     page2 = MM._ogg_page(0x04, 96000, 7, 1, [b"x" * 8])
-    # Opus granules are 48 kHz regardless of the input rate field
-    assert MM._ogg_meta(page1 + page2) == (2000, 48000, 2)
+    # Opus granules are 48 kHz regardless of the input rate field, and
+    # the OpusHead pre-skip (312 here) is excluded from playback
+    # (RFC 7845 §4.2): (96000 - 312) * 1000 // 48000 = 1993
+    assert MM._ogg_meta(page1 + page2) == (1993, 48000, 2)
+
+
+def test_ogg_opus_preskip_exceeding_granule_clamps_to_zero():
+    opus_id = (
+        b"OpusHead" + bytes((1, 1)) + struct.pack("<H", 3000)
+        + struct.pack("<I", 48000) + struct.pack("<h", 0) + bytes((0,))
+    )
+    page1 = MM._ogg_page(0x02, 0, 9, 0, [opus_id])
+    page2 = MM._ogg_page(0x04, 2000, 9, 1, [b"x" * 8])
+    assert MM._ogg_meta(page1 + page2)[0] == 0
 
 
 def test_ogg_negative_granule_means_zero_duration():
@@ -381,6 +393,22 @@ def test_adts_multi_rate_roundtrip():
     p = bytearray(MM.fake_adts_bytes(1, 44100, 2, 1))
     p[1] = 0xF9
     assert MM._adts_meta(bytes(p))[1] == 44100
+
+
+def test_mp3_mixed_sample_rate_stream_rejected():
+    # a spliced stream with mixed rates would be mis-timed if accepted
+    # (frame count x first frame's rate) — it must raise instead
+    a = MM.fake_mp3_bytes(1, 44100, 128000, 2)
+    b = MM.fake_mp3_bytes(1, 32000, 128000, 2)
+    with pytest.raises(ValueError, match="sample rate changes"):
+        MM._mp3_meta(a + b)
+
+
+def test_adts_mixed_sample_rate_stream_rejected():
+    a = MM.fake_adts_bytes(1, 44100, 2, 2)
+    b = MM.fake_adts_bytes(1, 32000, 2, 2)
+    with pytest.raises(ValueError, match="sample rate changes"):
+        MM._adts_meta(a + b)
 
 
 def test_mp3_audio_containing_tag_at_trailer_offset_still_parses():
