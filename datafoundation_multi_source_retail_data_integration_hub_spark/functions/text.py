@@ -150,7 +150,15 @@ def grams_from_tokens(toks: Column, n: int) -> Column:
     NULL-array behavior: a NULL ``toks`` yields NULL (the DuckDB twin's
     behavior too), where the pre-r11 sequence/slice form yielded ``[]``
     — no caller feeds NULL (tokenizers never return it), but note the
-    contract change."""
+    contract change. NULL-element behavior: a NULL element INSIDE the
+    array produces NULL grams at every window covering it (``concat``
+    propagates NULLs, where the old ``concat_ws`` form skipped them),
+    and those NULLs stay mid-array — they would flow into any hash
+    stacked on top. This never happens in practice either: ``F.split``
+    and ``regexp_extract_all`` cannot emit NULL elements
+    (``tests/test_text_functions.py`` pins both guarantees), so the
+    semantics are documented rather than guarded — a filter() pass on
+    every shingle call would cost more than the hazard it prevents."""
     if n == 1:
         return toks
     size = F.size(toks)

@@ -869,7 +869,15 @@ def stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of completed runs (each prior run contributed exactly one batch),
     # so a split run's SECOND batch dies here before writing a mid-run
     # report — a `batch_id > 1` bound would let it through until the
-    # next run.
+    # next run. Scope note: `runs` is an IN-PROCESS counter, so this
+    # guard assumes the checkpoint never outlives the process — true by
+    # construction here (base is a per-invocation mkdtemp, removed in
+    # the finally). A deployment resuming a persistent checkpoint in a
+    # NEW process would redeliver a nonzero batch_id against runs=0 and
+    # trip this assertion even though the v{batch_id-1}-addressed store
+    # reads + overwrite writes below ARE redelivery-idempotent; such a
+    # deployment must derive the expected id from the store's existing
+    # versions instead of driver-local state.
     progress = {"runs": 0, "batches": 0}
 
     def handler(batch: DataFrame, batch_id: int) -> None:
