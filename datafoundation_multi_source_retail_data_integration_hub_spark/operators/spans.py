@@ -57,6 +57,7 @@ def window_hash_positions(
     id_col: str,
     w: int,
     staged: DataFrame | None = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, n_toks, i, hv) — one row per W-token window of every document;
     ``i`` is 1-based, ``hv`` the 60-bit window hash (``TX.md5_long`` of the
@@ -73,12 +74,17 @@ def window_hash_positions(
 
     ``staged``: an already-tokenized (id_col, __tl) frame — pass it when
     the caller also consumes the token arrays (e.g. the trim join), so
-    one persisted tokenize pass feeds both subtrees."""
+    one persisted tokenize pass feeds both subtrees.
+
+    ``carry``: extra ``df``/``staged`` columns to ride along unchanged
+    (e.g. a source tag for the fused ingest probe) — they stay inside
+    the same codegen stage, so carrying them is free."""
     toks = staged if staged is not None else df.select(
         F.col(id_col).alias(id_col),
         # stage the token array once; a multi-referenced split alias is
         # NOT inlined by CollapseProject (functions/text.py note)
         TX.ws_tokens(TX.normalized_text(F.col(text_col))).alias("__tl"),
+        *carry,
     )
     idx = TX._index_range(F.size("__tl") - (w - 1))
     return toks.select(
@@ -86,6 +92,7 @@ def window_hash_positions(
         F.size("__tl").alias("n_toks"),
         "__tl",
         F.explode(idx).alias("i"),  # 1-based, matches the SQL twin
+        *carry,
     ).select(
         id_col,
         "n_toks",
@@ -93,6 +100,7 @@ def window_hash_positions(
         TX.md5_long(F.concat_ws(" ", F.slice(F.col("__tl"), F.col("i"), w))).alias(
             "hv"
         ),
+        *carry,
     )
 
 
@@ -359,9 +367,55 @@ def report_against_store(
         "hv",
         F.lit(1).alias("__src"),
     )
+    return _report_core(pos.unionByName(store_rows), id_col, w)
+
+
+def fused_incremental_substring_report(
+    docs: DataFrame,
+    batch_pred: Column,
+    text_col: str,
+    id_col: str,
+    w: int,
+) -> DataFrame:
+    """One-scan form of :func:`incremental_substring_report` for the
+    common case where the established corpus and the incoming batch are
+    ROW SUBSETS OF ONE SOURCE (an ingest ledger with a batch flag, a
+    parity split, ...). ``batch_pred`` marks the batch rows; every other
+    row plays the store.
+
+    The two-frame form scans the source TWICE — a row-level predicate
+    like ``doc_id % 2 = 1`` cannot push into a parquet scan, so each
+    half reads every row group and filters — and runs the
+    tokenize+window-hash pipeline as two separate map subtrees. Here
+    ONE scan + ONE tokenize/hash pass covers both halves; the source
+    tag rides the same codegen stage (``carry``) into the shared hv
+    shuffle, and everything downstream is :func:`_report_core`
+    unchanged. Same result, half the scan bytes and map work
+    (measured at sf0.1: see queries/pipelineops.py's ingest note).
+
+    Store rows keep their real (id, n_toks, i) — the core's batch-row
+    rank counts only batch rows, so store rows' sort position is
+    irrelevant; ``batch_pred`` must be deterministic and non-NULL."""
+    tagged = docs.select(
+        F.col(id_col).alias(id_col),
+        F.col(text_col).alias(text_col),
+        F.when(batch_pred, F.lit(0)).otherwise(F.lit(1)).alias("__src"),
+    )
+    pos = window_hash_positions(tagged, text_col, id_col, w, carry=("__src",))
+    return _report_core(pos, id_col, w)
+
+
+def _report_core(pos_tagged: DataFrame, id_col: str, w: int) -> DataFrame:
+    """Shared tail of the ingest-time probes: flag store/batch duplicate
+    windows over one hv-partitioned window pass, then islands-merge per
+    document. ``pos_tagged`` is (id, n_toks, i, hv, __src) with __src=1
+    marking store windows — store rows are never reported; their (id,
+    n_toks, i) may be NULL (two-frame form) or real (fused form), and
+    batch/store ids never collide within a hv partition's ordering
+    because the halves are disjoint row sets."""
     whash = Window.partitionBy("hv")
     # cumulative batch-row count in (id, i) order == row_number among
-    # batch rows; store rows (NULL id, sorted first) contribute nothing
+    # batch rows; store rows contribute nothing wherever they sort
     wrank = (
         Window.partitionBy("hv")
         .orderBy(id_col, "i")
@@ -369,7 +423,7 @@ def report_against_store(
     )
     is_batch = F.col("__src") == 0
     marked = (
-        pos.unionByName(store_rows)
+        pos_tagged
         .withColumn("__cnt", F.count(F.when(is_batch, 1)).over(whash))
         .withColumn("__rnk", F.count(F.when(is_batch, 1)).over(wrank))
         .withColumn("__seen", F.max("__src").over(whash) == 1)

@@ -400,12 +400,14 @@ def doc_substring_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes are the 8-byte-per-window store a pipeline keeps between
     ingests), odd doc_ids the incoming batch. Flags store hits and
     within-batch keep-first duplicates separately; coverage is
-    islands-merged. See ``operators/spans.py``."""
+    islands-merged. See ``operators/spans.py``. Both halves live in ONE
+    source table, so this uses the fused one-scan form — the two-frame
+    ``incremental_substring_report`` read the documents scan twice (the
+    parity predicate cannot push into parquet) and ran two separate
+    tokenize+hash map subtrees into the shared hv shuffle."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    store = docs.where(F.col("doc_id") % 2 == 0)
-    batch = docs.where(F.col("doc_id") % 2 == 1)
-    return SP.incremental_substring_report(
-        batch, store, "text", "doc_id", SUBSTR_W
+    return SP.fused_incremental_substring_report(
+        docs, F.col("doc_id") % 2 == 1, "text", "doc_id", SUBSTR_W
     )
 
 

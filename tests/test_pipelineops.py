@@ -262,6 +262,22 @@ def test_ingest_substring_dedup_flag_precedence(spark):
     assert out[5]["n_batch_windows"] == 1
     assert out[5]["dup_tokens"] == 8
 
+    # the one-scan fused form must agree row-for-row with the two-frame
+    # form on the same split (store = even ids, batch = odd ids)
+    fused = {
+        r["doc_id"]: r
+        for r in SP.fused_incremental_substring_report(
+            store.unionByName(batch),
+            F.col("doc_id") % 2 == 1,
+            "text",
+            "doc_id",
+            8,
+        ).collect()
+    }
+    assert set(fused) == set(out)
+    for d, r in out.items():
+        assert tuple(fused[d]) == tuple(r)
+
 
 def test_report_and_trim_are_consistent_on_corpus(spark):
     """Cross-operator invariant on the real corpus: the report flags ALL

@@ -192,13 +192,20 @@ def main() -> None:
         "items; everything else >2x is a sub-second query where Spark's",
         "~0.3-2 s scheduling floor is the entire story):",
         "",
-        "- `doc_substring_dedup_ingest` (~1 s): the Spark plan is two",
-        "  window-hash passes (store-half build + batch-half probe fused",
-        "  over one hv shuffle) = 4 stages, each paying the ~0.2 s task-",
-        "  launch floor that DuckDB's single fused pipeline never pays;",
-        "  per-row work (tokenize + md5 per window) is symmetric. The",
-        "  stage count is scale-constant, so the gap is the toy-scale",
-        "  floor, not a scale-killer.",
+        "- `doc_substring_dedup_ingest` (~1 s): r12 TESTED the r11",
+        "  stage-floor claim by fusing the store-half build and batch-",
+        "  half probe into ONE scan + tokenize/hash pass (operators/",
+        "  spans.py fused_incremental_substring_report — the two-frame",
+        "  form read the documents scan twice because the parity",
+        "  predicate cannot push into parquet). Result: identical",
+        "  output (oracle green, equivalence pinned in tests), half the",
+        "  map subtrees, and the warm sf0.1 wall time DID NOT MOVE",
+        "  (1.29 s old vs 1.31 s new min-of-3, same session, DuckDB",
+        "  0.20 s) — confirming the gap is the per-stage scheduling",
+        "  floor (scan -> hv window -> doc islands -> collect), which",
+        "  is scale-constant, not duplicated work. The fused form is",
+        "  kept for its scale shape: one read of the corpus instead of",
+        "  two.",
         "- `orders_join_cardinality` (~0.8 s): the Spark side runs the",
         "  EXACT join-count twin branch alongside the sampled estimator",
         "  to gate the estimator's math; at the design point only the",
