@@ -1256,6 +1256,11 @@ def _adts_walk(p: bytes, i: int, end: int) -> tuple[int, int, int]:
             # same spliced-stream hazard as _mp3_walk: duration math
             # assumes one rate for the whole block count
             raise ValueError("malformed ADTS: sample rate changes mid-stream")
+        elif ch != ch0:
+            # includes a PCE-carried (cfg 0 -> None) half spliced onto an
+            # explicit-cfg half — channel_configuration never varies
+            # within one legitimate stream
+            raise ValueError("malformed ADTS: channel count changes mid-stream")
         blocks += (p[i + 6] & 0x03) + 1  # raw_data_blocks_in_frame + 1
         i += flen
     if not blocks:
@@ -1338,12 +1343,18 @@ def _mp3_walk(p: bytes, i: int, end: int) -> tuple[int, int, int]:
         if bitrate is None or sr is None:
             raise ValueError("malformed MP3: bad bitrate/sample-rate index")
         mode = p[i + 3] >> 6
+        # channel COUNT, not the raw mode: encoders legitimately switch
+        # stereo <-> joint stereo per frame (both 2 channels); only a
+        # mono <-> non-mono flip marks a spliced stream
+        ch = 1 if mode == 3 else 2
         if sr0 is None:
-            sr0, ch0 = sr, 1 if mode == 3 else 2
+            sr0, ch0 = sr, ch
         elif sr != sr0:
             # a spliced stream with mixed sample rates would otherwise
             # be silently mis-timed (frame count x first frame's rate)
             raise ValueError("malformed MP3: sample rate changes mid-stream")
+        elif ch != ch0:
+            raise ValueError("malformed MP3: channel count changes mid-stream")
         flen = (144 * bitrate * 1000) // sr + padding
         if flen <= 4:
             raise ValueError("malformed MP3: degenerate frame length")

@@ -55,7 +55,7 @@ FROM documents WHERE doc_id % 10 = 0
 MEDIA_MAX_SIDE = 20
 # fake media dims derived from the id — the oracle recomputes them
 _W = "16 + media_id % 47"
-_H = "16 + (media_id * 7) % 47"
+_H = "16 + media_id % 43"
 
 
 def doc_media_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,22 +115,29 @@ FROM r
 # coprime to 6 so each container sees its parameter's full range
 # (a modulus sharing a factor with 6 would pin that factor's residue
 # per container — e.g. a % 3 channel rule would make every aac row
-# stereo).
+# stereo) AND pairwise coprime among parameters that co-occur on one
+# row, so the oracle covers the full cross product (a shared modulus
+# would lock parameters together — e.g. channels on % 5 beside the
+# % 5 sample-rate rule would make every mono row 8 kHz, hiding any
+# builder/parser bug specific to an untested combination). Moduli in
+# use: 5 (_SR wav/ogg/mkv rows, _MP3_BR mp3 rows — never one row),
+# 7 (_MP3_NF), 11 (_CH), 13 (_MP3_SR), 43 (_H), 47 (_W), 67
+# (_MP3_PAD), 101 (_AAC_PL), 401 (_NS), 9001 (_OGG_NS),
+# 9499 = 7*23*59 (_DUR — the 7 never co-occurs with _MP3_NF's).
 _SR = "8000 + (media_id % 5) * 2000"
 _NS = "200 + media_id % 401"
-_CH = "CASE WHEN media_id % 5 = 0 THEN 1 ELSE 2 END"
+_CH = "CASE WHEN media_id % 11 = 0 THEN 1 ELSE 2 END"
 _DUR = "500 + (media_id * 37) % 9499"
 _MP3_SR = (
-    "CASE media_id % 7 WHEN 0 THEN 44100 WHEN 1 THEN 48000 "
-    "WHEN 2 THEN 32000 WHEN 3 THEN 44100 WHEN 4 THEN 48000 "
-    "WHEN 5 THEN 32000 ELSE 44100 END"
+    "CASE (media_id % 13) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 "
+    "ELSE 32000 END"
 )
 _MP3_BR = (
     "CASE media_id % 5 WHEN 0 THEN 64000 WHEN 1 THEN 96000 "
     "WHEN 2 THEN 128000 WHEN 3 THEN 160000 ELSE 192000 END"
 )
 _MP3_NF = "3 + media_id % 7"
-_MP3_PAD = "media_id % 65"
+_MP3_PAD = "media_id % 67"
 _OGG_NS = "1000 + (media_id * 13) % 9001"
 _AAC_PL = "40 + media_id % 101"
 _KIND = (

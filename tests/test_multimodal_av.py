@@ -411,6 +411,26 @@ def test_adts_mixed_sample_rate_stream_rejected():
         MM._adts_meta(a + b)
 
 
+def test_mp3_mixed_channel_count_rejected_but_joint_stereo_ok():
+    mono = MM.fake_mp3_bytes(1, 44100, 128000, 2, channels=1)
+    stereo = MM.fake_mp3_bytes(1, 44100, 128000, 2, channels=2)
+    with pytest.raises(ValueError, match="channel count changes"):
+        MM._mp3_meta(mono + stereo)
+    # stereo (mode 00) + joint stereo (mode 01) are BOTH 2 channels —
+    # encoders switch per frame; must parse, not raise
+    joint = bytearray(stereo)
+    flen = (144 * 128000) // 44100
+    joint[flen + 3] = 0x40  # second frame: mode 01
+    assert MM._mp3_meta(stereo + bytes(joint))[2] == 2
+
+
+def test_adts_mixed_channel_count_rejected():
+    a = MM.fake_adts_bytes(1, 44100, 2, 1)
+    b = MM.fake_adts_bytes(1, 44100, 2, 2)
+    with pytest.raises(ValueError, match="channel count changes"):
+        MM._adts_meta(a + b)
+
+
 def test_mp3_audio_containing_tag_at_trailer_offset_still_parses():
     # the trailer strip is a RETRY after the plain walk fails, so a
     # valid file whose audio bytes spell 'TAG' at offset len-128 is
