@@ -212,6 +212,16 @@ def main() -> None:
         "  sampled branch runs (~1/8 of a counting pass).",
         "- `doc_unicode_clean` (~0.4 s): sub-second and constant-",
         "  dominated; the r10 double-normalization was already removed.",
+        "",
+        "Streaming-replay cost breakdown (r12 measurement, for future",
+        "rounds eyeing the old-basis line): an A/B of the three largest",
+        "replays (mart_refresh, substring_dedup, user_session_stats)",
+        "with checkpoint/store scratch on ext4 /tmp vs tmpfs /dev/shm",
+        "read 15.9 s vs 16.6 s warm — fsync/disk is NOT the cost (the",
+        "page cache absorbs the writes); the time is per-run stream",
+        "start/commit machinery, i.e. the exactly-once verification",
+        "harness itself. Cutting it means cutting replay runs, which",
+        "are the semantics being verified — not worth the basis points.",
     ]
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
