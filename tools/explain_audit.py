@@ -289,10 +289,14 @@ AUDITED = {
         "forbid_pattern": r"CartesianProduct|BroadcastNestedLoopJoin",
     },
     "doc_substring_dedup_ingest": {
-        # within-batch window pass + store equi-join on hv; islands at
-        # doc grain; never a cross product, never a Python stage
+        # fused one-scan form (r12): the store half and the batch half
+        # share ONE parquet scan + tokenize/hash pass into the hv
+        # shuffle — a regression to the two-frame split shows as a
+        # second distinct scan node; islands at doc grain; never a
+        # cross product, never a Python stage
         "expect": ["Window", "HashAggregate"],
         "forbid_pattern": r"CartesianProduct|BatchEvalPython|ArrowEvalPython",
+        "max_count": {r"^\(\d+\) Scan parquet": 1},
     },
     "doc_segment_dedup": {
         # r09 rewrite: the keep-first exchange is keyed by the 8-byte
@@ -382,6 +386,17 @@ def main() -> None:
             )
             if hit:
                 failures.append(f"{name}: forbidden {hit.group(0)!r}")
+        for pat, cap in checks.get("max_count", {}).items():
+            # count DISTINCT plan nodes (multiline detail-section
+            # entries), not tree references — stage reuse legitimately
+            # renders one node at several tree positions
+            got = len(re.findall(pat, plan, re.M))
+            ok = got <= cap
+            status.append(
+                f"{'OK ' if ok else 'FAIL'} max_count /{pat}/ <= {cap} (got {got})"
+            )
+            if not ok:
+                failures.append(f"{name}: {got} matches of /{pat}/ (cap {cap})")
         summary = "\n".join(f"- {s}" for s in status)
         sections.append(
             f"## {name}\n\n{summary}\n\n```\n{plan.strip()}\n```\n"
