@@ -167,3 +167,95 @@ def test_gif_lzw_roundtrip_through_width_growth():
     gw, gh, ch, data = _gif_decode_pixels(gif)
     expect = b"".join(bytes(palette[i]) for i in indices)
     assert bytes(data) == expect
+
+
+# ---------------------------------------------------------------------------
+# Hostile-input containment (mirrors tests/test_av_properties.py for the
+# AV tier): a mutated or random blob fed to any image decoder must either
+# return normally or raise ONLY from the exception set the Spark wrappers
+# catch (multimodal._DECODE_ERRS / extract_image_meta) — anything else
+# (TypeError, ZeroDivisionError, RecursionError, MemoryError, ...) would
+# escape the per-row try and kill a Spark task instead of degrading to a
+# decode_ok=false / resize_ok=false row.
+# ---------------------------------------------------------------------------
+
+from datafoundation_multi_source_retail_data_integration_hub_spark.operators import (
+    jpeg as J,
+)
+from datafoundation_multi_source_retail_data_integration_hub_spark.operators.multimodal import (
+    decode_image_meta,
+)
+
+from .test_multimodal_realformats import tiny_gif, tiny_jpeg, tiny_png
+
+_IMG_CAUGHT = (
+    NotImplementedError,
+    ValueError,
+    KeyError,
+    IndexError,
+    struct.error,
+    zlib.error,
+    OSError,
+)
+
+
+def _jpg_base(mid):
+    px = bytes((mid * 7 + i) % 256 for i in range(24 * 16 * 3))
+    return J.encode_baseline(24, 16, px, 3)
+
+
+def _jpg_prog(mid):
+    px = bytes((mid * 11 + i) % 256 for i in range(24 * 16 * 3))
+    return J.encode_progressive(24, 16, px, 3, successive=True)
+
+
+_IMG_BUILDERS = [
+    lambda m: tiny_png(5, 4),
+    lambda m: tiny_jpeg(6, 4),
+    lambda m: tiny_gif(7, 5),
+    _jpg_base,
+    _jpg_prog,
+    lambda m: _png_encode(6, 5, 3, bytes((m + i) % 256 for i in range(6 * 5 * 3))),
+]
+
+_IMG_PARSERS = (
+    decode_image_meta,
+    _png_decode_pixels,
+    _gif_decode_pixels,
+    J.decode_baseline,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data())
+def test_mutated_images_are_contained(data):
+    build = _IMG_BUILDERS[data.draw(st.integers(0, len(_IMG_BUILDERS) - 1))]
+    p = bytearray(build(data.draw(st.integers(0, 1000))))
+    for _ in range(data.draw(st.integers(1, 6))):
+        kind = data.draw(st.integers(0, 2))
+        if kind == 0 and p:
+            p[data.draw(st.integers(0, len(p) - 1))] = data.draw(st.integers(0, 255))
+        elif kind == 1:
+            p = p[: data.draw(st.integers(0, len(p)))]
+        else:
+            i = data.draw(st.integers(0, len(p)))
+            blob = bytes(data.draw(st.lists(st.integers(0, 255), max_size=16)))
+            p = p[:i] + bytearray(blob) + p[i:]
+    blob = bytes(p)
+    for parse in _IMG_PARSERS:
+        try:
+            out = parse(blob)
+            assert isinstance(out, tuple)
+        except _IMG_CAUGHT:
+            pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=512))
+def test_random_image_blobs_are_contained(blob):
+    for parse in _IMG_PARSERS:
+        try:
+            out = parse(blob)
+            assert isinstance(out, tuple)
+        except _IMG_CAUGHT:
+            pass
