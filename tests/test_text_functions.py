@@ -46,3 +46,31 @@ def test_grams_null_array_yields_null(spark):
     df = spark.createDataFrame([(None,)], "toks array<string>")
     (row,) = df.select(grams_from_tokens(F.col("toks"), 2).alias("g")).collect()
     assert row.g is None
+
+
+def test_grams_match_pure_python_reference_over_random_arrays(spark):
+    """One batched Spark pass over ~200 seeded random token arrays
+    (lengths 0..9, n = 1..5, including arrays shorter than the window)
+    against the obvious pure-Python sliding-window reference."""
+    import random
+
+    rng = random.Random(42)
+    vocab = ["a", "bb", "ccc", "d", "ee"]
+    cases = [
+        [rng.choice(vocab) for _ in range(rng.randrange(10))] for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, toks) for i, toks in enumerate(cases)], "i long, toks array<string>"
+    )
+    for n in range(1, 6):
+        got = {
+            r["i"]: r["g"]
+            for r in df.select(
+                "i", grams_from_tokens(F.col("toks"), n).alias("g")
+            ).collect()
+        }
+        for i, toks in enumerate(cases):
+            expect = [
+                " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+            ]
+            assert got[i] == expect, (n, toks)
