@@ -5,15 +5,19 @@ Closes the Pillow dependence in the multimodal pixel tier (VERDICT r09
 directive 7; progressive added r11 — ~10% of real web corpora): baseline
 and progressive DCT / Huffman JPEGs now decode to raw 8-bit pixels with
 stdlib only, so ``resize_media`` yields real thumbnails in a codec-less
-environment. Supported: SOF0 (baseline sequential) and SOF2
+environment. Supported: SOF0 (baseline sequential), SOF1 (extended
+sequential, 8- and 12-bit — 12-bit samples level-shift by 2048, decode
+exactly, and scale to the module's 8-bit pixel contract; 16-bit Pq=1
+quantization tables; the §F.1.2.1.1 DC category-16 corner), and SOF2
 (progressive: spectral selection + successive approximation, DC and AC
-first/refinement scans, per T.81 Annex G), 8-bit samples, grayscale and
+first/refinement scans, per T.81 Annex G, 8-bit), grayscale and
 3-component YCbCr at 4:4:4 / 4:2:2 / 4:2:0 (any sampling factors ≤ 2
 compose through the generic per-component upsampler), restart markers
-in both modes. Arithmetic coding, hierarchical/lossless frames, and
-12-bit precision raise ``ValueError``/``NotImplementedError`` — callers
-fall back to Pillow or surface ``resize_ok=false`` data rows, never
-task failures.
+in all modes. Arithmetic coding (SOF9+; no verifiable Table D.3 state
+machine available in this environment — see COVERAGE.md's declared
+boundary), hierarchical/lossless frames, and 12-bit PROGRESSIVE frames
+raise ``ValueError``/``NotImplementedError`` — callers fall back to
+Pillow or surface ``resize_ok=false`` data rows, never task failures.
 
 Interpreted per-pixel loops are ~100x slower than a C codec; like the
 PNG/GIF paths, this is the deterministic fallback/oracle tier — bulk
@@ -136,9 +140,16 @@ def _extend(v: int, n: int) -> int:
     return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
 
 
-def _idct_2d(coef: list[int]) -> list[int]:
-    """8x8 inverse DCT -> level-shifted, clamped 8-bit samples."""
+def _idct_2d(coef: list[int], prec: int = 8) -> list[int]:
+    """8x8 inverse DCT -> level-shifted, clamped samples scaled to
+    8 bits. ``prec`` is the frame's sample precision: 12-bit frames
+    level-shift by 2048, clamp to 0..4095, and return the samples
+    scaled down 4 bits (the module's pixel contract is 8-bit; the
+    decode is exact internally, only the final presentation scales)."""
     # rows then columns, separable; floats are IEEE-deterministic
+    mid = 1 << (prec - 1)
+    maxv = (1 << prec) - 1
+    down = prec - 8
     tmp = [0.0] * 64
     for y in range(8):
         row = coef[y * 8 : y * 8 + 8]
@@ -160,8 +171,9 @@ def _idct_2d(coef: list[int]) -> list[int]:
             for v in range(8):
                 if col[v]:
                     s += col[v] * _COS[v][y]
-            p = int(round(s)) + 128
-            out[y * 8 + x] = 0 if p < 0 else (255 if p > 255 else p)
+            p = int(round(s)) + mid
+            p = 0 if p < 0 else (maxv if p > maxv else p)
+            out[y * 8 + x] = p >> down if down else p
     return out
 
 
@@ -169,13 +181,20 @@ def _parse_dqt(seg: bytes, qt: dict[int, list[int]]) -> None:
     j = 0
     while j < len(seg):
         pq, tq = seg[j] >> 4, seg[j] & 0x0F
-        if pq != 0:
-            raise NotImplementedError("16-bit quantization tables")
         tbl = [0] * 64
-        for k in range(64):
-            tbl[ZIGZAG[k]] = seg[j + 1 + k]
+        if pq == 0:
+            for k in range(64):
+                tbl[ZIGZAG[k]] = seg[j + 1 + k]
+            j += 65
+        elif pq == 1:  # 16-bit entries (12-bit frames may use either)
+            if j + 129 > len(seg):
+                raise ValueError("malformed JPEG: truncated 16-bit DQT")
+            for k in range(64):
+                tbl[ZIGZAG[k]] = (seg[j + 1 + 2 * k] << 8) | seg[j + 2 + 2 * k]
+            j += 129
+        else:
+            raise ValueError(f"malformed JPEG: DQT precision field {pq}")
         qt[tq] = tbl
-        j += 65
 
 
 def _parse_dht(seg: bytes, huff_dc: dict[int, dict], huff_ac: dict[int, dict]) -> None:
@@ -203,6 +222,7 @@ def decode_baseline(p: bytes) -> tuple[int, int, int, bytearray]:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (w, h, comps) ; comps = [(cid, hs, vs, tq)]
+    precision = 8
     progressive = False
     restart_interval = 0
     i = 2
@@ -225,19 +245,29 @@ def decode_baseline(p: bytes) -> tuple[int, int, int, bytearray]:
             _parse_dqt(seg, qt)
         elif marker == 0xC4:  # DHT
             _parse_dht(seg, huff_dc, huff_ac)
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2 progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
-                raise NotImplementedError("non-8-bit JPEG precision")
+            if prec == 12:
+                if marker == 0xC0:
+                    # T.81 B.2.2: baseline frames are 8-bit by definition
+                    raise ValueError("malformed JPEG: 12-bit baseline frame")
+                if marker == 0xC2:
+                    # the progressive scan procedures are not plumbed for
+                    # the 12-bit DC category-16 corner — Pillow fallback
+                    raise NotImplementedError("12-bit progressive JPEG")
+            elif prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG precision")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (fw, fh, comps)
+            precision = prec
             progressive = marker == 0xC2
-        elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+        elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             raise NotImplementedError(
-                f"JPEG frame type 0x{marker:02x} (only SOF0/SOF2)"
+                f"JPEG frame type 0x{marker:02x} (only SOF0/SOF1/SOF2)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -271,7 +301,8 @@ def decode_baseline(p: bytes) -> tuple[int, int, int, bytearray]:
                     raise ValueError("malformed JPEG: scan names unknown component")
                 scan.append((idx, tt >> 4, tt & 0x0F))
             return _decode_scan(
-                p, i + 2 + seglen, frame, scan, qt, huff_dc, huff_ac, restart_interval
+                p, i + 2 + seglen, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval, precision,
             )
         i += 2 + seglen
     raise ValueError("malformed JPEG: no scan data")
@@ -286,6 +317,7 @@ def _decode_scan(
     huff_dc,
     huff_ac,
     restart_interval: int,
+    prec: int = 8,
 ) -> tuple[int, int, int, bytearray]:
     fw, fh, comps = frame
     if fw == 0 or fh == 0:
@@ -339,7 +371,13 @@ def _decode_scan(
                     for bx in range(hs):
                         coef = [0] * 64
                         t = _huff_decode(br, dc_tbl)
-                        diff = _extend(br.receive(t), t)
+                        if t == 16 and prec == 12:
+                            # §F.1.2.1.1: in 12-bit frames DC category 16
+                            # codes the difference 32768 with NO appended
+                            # magnitude bits
+                            diff = 32768
+                        else:
+                            diff = _extend(br.receive(t), t)
                         pred[ci] += diff
                         coef[0] = pred[ci] * quant[0]
                         k = 1
@@ -361,7 +399,7 @@ def _decode_scan(
                                 _extend(br.receive(s), s) * quant[ZIGZAG[k]]
                             )
                             k += 1
-                        block = _idct_2d(coef)
+                        block = _idct_2d(coef, prec)
                         # paste into the component plane
                         pw = mcus_x * hs * 8
                         ox = (mx * hs + bx) * 8
@@ -787,6 +825,20 @@ _K5_AC_SYMBOLS = bytes((
     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ))
 
+# 12-bit encoder tables (Annex K has no 12-bit pair, so these are
+# generated canonical codes, valid for anything the encoder can emit):
+# DC difference categories reach 16 in 12-bit frames (§F.1.2.1.1) —
+# 15 symbols at length 5 plus 2 at length 6 (codes 30/31, the length-6
+# all-ones code 63 stays unused per §C.2); AC RRRRSSSS pairs span
+# r 0..15 x s 1..14 plus EOB/ZRL = 226 symbols, all at length 8
+# (codes 0..225 — the all-ones code 255 stays unused).
+_EXT_DC_COUNTS = bytes((0, 0, 0, 0, 15, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+_EXT_DC_SYMBOLS = bytes(range(17))
+_EXT_AC_SYMBOLS = bytes(
+    sorted({0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 15)})
+)
+_EXT_AC_COUNTS = bytes((0, 0, 0, 0, 0, 0, 0, len(_EXT_AC_SYMBOLS), 0, 0, 0, 0, 0, 0, 0, 0))
+
 
 def _encode_codes(counts: bytes, symbols: bytes) -> dict[int, tuple[int, int]]:
     table = _build_huffman(counts, symbols)
@@ -815,9 +867,9 @@ class _BitWriter:
             self.write(1, 1)  # pad with 1-bits per the spec
 
 
-def _fdct_2d(block: list[int]) -> list[int]:
+def _fdct_2d(block: list[int], mid: int = 128) -> list[int]:
     """Forward 8x8 DCT of level-shifted samples, rounded to ints."""
-    shifted = [s - 128 for s in block]
+    shifted = [s - mid for s in block]
     tmp = [0.0] * 64
     for u in range(8):
         for y in range(8):
@@ -850,7 +902,7 @@ def _encode_block(bw: _BitWriter, coef: list[int], pred: int, dc_codes, ac_codes
     n, bits = _magnitude(diff)
     length, code = dc_codes[n]
     bw.write(code, length)
-    if n:
+    if n and n != 16:  # 12-bit DC category 16 carries no magnitude bits
         bw.write(bits, n)
     zz = [coef[ZIGZAG[k]] for k in range(64)]
     run = 0
@@ -891,17 +943,30 @@ def _prep_planes(
     channels: int,
     sampling: tuple[int, int],
     quant: list[int] | None,
+    precision: int = 8,
 ):
     """Shared encoder front end: validate, convert RGB->YCbCr, apply
-    chroma subsampling. Returns (comps, planes, pdims, quant)."""
+    chroma subsampling. Returns (comps, planes, pdims, quant).
+
+    ``precision=12``: grayscale only (the RGB->YCbCr constants here are
+    8-bit-centric), samples 0..4095 in any int sequence, quant entries
+    up to 65535 (emitted as a 16-bit DQT)."""
     if len(pixels) != w * h * channels:
         raise ValueError("pixel buffer does not match dimensions")
     if channels not in (1, 3):
         raise ValueError("encoder supports 1 (gray) or 3 (RGB) channels")
+    if precision == 12:
+        if channels != 1:
+            raise ValueError("12-bit encoding supports grayscale only")
+        if any(not 0 <= v <= 4095 for v in pixels):
+            raise ValueError("12-bit samples must be in 0..4095")
+    elif precision != 8:
+        raise ValueError("precision must be 8 or 12")
+    qmax = 65535 if precision == 12 else 255
     if quant is None:
         quant = [1] * 64
-    if len(quant) != 64 or any(not 1 <= q <= 255 for q in quant):
-        raise ValueError("quant must be 64 entries in 1..255")
+    if len(quant) != 64 or any(not 1 <= q <= qmax for q in quant):
+        raise ValueError(f"quant must be 64 entries in 1..{qmax}")
     hs, vs = sampling
     if channels == 1:
         comps = [(1, (1, 1))]
@@ -949,6 +1014,7 @@ def encode_baseline(
     sampling: tuple[int, int] = (1, 1),
     restart_interval: int = 0,
     quant: list[int] | None = None,
+    precision: int = 8,
 ) -> bytes:
     """Encode 8-bit pixels (grayscale or interleaved RGB) as a real
     baseline-sequential JPEG: unity quant table by default (near-
@@ -959,12 +1025,24 @@ def encode_baseline(
     order table (values 1..255) — a non-flat table exercises the
     decoder's zigzag<->natural dequantization pairing, which an all-1s
     table cannot distinguish. Test-fixture tier: correctness over
-    speed."""
+    speed.
+
+    ``precision=12`` emits an EXTENDED SEQUENTIAL (SOF1) grayscale
+    frame: samples 0..4095 (any int sequence), level shift 2048, a
+    16-bit (Pq=1) DQT, and the generated 12-bit Huffman pair (DC
+    categories to 16, AC sizes to 14)."""
     comps, planes, pdims, quant = _prep_planes(
-        w, h, pixels, channels, sampling, quant
+        w, h, pixels, channels, sampling, quant, precision
     )
-    dc_codes = _encode_codes(_K3_DC_COUNTS, _K3_DC_SYMBOLS)
-    ac_codes = _encode_codes(_K5_AC_COUNTS, _K5_AC_SYMBOLS)
+    if precision == 12:
+        dc_counts, dc_symbols = _EXT_DC_COUNTS, _EXT_DC_SYMBOLS
+        ac_counts, ac_symbols = _EXT_AC_COUNTS, _EXT_AC_SYMBOLS
+    else:
+        dc_counts, dc_symbols = _K3_DC_COUNTS, _K3_DC_SYMBOLS
+        ac_counts, ac_symbols = _K5_AC_COUNTS, _K5_AC_SYMBOLS
+    mid = 1 << (precision - 1)
+    dc_codes = _encode_codes(dc_counts, dc_symbols)
+    ac_codes = _encode_codes(ac_counts, ac_symbols)
     hmax = max(c[1][0] for c in comps)
     vmax = max(c[1][1] for c in comps)
     mcus_x = -(-w // (8 * hmax))
@@ -988,7 +1066,7 @@ def encode_baseline(
                             planes[ci], pw, ph,
                             (mx * chs + bx) * 8, (my * cvs + by) * 8,
                         )
-                        f = _fdct_2d(block)
+                        f = _fdct_2d(block, mid)
                         qcoef = [
                             int(round(f[i] / quant[i])) for i in range(64)
                         ]
@@ -1002,15 +1080,25 @@ def encode_baseline(
         return bytes((0xFF, marker)) + struct.pack(">H", 2 + len(payload)) + payload
 
     # DQT payload is in ZIGZAG scan order; quant is natural-order
-    dqt = seg(0xDB, bytes((0x00,)) + bytes(quant[ZIGZAG[k]] for k in range(64)))
+    if precision == 12:  # 16-bit table (Pq=1), always, to exercise it
+        dqt = seg(
+            0xDB,
+            bytes((0x10,))
+            + b"".join(struct.pack(">H", quant[ZIGZAG[k]]) for k in range(64)),
+        )
+    else:
+        dqt = seg(0xDB, bytes((0x00,)) + bytes(quant[ZIGZAG[k]] for k in range(64)))
     sof_comps = b"".join(
         bytes((cid, (chs << 4) | cvs, 0)) for cid, (chs, cvs) in comps
     )
-    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, len(comps)) + sof_comps)
+    sof_marker = 0xC1 if precision == 12 else 0xC0
+    sof = seg(
+        sof_marker, struct.pack(">BHHB", precision, h, w, len(comps)) + sof_comps
+    )
     dht = seg(
         0xC4,
-        bytes((0x00,)) + _K3_DC_COUNTS + _K3_DC_SYMBOLS
-        + bytes((0x10,)) + _K5_AC_COUNTS + _K5_AC_SYMBOLS,
+        bytes((0x00,)) + dc_counts + dc_symbols
+        + bytes((0x10,)) + ac_counts + ac_symbols,
     )
     dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     sos_comps = b"".join(bytes((cid, 0x00)) for cid, _ in comps)

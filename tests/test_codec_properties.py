@@ -209,12 +209,18 @@ def _jpg_prog(mid):
     return J.encode_progressive(24, 16, px, 3, successive=True)
 
 
+def _jpg_12bit(mid):
+    px = [(mid * 31 + i * 151) % 4096 for i in range(24 * 16)]
+    return J.encode_baseline(24, 16, px, 1, precision=12)
+
+
 _IMG_BUILDERS = [
     lambda m: tiny_png(5, 4),
     lambda m: tiny_jpeg(6, 4),
     lambda m: tiny_gif(7, 5),
     _jpg_base,
     _jpg_prog,
+    _jpg_12bit,
     lambda m: _png_encode(6, 5, 3, bytes((m + i) % 256 for i in range(6 * 5 * 3))),
 ]
 

@@ -313,3 +313,120 @@ def test_progressive_jpeg_through_resize_media_no_pillow(spark):
     assert row["resize_ok"] is True
     assert (row["src_width"], row["src_height"]) == (24, 12)
     assert (row["width"], row["height"]) == (6, 3)
+
+
+# ---------------------------------------------------------------------------
+# 12-bit extended sequential (SOF1) — r12: samples level-shift by 2048,
+# decode exactly, and scale to the module's 8-bit pixel contract; the
+# encoder emits a 16-bit (Pq=1) DQT and the generated 12-bit Huffman
+# pair (DC categories to 16, AC sizes to 14).
+# ---------------------------------------------------------------------------
+
+
+def _gray12(w: int, h: int) -> list[int]:
+    return [(x * 151 + y * 89) % 4096 for y in range(h) for x in range(w)]
+
+
+def test_12bit_gray_roundtrip_near_lossless():
+    w, h = 24, 17
+    pix = _gray12(w, h)
+    p = J.encode_baseline(w, h, pix, 1, precision=12)
+    assert b"\xff\xc1" in p  # SOF1, not SOF0
+    gw, gh, ch, out = J.decode_baseline(p)
+    assert (gw, gh, ch) == (w, h, 1)
+    # internal error <= 2 twelve-bit steps -> <= 1 after the >>4 scale
+    assert max(abs((v >> 4) - o) for v, o in zip(pix, out)) <= 1
+
+
+def test_12bit_16bit_quant_table_roundtrip():
+    w, h = 16, 16
+    pix = _gray12(w, h)
+    quant = [300 + (i * 7) % 900 for i in range(64)]  # forces Pq=1 values
+    p = J.encode_baseline(w, h, pix, 1, precision=12, quant=quant)
+    _, _, _, out = J.decode_baseline(p)
+    # per-coefficient error <= q/2 in 12-bit units; loose envelope after >>4
+    assert max(abs((v >> 4) - o) for v, o in zip(pix, out)) <= 1199 // 2 // 16 + 2
+
+
+def test_12bit_dc_category_16_corner():
+    """§F.1.2.1.1: DC difference category 16 codes 32768 with NO
+    appended magnitude bits. Hand-built two-block stream: block 1 holds
+    DC -16384 (category 15), block 2 jumps by exactly +32768 via a
+    category-16 code — left half decodes to 0, right half to 255."""
+    dc_codes = J._encode_codes(J._EXT_DC_COUNTS, J._EXT_DC_SYMBOLS)
+    ac_codes = J._encode_codes(J._EXT_AC_COUNTS, J._EXT_AC_SYMBOLS)
+    bw = J._BitWriter()
+    # block 1: DC cat 15, value -16384 -> bits = v + (1<<15) - 1
+    length, code = dc_codes[15]
+    bw.write(code, length)
+    bw.write(-16384 + (1 << 15) - 1, 15)
+    length, code = ac_codes[0x00]  # EOB
+    bw.write(code, length)
+    # block 2: DC cat 16 (no magnitude bits), then EOB
+    length, code = dc_codes[16]
+    bw.write(code, length)
+    length, code = ac_codes[0x00]
+    bw.write(code, length)
+    bw.flush()
+
+    def seg(marker, payload):
+        return bytes((0xFF, marker)) + struct.pack(">H", 2 + len(payload)) + payload
+
+    dqt = seg(0xDB, bytes((0x10,)) + struct.pack(">H", 1) * 64)
+    sof = seg(0xC1, struct.pack(">BHHB", 12, 8, 16, 1) + bytes((1, 0x11, 0)))
+    dht = seg(
+        0xC4,
+        bytes((0x00,)) + J._EXT_DC_COUNTS + J._EXT_DC_SYMBOLS
+        + bytes((0x10,)) + J._EXT_AC_COUNTS + J._EXT_AC_SYMBOLS,
+    )
+    sos = seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+    p = b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
+    gw, gh, ch, out = J.decode_baseline(p)
+    assert (gw, gh, ch) == (16, 8, 1)
+    left = [out[y * 16 + x] for y in range(8) for x in range(8)]
+    right = [out[y * 16 + 8 + x] for y in range(8) for x in range(8)]
+    assert set(left) == {0} and set(right) == {255}
+
+
+def test_12bit_baseline_sof0_is_malformed():
+    p = bytearray(J.encode_baseline(16, 8, _gray12(16, 8), 1, precision=12))
+    i = p.index(b"\xff\xc1")
+    p[i + 1] = 0xC0  # relabel the frame baseline: 12-bit SOF0 is illegal
+    with pytest.raises(ValueError, match="12-bit baseline"):
+        J.decode_baseline(bytes(p))
+
+
+def test_12bit_progressive_stays_a_boundary():
+    p = bytearray(J.encode_baseline(16, 8, _gray12(16, 8), 1, precision=12))
+    i = p.index(b"\xff\xc1")
+    p[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="12-bit progressive"):
+        J.decode_baseline(bytes(p))
+
+
+def test_12bit_encoder_guards():
+    with pytest.raises(ValueError, match="grayscale only"):
+        J.encode_baseline(8, 8, [0] * 192, 3, precision=12)
+    with pytest.raises(ValueError, match="0..4095"):
+        J.encode_baseline(8, 8, [5000] * 64, 1, precision=12)
+
+
+def test_8bit_sof1_decodes_like_sof0():
+    """SOF1 at 8-bit precision is the same sequential procedure —
+    relabeling a baseline stream's frame marker must not change one
+    output byte."""
+    pix = _gray(24, 16)
+    p = bytearray(J.encode_baseline(24, 16, pix))
+    i = p.index(b"\xff\xc0")
+    base = J.decode_baseline(bytes(p))
+    p[i + 1] = 0xC1
+    assert J.decode_baseline(bytes(p)) == base
+
+
+def test_12bit_through_resize_media(spark):
+    """Done-criterion parity with the 8-bit paths: a 12-bit SOF1 JPEG
+    flows through resize_media with resize_ok=true and no Pillow."""
+    blob = J.encode_baseline(32, 24, _gray12(32, 24), 1, precision=12)
+    df = spark.createDataFrame([(1, blob)], "media_id long, content binary")
+    (row,) = MM.resize_media(df, 16).collect()
+    assert row["resize_ok"] and row["width"] == 16
