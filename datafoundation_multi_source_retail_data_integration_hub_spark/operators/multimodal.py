@@ -55,6 +55,30 @@ except ImportError:  # pragma: no cover - environment-dependent
     _PILImage = None
     _PIL_BOMB = ()
 
+# Per-row decode containment contracts, MODULE-level so the hostile-
+# input property tests import the exact production tuples instead of
+# hand-copying them (a drifted copy would keep passing while real
+# payloads raised uncaught and killed tasks):
+# - image tier (decode_image_meta / resize paths)
+MEDIA_DECODE_ERRS: tuple = (
+    NotImplementedError,
+    ValueError,
+    KeyError,
+    IndexError,
+    struct.error,
+    zlib.error,
+    OSError,  # Pillow fallback on truncated real bytes
+    *_PIL_BOMB,  # DecompressionBombError is not OSError
+)
+# - AV metadata tier (extract_av_meta)
+AV_META_CAUGHT: tuple = (
+    ValueError,
+    struct.error,
+    IndexError,
+    OverflowError,  # hostile float fields (inf * scale)
+    NotImplementedError,  # recognized container, codec out of scope
+)
+
 # fake header: magic 'FIMG' + u16 width + u16 height + u8 channels
 _FAKE_MAGIC = b"FIMG"
 _HEADER = ">4sHHB"
@@ -535,16 +559,7 @@ def extract_image_meta(
             for payload in pdf[binary_col]:
                 try:
                     dims.append(decode_image_meta(bytes(payload)) + (True,))
-                except (
-                    NotImplementedError,
-                    ValueError,
-                    KeyError,
-                    struct.error,
-                    IndexError,
-                    zlib.error,
-                    OSError,  # Pillow fallback on truncated real bytes
-                    *_PIL_BOMB,  # DecompressionBombError is not OSError
-                ):
+                except MEDIA_DECODE_ERRS:
                     dims.append((None, None, None, False))
             out["width"] = pd.array([d[0] for d in dims], dtype="Int32")
             out["height"] = pd.array([d[1] for d in dims], dtype="Int32")
@@ -677,16 +692,7 @@ def resize_media(df: DataFrame, max_side: int, backend: str = "native") -> DataF
     # deflate body, OSError (incl. PIL.UnidentifiedImageError) from the
     # Pillow fallback on truncated entropy data, NotImplementedError
     # from a container with no pixel backend
-    _DECODE_ERRS = (
-        NotImplementedError,
-        ValueError,
-        KeyError,
-        IndexError,
-        struct.error,
-        zlib.error,
-        OSError,
-        *_PIL_BOMB,  # DecompressionBombError is not an OSError
-    )
+    _DECODE_ERRS = MEDIA_DECODE_ERRS
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1481,13 +1487,7 @@ def extract_av_meta(
                                     "AV metadata field outside int32"
                                 )
                         ok = True
-                except (
-                    ValueError,
-                    struct.error,
-                    IndexError,
-                    OverflowError,  # hostile float fields (inf * scale)
-                    NotImplementedError,  # recognized container, codec out of scope
-                ):
+                except AV_META_CAUGHT:
                     dur = sr = ch = w = h = None
                 rows.append((mid, len(p), container, dur, sr, ch, w, h, ok))
             yield pd.DataFrame(

@@ -25,12 +25,15 @@ from datafoundation_multi_source_retail_data_integration_hub_spark.operators imp
     multimodal as MM,
 )
 
+from ._fuzz import mutate
+
 _ADTS_VALID_RATES = tuple(r for r in MM._ADTS_RATES if r is not None)
 _MP3_RATES = tuple(MM._MP3_RATE_IDX)
 _MP3_BITRATES = tuple(k * 1000 for k in MM._MP3_BITRATE_IDX)
 
-# the extract_av_meta per-row catch list — the containment contract
-_CAUGHT = (ValueError, struct.error, IndexError, OverflowError, NotImplementedError)
+# extract_av_meta's per-row catch list — imported, not copied, so the
+# test contract cannot drift from production
+_CAUGHT = MM.AV_META_CAUGHT
 
 
 @settings(max_examples=60, deadline=None)
@@ -136,20 +139,7 @@ def test_mutated_containers_are_contained(data):
     """Byte-level mutations of valid containers (flips, truncations,
     random splices) fed to EVERY parser stay inside the catch list."""
     build = data.draw(_builders())
-    p = bytearray(build(data.draw(st.integers(0, 1000))))
-    n_mut = data.draw(st.integers(1, 6))
-    for _ in range(n_mut):
-        kind = data.draw(st.integers(0, 2))
-        if kind == 0 and p:  # flip a byte
-            i = data.draw(st.integers(0, len(p) - 1))
-            p[i] = data.draw(st.integers(0, 255))
-        elif kind == 1:  # truncate
-            p = p[: data.draw(st.integers(0, len(p)))]
-        else:  # splice random bytes at a random point
-            i = data.draw(st.integers(0, len(p)))
-            blob = bytes(data.draw(st.lists(st.integers(0, 255), max_size=16)))
-            p = p[:i] + bytearray(blob) + p[i:]
-    blob = bytes(p)
+    blob = mutate(data, bytearray(build(data.draw(st.integers(0, 1000)))))
     for parse in _PARSERS:
         try:
             out = parse(blob)

@@ -183,20 +183,16 @@ from datafoundation_multi_source_retail_data_integration_hub_spark.operators imp
     jpeg as J,
 )
 from datafoundation_multi_source_retail_data_integration_hub_spark.operators.multimodal import (
+    MEDIA_DECODE_ERRS,
     decode_image_meta,
 )
 
+from ._fuzz import mutate
 from .test_multimodal_realformats import tiny_gif, tiny_jpeg, tiny_png
 
-_IMG_CAUGHT = (
-    NotImplementedError,
-    ValueError,
-    KeyError,
-    IndexError,
-    struct.error,
-    zlib.error,
-    OSError,
-)
+# the image tier's production catch list — imported, not copied, so the
+# test contract cannot drift from what the Spark wrappers actually catch
+_IMG_CAUGHT = MEDIA_DECODE_ERRS
 
 
 def _jpg_base(mid):
@@ -236,18 +232,7 @@ _IMG_PARSERS = (
 @given(st.data())
 def test_mutated_images_are_contained(data):
     build = _IMG_BUILDERS[data.draw(st.integers(0, len(_IMG_BUILDERS) - 1))]
-    p = bytearray(build(data.draw(st.integers(0, 1000))))
-    for _ in range(data.draw(st.integers(1, 6))):
-        kind = data.draw(st.integers(0, 2))
-        if kind == 0 and p:
-            p[data.draw(st.integers(0, len(p) - 1))] = data.draw(st.integers(0, 255))
-        elif kind == 1:
-            p = p[: data.draw(st.integers(0, len(p)))]
-        else:
-            i = data.draw(st.integers(0, len(p)))
-            blob = bytes(data.draw(st.lists(st.integers(0, 255), max_size=16)))
-            p = p[:i] + bytearray(blob) + p[i:]
-    blob = bytes(p)
+    blob = mutate(data, bytearray(build(data.draw(st.integers(0, 1000)))))
     for parse in _IMG_PARSERS:
         try:
             out = parse(blob)
