@@ -10,14 +10,14 @@ sequential, 8- and 12-bit — 12-bit samples level-shift by 2048, decode
 exactly, and scale to the module's 8-bit pixel contract; 16-bit Pq=1
 quantization tables; the §F.1.2.1.1 DC category-16 corner), and SOF2
 (progressive: spectral selection + successive approximation, DC and AC
-first/refinement scans, per T.81 Annex G, 8-bit), grayscale and
+first/refinement scans, per T.81 Annex G, 8- and 12-bit), grayscale and
 3-component YCbCr at 4:4:4 / 4:2:2 / 4:2:0 (any sampling factors ≤ 2
 compose through the generic per-component upsampler), restart markers
 in all modes. Arithmetic coding (SOF9+; no verifiable Table D.3 state
 machine available in this environment — see COVERAGE.md's declared
-boundary), hierarchical/lossless frames, and 12-bit PROGRESSIVE frames
-raise ``ValueError``/``NotImplementedError`` — callers fall back to
-Pillow or surface ``resize_ok=false`` data rows, never task failures.
+boundary) and hierarchical/lossless frames raise
+``ValueError``/``NotImplementedError`` — callers fall back to Pillow
+or surface ``resize_ok=false`` data rows, never task failures.
 
 Interpreted per-pixel loops are ~100x slower than a C codec; like the
 PNG/GIF paths, this is the deterministic fallback/oracle tier — bulk
@@ -252,10 +252,6 @@ def decode_baseline(p: bytes) -> tuple[int, int, int, bytearray]:
                 if marker == 0xC0:
                     # T.81 B.2.2: baseline frames are 8-bit by definition
                     raise ValueError("malformed JPEG: 12-bit baseline frame")
-                if marker == 0xC2:
-                    # the progressive scan procedures are not plumbed for
-                    # the 12-bit DC category-16 corner — Pillow fallback
-                    raise NotImplementedError("12-bit progressive JPEG")
             elif prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG precision")
             comps = []
@@ -278,7 +274,8 @@ def decode_baseline(p: bytes) -> tuple[int, int, int, bytearray]:
                 # the progressive loop owns the rest of the stream
                 # (multiple scans, tables redefined between them)
                 return _decode_progressive(
-                    p, i, frame, qt, huff_dc, huff_ac, restart_interval
+                    p, i, frame, qt, huff_dc, huff_ac, restart_interval,
+                    precision,
                 )
             ns = seg[0]
             if ns != len(frame[2]):
@@ -477,9 +474,15 @@ def _expect_rst(br: _BitReader) -> None:
         raise ValueError("malformed JPEG: missing restart marker")
 
 
-def _dc_first(br, dc_tbl, blk, pred: list[int], ci: int, al: int) -> None:
+def _dc_first(br, dc_tbl, blk, pred: list[int], ci: int, al: int, prec: int = 8) -> None:
     t = _huff_decode(br, dc_tbl)
-    pred[ci] += _extend(br.receive(t), t)
+    if t == 16 and prec == 12:
+        # §F.1.2.1.1: 12-bit DC category 16 codes the difference 32768
+        # with no appended magnitude bits (the point-transformed domain
+        # follows the same rule)
+        pred[ci] += 32768
+    else:
+        pred[ci] += _extend(br.receive(t), t)
     blk[0] = pred[ci] << al
 
 
@@ -581,6 +584,7 @@ def _progressive_scan(
     huff_dc,
     huff_ac,
     restart_interval: int,
+    prec: int = 8,
 ) -> int:
     """Decode one progressive scan's entropy data into the coefficient
     store; returns the stream position of the next marker."""
@@ -630,7 +634,7 @@ def _progressive_scan(
                                 (my * vs + by) * pwb + (mx * hs + bx)
                             ]
                             if ah == 0:
-                                _dc_first(br, huff_dc[tdc], blk, pred, ci, al)
+                                _dc_first(br, huff_dc[tdc], blk, pred, ci, al, prec)
                             else:
                                 _dc_refine(br, blk, al)
                 mcu += 1
@@ -660,7 +664,7 @@ def _progressive_scan(
                 blk = coefs[ci][by * pwb + bx]
                 if ss == 0:
                     if ah == 0:
-                        _dc_first(br, tbl, blk, pred, ci, al)
+                        _dc_first(br, tbl, blk, pred, ci, al, prec)
                     else:
                         _dc_refine(br, blk, al)
                 elif ah == 0:
@@ -682,6 +686,7 @@ def _decode_progressive(
     huff_dc,
     huff_ac,
     restart_interval: int,
+    prec: int = 8,
 ) -> tuple[int, int, int, bytearray]:
     """Decode a progressive JPEG from its first SOS marker: accumulate
     unquantized coefficients across scans, then dequantize + IDCT once.
@@ -763,6 +768,7 @@ def _decode_progressive(
                 huff_dc,
                 huff_ac,
                 restart_interval,
+                prec,
             )
             seen_scan = True
             continue
@@ -784,7 +790,7 @@ def _decode_progressive(
             for bx in range(pwb):
                 c = blocks[by * pwb + bx]
                 if any(c):
-                    block = _idct_2d([c[z] * quant[z] for z in range(64)])
+                    block = _idct_2d([c[z] * quant[z] for z in range(64)], prec)
                 else:
                     block = _GRAY_BLOCK  # all-zero block -> level shift
                 ox = bx * 8
@@ -1122,7 +1128,7 @@ def encode_baseline_gray(w: int, h: int, pixels: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def _quantized_blocks(comps, planes, pdims, quant, mcus_x, mcus_y):
+def _quantized_blocks(comps, planes, pdims, quant, mcus_x, mcus_y, mid=128):
     """Per component: padded-raster list of quantized coefficient
     blocks (natural order) — the shared input of every scan."""
     blocks = []
@@ -1131,7 +1137,7 @@ def _quantized_blocks(comps, planes, pdims, quant, mcus_x, mcus_y):
         bl = []
         for by in range(mcus_y * cvs):
             for bx in range(mcus_x * chs):
-                f = _fdct_2d(_plane_block(planes[ci], pw, ph, bx * 8, by * 8))
+                f = _fdct_2d(_plane_block(planes[ci], pw, ph, bx * 8, by * 8), mid)
                 bl.append([int(round(f[i] / quant[i])) for i in range(64)])
         blocks.append(bl)
     return blocks
@@ -1213,8 +1219,13 @@ def encode_progressive(
     quant: list[int] | None = None,
     successive: bool = False,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Encode 8-bit pixels as a progressive (SOF2) JPEG.
+
+    ``precision=12``: grayscale 12-bit samples (see ``encode_baseline``)
+    emitted as a 12-bit SOF2 frame with a 16-bit DQT and the generated
+    12-bit Huffman pair.
 
     ``successive=False``: spectral selection only — one interleaved DC
     scan, then one full-band AC scan per component. ``successive=True``
@@ -1225,15 +1236,23 @@ def encode_progressive(
     quantized coefficients as ``encode_baseline``, so the decoded
     pixels are byte-identical to the baseline stream's."""
     comps, planes, pdims, quant = _prep_planes(
-        w, h, pixels, channels, sampling, quant
+        w, h, pixels, channels, sampling, quant, precision
     )
-    dc_codes = _encode_codes(_K3_DC_COUNTS, _K3_DC_SYMBOLS)
-    ac_codes = _encode_codes(_K5_AC_COUNTS, _K5_AC_SYMBOLS)
+    if precision == 12:
+        dc_counts, dc_symbols = _EXT_DC_COUNTS, _EXT_DC_SYMBOLS
+        ac_counts, ac_symbols = _EXT_AC_COUNTS, _EXT_AC_SYMBOLS
+    else:
+        dc_counts, dc_symbols = _K3_DC_COUNTS, _K3_DC_SYMBOLS
+        ac_counts, ac_symbols = _K5_AC_COUNTS, _K5_AC_SYMBOLS
+    dc_codes = _encode_codes(dc_counts, dc_symbols)
+    ac_codes = _encode_codes(ac_counts, ac_symbols)
     hmax = max(c[1][0] for c in comps)
     vmax = max(c[1][1] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    blocks = _quantized_blocks(comps, planes, pdims, quant, mcus_x, mcus_y)
+    blocks = _quantized_blocks(
+        comps, planes, pdims, quant, mcus_x, mcus_y, 1 << (precision - 1)
+    )
     grids = []  # (padded_width_blocks, own_w_blocks, own_h_blocks)
     for ci, (_, (chs, cvs)) in enumerate(comps):
         pw, ph = pdims[ci]
@@ -1322,15 +1341,22 @@ def encode_progressive(
             scans.append(([cid], 1, 5, 1, 0, ac_scan(ci, 1, 5, 0, True)))
             scans.append(([cid], 6, 63, 1, 0, ac_scan(ci, 6, 63, 0, True)))
 
-    dqt = seg(0xDB, bytes((0x00,)) + bytes(quant[ZIGZAG[k]] for k in range(64)))
+    if precision == 12:  # 16-bit table (Pq=1), matching encode_baseline
+        dqt = seg(
+            0xDB,
+            bytes((0x10,))
+            + b"".join(struct.pack(">H", quant[ZIGZAG[k]]) for k in range(64)),
+        )
+    else:
+        dqt = seg(0xDB, bytes((0x00,)) + bytes(quant[ZIGZAG[k]] for k in range(64)))
     sof_comps = b"".join(
         bytes((cid, (chs << 4) | cvs, 0)) for cid, (chs, cvs) in comps
     )
-    sof = seg(0xC2, struct.pack(">BHHB", 8, h, w, len(comps)) + sof_comps)
+    sof = seg(0xC2, struct.pack(">BHHB", precision, h, w, len(comps)) + sof_comps)
     dht = seg(
         0xC4,
-        bytes((0x00,)) + _K3_DC_COUNTS + _K3_DC_SYMBOLS
-        + bytes((0x10,)) + _K5_AC_COUNTS + _K5_AC_SYMBOLS,
+        bytes((0x00,)) + dc_counts + dc_symbols
+        + bytes((0x10,)) + ac_counts + ac_symbols,
     )
     dri = (
         seg(0xDD, struct.pack(">H", restart_interval))

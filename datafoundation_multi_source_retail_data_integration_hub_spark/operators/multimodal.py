@@ -18,10 +18,10 @@ The codec boundary has three tiers:
   4:4:4/4:2:2/4:2:0, restart markers, spectral selection + successive
   approximation — ``operators/jpeg.py``) decode, nearest-neighbor
   resize, and re-encode in PURE PYTHON — real thumbnails with no
-  raster dependency (12-bit extended-sequential frames decode natively
-  too, r12); arithmetic-coded and 12-bit PROGRESSIVE JPEG streams use
-  Pillow when importable, else the row surfaces as ``resize_ok=false``
-  — never a task failure;
+  raster dependency (12-bit frames decode natively too in both DCT
+  modes, r12); arithmetic-coded JPEG streams use Pillow when
+  importable, else the row surfaces as ``resize_ok=false`` — never a
+  task failure;
 - the FAKE format (``fake_image_bytes``) keeps its fully-deterministic
   arithmetic resize path so the DuckDB oracle can pin the pipeline.
 
@@ -654,9 +654,8 @@ def resize_image(payload: bytes, max_side: int, backend: str = "native") -> byte
                 # progressive) -> PNG thumbnail
                 return _jpeg_resize(payload, max_side)
             except _CORRUPT + (struct.error, NotImplementedError):
-                # arithmetic-coded / 12-bit-progressive
-                # (NotImplementedError) or a corrupt stream: Pillow if
-                # present, else surface
+                # arithmetic-coded (NotImplementedError) or a corrupt
+                # stream: Pillow if present, else surface
                 if _PILImage is None:
                     raise
         if _PILImage is None:

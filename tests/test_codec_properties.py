@@ -210,6 +210,11 @@ def _jpg_12bit(mid):
     return J.encode_baseline(24, 16, px, 1, precision=12)
 
 
+def _jpg_12bit_prog(mid):
+    px = [(mid * 37 + i * 113) % 4096 for i in range(24 * 16)]
+    return J.encode_progressive(24, 16, px, 1, successive=True, precision=12)
+
+
 _IMG_BUILDERS = [
     lambda m: tiny_png(5, 4),
     lambda m: tiny_jpeg(6, 4),
@@ -217,6 +222,7 @@ _IMG_BUILDERS = [
     _jpg_base,
     _jpg_prog,
     _jpg_12bit,
+    _jpg_12bit_prog,
     lambda m: _png_encode(6, 5, 3, bytes((m + i) % 256 for i in range(6 * 5 * 3))),
 ]
 

@@ -396,12 +396,45 @@ def test_12bit_baseline_sof0_is_malformed():
         J.decode_baseline(bytes(p))
 
 
-def test_12bit_progressive_stays_a_boundary():
-    p = bytearray(J.encode_baseline(16, 8, _gray12(16, 8), 1, precision=12))
-    i = p.index(b"\xff\xc1")
-    p[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="12-bit progressive"):
-        J.decode_baseline(bytes(p))
+@pytest.mark.parametrize("successive", [False, True])
+def test_12bit_progressive_byte_identical_to_sequential_twin(successive):
+    """The 12-bit progressive encoder emits the same quantized
+    coefficients as the SOF1 twin, so the decodes must be
+    byte-identical — the file's standard progressive assertion,
+    extended to 12-bit."""
+    pix = _gray12(24, 17)
+    base = J.decode_baseline(J.encode_baseline(24, 17, pix, 1, precision=12))
+    prog = J.decode_baseline(
+        J.encode_progressive(24, 17, pix, 1, successive=successive, precision=12)
+    )
+    assert prog == base
+
+
+def test_12bit_progressive_dc_category_16_corner():
+    """The §F.1.2.1.1 category-16 rule through the PROGRESSIVE DC-first
+    path (_dc_first), which is separate code from the sequential
+    branch: same two-block 0/255 construction, one DC-only scan."""
+    dc_codes = J._encode_codes(J._EXT_DC_COUNTS, J._EXT_DC_SYMBOLS)
+    bw = J._BitWriter()
+    length, code = dc_codes[15]
+    bw.write(code, length)
+    bw.write(-16384 + (1 << 15) - 1, 15)
+    length, code = dc_codes[16]  # +32768, no magnitude bits
+    bw.write(code, length)
+    bw.flush()
+
+    def seg(marker, payload):
+        return bytes((0xFF, marker)) + struct.pack(">H", 2 + len(payload)) + payload
+
+    dqt = seg(0xDB, bytes((0x10,)) + struct.pack(">H", 1) * 64)
+    sof = seg(0xC2, struct.pack(">BHHB", 12, 8, 16, 1) + bytes((1, 0x11, 0)))
+    dht = seg(0xC4, bytes((0x00,)) + J._EXT_DC_COUNTS + J._EXT_DC_SYMBOLS)
+    sos = seg(0xDA, bytes((1, 1, 0x00, 0, 0, 0)))  # DC scan, Ah=Al=0
+    p = b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
+    gw, gh, ch, out = J.decode_baseline(p)
+    assert (gw, gh, ch) == (16, 8, 1)
+    assert {out[y * 16 + x] for y in range(8) for x in range(8)} == {0}
+    assert {out[y * 16 + 8 + x] for y in range(8) for x in range(8)} == {255}
 
 
 def test_12bit_encoder_guards():
