@@ -140,6 +140,17 @@ def _extend(v: int, n: int) -> int:
     return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
 
 
+def _dc_diff(br: _BitReader, dc_tbl, prec: int) -> int:
+    """Huffman-decode one DC difference — the single implementation of
+    the §F.1.2.1.1 corner (12-bit category 16 codes 32768 with NO
+    appended magnitude bits), shared by the sequential and progressive
+    DC paths so they cannot diverge."""
+    t = _huff_decode(br, dc_tbl)
+    if t == 16 and prec == 12:
+        return 32768
+    return _extend(br.receive(t), t)
+
+
 def _idct_2d(coef: list[int], prec: int = 8) -> list[int]:
     """8x8 inverse DCT -> level-shifted, clamped samples scaled to
     8 bits. ``prec`` is the frame's sample precision: 12-bit frames
@@ -367,15 +378,7 @@ def _decode_scan(
                 for by in range(vs):
                     for bx in range(hs):
                         coef = [0] * 64
-                        t = _huff_decode(br, dc_tbl)
-                        if t == 16 and prec == 12:
-                            # §F.1.2.1.1: in 12-bit frames DC category 16
-                            # codes the difference 32768 with NO appended
-                            # magnitude bits
-                            diff = 32768
-                        else:
-                            diff = _extend(br.receive(t), t)
-                        pred[ci] += diff
+                        pred[ci] += _dc_diff(br, dc_tbl, prec)
                         coef[0] = pred[ci] * quant[0]
                         k = 1
                         while k < 64:
@@ -475,14 +478,9 @@ def _expect_rst(br: _BitReader) -> None:
 
 
 def _dc_first(br, dc_tbl, blk, pred: list[int], ci: int, al: int, prec: int = 8) -> None:
-    t = _huff_decode(br, dc_tbl)
-    if t == 16 and prec == 12:
-        # §F.1.2.1.1: 12-bit DC category 16 codes the difference 32768
-        # with no appended magnitude bits (the point-transformed domain
-        # follows the same rule)
-        pred[ci] += 32768
-    else:
-        pred[ci] += _extend(br.receive(t), t)
+    # the §F.1.2.1.1 category-16 rule applies in the point-transformed
+    # domain too — shared _dc_diff keeps it in lockstep with _decode_scan
+    pred[ci] += _dc_diff(br, dc_tbl, prec)
     blk[0] = pred[ci] << al
 
 
@@ -851,6 +849,25 @@ def _encode_codes(counts: bytes, symbols: bytes) -> dict[int, tuple[int, int]]:
     return {sym: (length, code) for (length, code), sym in table.items()}
 
 
+def _table_pair(precision: int):
+    """(dc_counts, dc_symbols, ac_counts, ac_symbols) for the frame
+    precision — one chooser for both encoders, so the twin-stream
+    byte-identity guarantee cannot drift."""
+    if precision == 12:
+        return _EXT_DC_COUNTS, _EXT_DC_SYMBOLS, _EXT_AC_COUNTS, _EXT_AC_SYMBOLS
+    return _K3_DC_COUNTS, _K3_DC_SYMBOLS, _K5_AC_COUNTS, _K5_AC_SYMBOLS
+
+
+def _dqt_payload(quant: list[int], precision: int) -> bytes:
+    """DQT marker payload (zigzag order): 8-bit Pq=0 entries for 8-bit
+    frames, 16-bit Pq=1 entries for 12-bit frames."""
+    if precision == 12:
+        return bytes((0x10,)) + b"".join(
+            struct.pack(">H", quant[ZIGZAG[k]]) for k in range(64)
+        )
+    return bytes((0x00,)) + bytes(quant[ZIGZAG[k]] for k in range(64))
+
+
 class _BitWriter:
     def __init__(self):
         self.out = bytearray()
@@ -1040,12 +1057,7 @@ def encode_baseline(
     comps, planes, pdims, quant = _prep_planes(
         w, h, pixels, channels, sampling, quant, precision
     )
-    if precision == 12:
-        dc_counts, dc_symbols = _EXT_DC_COUNTS, _EXT_DC_SYMBOLS
-        ac_counts, ac_symbols = _EXT_AC_COUNTS, _EXT_AC_SYMBOLS
-    else:
-        dc_counts, dc_symbols = _K3_DC_COUNTS, _K3_DC_SYMBOLS
-        ac_counts, ac_symbols = _K5_AC_COUNTS, _K5_AC_SYMBOLS
+    dc_counts, dc_symbols, ac_counts, ac_symbols = _table_pair(precision)
     mid = 1 << (precision - 1)
     dc_codes = _encode_codes(dc_counts, dc_symbols)
     ac_codes = _encode_codes(ac_counts, ac_symbols)
@@ -1086,14 +1098,7 @@ def encode_baseline(
         return bytes((0xFF, marker)) + struct.pack(">H", 2 + len(payload)) + payload
 
     # DQT payload is in ZIGZAG scan order; quant is natural-order
-    if precision == 12:  # 16-bit table (Pq=1), always, to exercise it
-        dqt = seg(
-            0xDB,
-            bytes((0x10,))
-            + b"".join(struct.pack(">H", quant[ZIGZAG[k]]) for k in range(64)),
-        )
-    else:
-        dqt = seg(0xDB, bytes((0x00,)) + bytes(quant[ZIGZAG[k]] for k in range(64)))
+    dqt = seg(0xDB, _dqt_payload(quant, precision))
     sof_comps = b"".join(
         bytes((cid, (chs << 4) | cvs, 0)) for cid, (chs, cvs) in comps
     )
@@ -1238,12 +1243,7 @@ def encode_progressive(
     comps, planes, pdims, quant = _prep_planes(
         w, h, pixels, channels, sampling, quant, precision
     )
-    if precision == 12:
-        dc_counts, dc_symbols = _EXT_DC_COUNTS, _EXT_DC_SYMBOLS
-        ac_counts, ac_symbols = _EXT_AC_COUNTS, _EXT_AC_SYMBOLS
-    else:
-        dc_counts, dc_symbols = _K3_DC_COUNTS, _K3_DC_SYMBOLS
-        ac_counts, ac_symbols = _K5_AC_COUNTS, _K5_AC_SYMBOLS
+    dc_counts, dc_symbols, ac_counts, ac_symbols = _table_pair(precision)
     dc_codes = _encode_codes(dc_counts, dc_symbols)
     ac_codes = _encode_codes(ac_counts, ac_symbols)
     hmax = max(c[1][0] for c in comps)
@@ -1287,7 +1287,11 @@ def encode_progressive(
                                 n, bits = _magnitude(v - preds[ci])
                                 length, code = dc_codes[n]
                                 bw.write(code, length)
-                                if n:
+                                # n != 16: category 16 carries no
+                                # magnitude bits (parity with
+                                # _encode_block; unreachable with this
+                                # DCT normalization, guarded anyway)
+                                if n and n != 16:
                                     bw.write(bits, n)
                                 preds[ci] = v
                 mcu += 1
@@ -1341,14 +1345,7 @@ def encode_progressive(
             scans.append(([cid], 1, 5, 1, 0, ac_scan(ci, 1, 5, 0, True)))
             scans.append(([cid], 6, 63, 1, 0, ac_scan(ci, 6, 63, 0, True)))
 
-    if precision == 12:  # 16-bit table (Pq=1), matching encode_baseline
-        dqt = seg(
-            0xDB,
-            bytes((0x10,))
-            + b"".join(struct.pack(">H", quant[ZIGZAG[k]]) for k in range(64)),
-        )
-    else:
-        dqt = seg(0xDB, bytes((0x00,)) + bytes(quant[ZIGZAG[k]] for k in range(64)))
+    dqt = seg(0xDB, _dqt_payload(quant, precision))
     sof_comps = b"".join(
         bytes((cid, (chs << 4) | cvs, 0)) for cid, (chs, cvs) in comps
     )

@@ -358,10 +358,10 @@ def _png_resize(payload: bytes, max_side: int) -> bytes:
 
 
 def _jpeg_resize(payload: bytes, max_side: int) -> bytes:
-    """Baseline-sequential or progressive JPEG -> PNG thumbnail via the
-    pure decoder (``operators/jpeg.py``); arithmetic-coded/12-bit
-    streams raise NotImplementedError for the caller's Pillow
-    fallback."""
+    """Sequential (8/12-bit) or progressive (8/12-bit) JPEG -> PNG
+    thumbnail via the pure decoder (``operators/jpeg.py``);
+    arithmetic-coded streams raise NotImplementedError for the caller's
+    Pillow fallback."""
     from .jpeg import decode_baseline
 
     w, h, ch, data = decode_baseline(payload)
