@@ -477,7 +477,7 @@ def _expect_rst(br: _BitReader) -> None:
         raise ValueError("malformed JPEG: missing restart marker")
 
 
-def _dc_first(br, dc_tbl, blk, pred: list[int], ci: int, al: int, prec: int = 8) -> None:
+def _dc_first(br, dc_tbl, blk, pred: list[int], ci: int, al: int, prec: int) -> None:
     # the §F.1.2.1.1 category-16 rule applies in the point-transformed
     # domain too — shared _dc_diff keeps it in lockstep with _decode_scan
     pred[ci] += _dc_diff(br, dc_tbl, prec)
