@@ -194,6 +194,8 @@ def _parse_dqt(seg: bytes, qt: dict[int, list[int]]) -> None:
         pq, tq = seg[j] >> 4, seg[j] & 0x0F
         tbl = [0] * 64
         if pq == 0:
+            if j + 65 > len(seg):
+                raise ValueError("malformed JPEG: truncated DQT")
             for k in range(64):
                 tbl[ZIGZAG[k]] = seg[j + 1 + k]
             j += 65
@@ -923,6 +925,10 @@ def _magnitude(v: int) -> tuple[int, int]:
 def _encode_block(bw: _BitWriter, coef: list[int], pred: int, dc_codes, ac_codes) -> int:
     diff = coef[0] - pred
     n, bits = _magnitude(diff)
+    if n == 16 and diff != 32768:
+        # category 16 carries no magnitude bits, so only +32768 is
+        # representable; -32768 would silently decode as +32768
+        raise ValueError(f"DC diff {diff} not encodable: category 16 is +32768 only")
     length, code = dc_codes[n]
     bw.write(code, length)
     if n and n != 16:  # 12-bit DC category 16 carries no magnitude bits
@@ -1285,6 +1291,11 @@ def encode_progressive(
                                 # DC point transform: arithmetic shift
                                 v = dc >> al
                                 n, bits = _magnitude(v - preds[ci])
+                                if n == 16 and v - preds[ci] != 32768:
+                                    raise ValueError(
+                                        f"DC diff {v - preds[ci]} not encodable:"
+                                        " category 16 is +32768 only"
+                                    )
                                 length, code = dc_codes[n]
                                 bw.write(code, length)
                                 # n != 16: category 16 carries no

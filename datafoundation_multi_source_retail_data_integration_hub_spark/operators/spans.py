@@ -395,11 +395,22 @@ def fused_incremental_substring_report(
 
     Store rows keep their real (id, n_toks, i) — the core's batch-row
     rank counts only batch rows, so store rows' sort position is
-    irrelevant; ``batch_pred`` must be deterministic and non-NULL."""
+    irrelevant; ``batch_pred`` must be deterministic and non-NULL (a
+    NULL evaluation raises at action time rather than silently
+    classifying the row as store)."""
+    src = F.when(batch_pred, F.lit(0)).when(~batch_pred, F.lit(1))
     tagged = docs.select(
         F.col(id_col).alias(id_col),
         F.col(text_col).alias(text_col),
-        F.when(batch_pred, F.lit(0)).otherwise(F.lit(1)).alias("__src"),
+        F.coalesce(
+            src,
+            F.raise_error(
+                F.lit(
+                    "fused_incremental_substring_report: batch_pred "
+                    "evaluated to NULL; supply a non-NULL predicate"
+                )
+            ).cast("int"),
+        ).alias("__src"),
     )
     pos = window_hash_positions(tagged, text_col, id_col, w, carry=("__src",))
     return _report_core(pos, id_col, w)

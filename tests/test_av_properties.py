@@ -108,6 +108,10 @@ def test_mkv_build_parse_identity(data):
     mid = data.draw(st.integers(0, 2**31))
     p = MM.fake_mkv_bytes(mid, dur, w, h, sr, ch)
     assert MM._mkv_meta(p) == (dur, sr, ch, w, h)
+    # the doc_av_meta DuckDB oracle hardcodes byte_len = 84 for mkv
+    # rows; pin the container size here so a layout change surfaces as
+    # a unit failure, not a driver-time oracle mismatch
+    assert len(p) == 84
 
 
 def _builders():

@@ -463,3 +463,23 @@ def test_12bit_through_resize_media(spark):
     df = spark.createDataFrame([(1, blob)], "media_id long, content binary")
     (row,) = MM.resize_media(df, 16).collect()
     assert row["resize_ok"] and row["width"] == 16
+
+
+def test_dc_category_16_negative_diff_raises():
+    """Category 16 carries no magnitude bits, so only +32768 is legally
+    representable; a -32768 diff must raise rather than silently emit
+    bytes a decoder reads back as +32768 (ADVICE r12)."""
+    codes = {n: (max(n, 1), 0) for n in range(17)}
+    with pytest.raises(ValueError, match="category 16"):
+        J._encode_block(J._BitWriter(), [-32768] + [0] * 63, 0, codes, codes)
+    # the legal corner still encodes
+    J._encode_block(J._BitWriter(), [32768] + [0] * 63, 0, codes, codes)
+
+
+def test_truncated_dqt_raises_both_precisions():
+    """Both DQT precision branches report truncation as 'malformed
+    JPEG' ValueError, not a bare IndexError (ADVICE r12)."""
+    with pytest.raises(ValueError, match="truncated DQT"):
+        J._parse_dqt(bytes([0x00]) + bytes(10), {})
+    with pytest.raises(ValueError, match="truncated 16-bit DQT"):
+        J._parse_dqt(bytes([0x10]) + bytes(10), {})

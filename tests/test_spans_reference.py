@@ -139,3 +139,18 @@ def test_three_way_agreement_on_random_corpora(spark):
             assert two[did] == fused[did]
             assert two[did][:4] == ref[did][:4], (did, two[did], ref[did])
             assert abs(two[did][4] - ref[did][4]) < 1e-12
+
+
+def test_fused_report_null_predicate_raises(spark):
+    """A batch predicate that evaluates to NULL must fail loudly at
+    action time, not silently classify the row as store (ADVICE r12)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (None, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="batch_pred evaluated to NULL"):
+        SP.fused_incremental_substring_report(
+            df, F.col("doc_id") % 2 == 1, "text", "doc_id", W
+        ).collect()
