@@ -861,32 +861,47 @@ def stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def spath(version: int) -> str:
         return f"{base}/store/v{version}"
 
-    # the oracle parity proof assumes each availableNow run folds into
-    # EXACTLY one micro-batch (the two-branch oracle and the
-    # within-batch keep-first both depend on it); a session conf like
-    # maxFilesPerTrigger, or a source that splits batches, would
-    # silently diverge. EXACT check: the batch id must equal the count
-    # of completed runs (each prior run contributed exactly one batch),
-    # so a split run's SECOND batch dies here before writing a mid-run
-    # report — a `batch_id > 1` bound would let it through until the
-    # next run. Scope note: `runs` is an IN-PROCESS counter, so this
-    # guard assumes the checkpoint never outlives the process — true by
-    # construction here (base is a per-invocation mkdtemp, removed in
-    # the finally). A deployment resuming a persistent checkpoint in a
-    # NEW process would redeliver a nonzero batch_id against runs=0 and
-    # trip this assertion even though the v{batch_id-1}-addressed store
-    # reads + overwrite writes below ARE redelivery-idempotent; such a
-    # deployment must derive the expected id from the store's existing
-    # versions instead of driver-local state.
-    progress = {"runs": 0, "batches": 0}
+    # the oracle parity proof assumes each availableNow run folds
+    # EXACTLY one FRESH micro-batch (the two-branch oracle and the
+    # within-batch keep-first both depend on it). The expected batch id
+    # is keyed off the STORE'S PERSISTED VERSIONS, not driver-local
+    # state: each committed batch leaves exactly one v{batch_id}
+    # directory, so at handler entry `batch_id == versions` is the
+    # normal next batch, `batch_id < versions` is a checkpoint
+    # redelivery (v{batch_id} already exists; the v{batch_id-1} read +
+    # overwrite writes below re-derive it idempotently — allowed, which
+    # is what makes a cross-process resume of a persistent checkpoint
+    # safe), and `batch_id > versions` means a batch committed without
+    # leaving its store version — corruption, die. A split run's SECOND
+    # fresh batch dies on the fresh-count check before writing a
+    # mid-run report.
+    run_state = {"fresh": 0}
+
+    def _store_versions() -> int:
+        import os
+        import re as _re
+
+        d = f"{base}/store"
+        if not os.path.isdir(d):
+            return 0
+        return sum(1 for n in os.listdir(d) if _re.fullmatch(r"v\d+", n))
 
     def handler(batch: DataFrame, batch_id: int) -> None:
-        if batch_id != progress["runs"]:
+        versions = _store_versions()
+        if batch_id > versions:
             raise AssertionError(
-                f"stream_substring_dedup: micro-batch {batch_id} in run "
-                f"{progress['runs']} — the one-batch-per-run assumption "
-                "of the two-batch oracle no longer holds"
+                f"stream_substring_dedup: micro-batch {batch_id} arrived "
+                f"with only {versions} persisted store versions — a prior "
+                "batch committed without its store write"
             )
+        if batch_id == versions:  # fresh, not a redelivery
+            run_state["fresh"] += 1
+            if run_state["fresh"] > 1:
+                raise AssertionError(
+                    f"stream_substring_dedup: second fresh micro-batch "
+                    f"{batch_id} within one run — the one-batch-per-run "
+                    "assumption of the two-batch oracle no longer holds"
+                )
         s = batch.sparkSession
         # this handler runs STATELESS batch jobs with real per-row work
         # (tokenize + window-hash the micro-batch), so the state-store
@@ -926,9 +941,9 @@ def stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 merged.write.mode("overwrite").parquet(spath(batch_id))
             finally:
                 pos.unpersist()
-        progress["batches"] += 1
 
     def run() -> None:
+        run_state["fresh"] = 0
         q = (
             spark.readStream.schema(schema)
             .parquet(src)
@@ -938,13 +953,11 @@ def stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         _drain(q, "substring-dedup")
-        progress["runs"] += 1
-        if progress["batches"] != progress["runs"]:
+        if run_state["fresh"] != 1:
             raise AssertionError(
-                f"stream_substring_dedup: run {progress['runs'] - 1} "
-                f"completed with {progress['batches']} total micro-batches "
-                f"(expected {progress['runs']}) — one-batch-per-run "
-                "assumption violated"
+                f"stream_substring_dedup: run completed with "
+                f"{run_state['fresh']} fresh micro-batches (expected 1) — "
+                "one-batch-per-run assumption violated"
             )
 
     try:
