@@ -123,3 +123,65 @@ def test_jaccard_pairs_exact_under_10x_replication(spark):
     ).count()
     DD.unpersist_all()
     assert rep_pairs == 100 * base_pairs + 45 * n_shingled
+
+
+def test_jaccard_hot_shingle_skew_bounded(spark):
+    """Adversarial skew at the DATA level (r12 verdict directive 6): one
+    boilerplate block planted in 40% of docs pushes its shingles past
+    the df cap. The capped result must equal a pure-Python reference of
+    the documented semantics (df computed on FULL postings, score over
+    capped intersections with full-set denominators), the hot carriers
+    must NOT pair up C(hot,2)-style, and the plan stays equi-join-only."""
+    from collections import Counter
+
+    from datafoundation_multi_source_retail_data_integration_hub_spark.operators import (
+        dedup as DD,
+    )
+
+    n, cap, tau = 3, 10, 0.5
+    boiler = "all rights reserved contact support for help today".split()
+    docs = []
+    for did in range(60):
+        toks = [f"u{did}x{j}" for j in range(12)]  # unique filler per doc
+        if did % 5 < 2:  # 40% of docs carry the hot block
+            toks = toks[:6] + boiler + toks[6:]
+        docs.append((did, " ".join(toks)))
+    # planted rare near-dup pair that must survive the cap
+    docs.append((100, "alpha beta gamma delta epsilon zeta"))
+    docs.append((101, "alpha beta gamma delta epsilon zeta eta"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    res = DD.jaccard_pairs(
+        df, "text", "doc_id", n=n, threshold=tau, max_doc_freq=cap,
+        prefix_filter=True,
+    )
+    got = {(r["id1"], r["id2"]): r["jaccard"] for r in res.collect()}
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    DD.unpersist_all()
+
+    def sset(t):
+        ws = t.lower().split()
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    S = {did: sset(t) for did, t in docs}
+    dfc = Counter(s for v in S.values() for s in v)
+    C = {did: {s for s in v if dfc[s] <= cap} for did, v in S.items()}
+    exp = {}
+    ids = sorted(S)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            i1, i2 = ids[a], ids[b]
+            inter = len(C[i1] & C[i2])
+            if not inter:
+                continue
+            j = inter / (len(S[i1]) + len(S[i2]) - inter)
+            if j >= tau:
+                exp[(i1, i2)] = j
+    assert set(got) == set(exp), (set(got) ^ set(exp))
+    for k, v in exp.items():
+        assert abs(got[k] - v) < 1e-12
+    # the hot block minted no pairs among its 24 carriers
+    hot_ids = {did for did, t in docs if "rights reserved" in t}
+    assert all(not (a in hot_ids and b in hot_ids) for a, b in got)
+    assert (100, 101) in got
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, plan

@@ -154,3 +154,54 @@ def test_fused_report_null_predicate_raises(spark):
         SP.fused_incremental_substring_report(
             df, F.col("doc_id") % 2 == 1, "text", "doc_id", W
         ).collect()
+
+
+def test_hot_window_skew_parity_and_plan(spark, tmp_path):
+    """Adversarial skew at the DATA level (r12 verdict directive 6): one
+    boilerplate phrase planted in >30% of docs makes its window hashes
+    pathologically hot. Parity vs the pure-Python reference must hold,
+    and the pinned skew-tolerant plan shape must survive: ONE parquet
+    scan (fused form), the hv hash-partitioned exchange, no cross
+    product, no Python stage."""
+    rng = random.Random(42)
+    vocab = [f"w{k}" for k in range(500)]
+    boiler = "terms of service apply to all content here".split()  # 8 toks
+    docs = []
+    for did in range(200):
+        toks = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randint(10, 30))]
+        if did % 3 == 0:  # ~33% of docs carry the identical hot windows
+            cut = rng.randint(0, len(toks))
+            toks = toks[:cut] + boiler + toks[cut:]
+        docs.append((did, " ".join(toks)))
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(src)
+    out = SP.fused_incremental_substring_report(
+        spark.read.parquet(src), F.col("doc_id") % 2 == 1, "text", "doc_id", W
+    )
+    got = _spark_result(out)
+    ref = _reference(
+        [(i, t) for i, t in docs if i % 2 == 0],
+        [(i, t) for i, t in docs if i % 2 == 1],
+    )
+    assert set(got) == set(ref)
+    # every odd boilerplate carrier must be flagged (its hot windows sit
+    # in the even half's store) — the skew rows are the tested rows
+    assert {d for d in ref if d % 6 == 3} <= set(got)
+    for did in ref:
+        assert got[did][:4] == ref[did][:4], (did, got[did], ref[did])
+        assert abs(got[did][4] - ref[did][4]) < 1e-12
+    # formatted mode (same basis as tools/explain_audit.py's pin):
+    # AdaptiveSparkPlan.toString would double-count nodes by printing
+    # both the Current and Initial plans
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)
+    assert len(scans) == 1, plan
+    assert "hashpartitioning(hv#" in plan, plan
+    for bad in ("CartesianProduct", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, plan
