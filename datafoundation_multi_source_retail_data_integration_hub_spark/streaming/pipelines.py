@@ -869,12 +869,18 @@ def stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # directory, so at handler entry `batch_id == versions` is the
     # normal next batch, `batch_id < versions` is a checkpoint
     # redelivery (v{batch_id} already exists; the v{batch_id-1} read +
-    # overwrite writes below re-derive it idempotently — allowed, which
-    # is what makes a cross-process resume of a persistent checkpoint
-    # safe), and `batch_id > versions` means a batch committed without
-    # leaving its store version — corruption, die. A split run's SECOND
-    # fresh batch dies on the fresh-count check before writing a
-    # mid-run report.
+    # overwrite writes below re-derive it idempotently — the HANDLER no
+    # longer trips on a cross-process resume of a persistent
+    # checkpoint), and `batch_id > versions` means a batch committed
+    # without leaving its store version — corruption, die. A split
+    # run's SECOND fresh batch dies on the fresh-count check before
+    # writing a mid-run report. Scope note: run() below still asserts
+    # exactly ONE fresh batch per run — that is THIS harness's
+    # two-feeds contract, so a resumed run that only redelivers (crash
+    # between store write and checkpoint commit, then restart with no
+    # new feed) would fail the run-level check; a deployment replaying
+    # persistent checkpoints should drop that assertion, not the
+    # handler guards.
     run_state = {"fresh": 0}
 
     def _store_versions() -> int:

@@ -93,9 +93,13 @@ def build(spark, src: str, out: str) -> None:
             (F.col("doc_id") + s_long * OFF_DOC).alias("doc_id"),
             F.when(F.col("__s") == 0, F.col("text"))
             .otherwise(
+                # trim-then-split mirrors the engine's ws_tokens
+                # (functions/text.py) — an untrimmed split would mint
+                # empty tokens that suffix into brand-new "x{s}" tokens
+                # and break the shard-isomorphism invariant
                 F.array_join(
                     F.transform(
-                        F.split(F.col("text"), r"\s+"),
+                        F.split(F.trim(F.col("text")), r"\s+"),
                         lambda t: F.concat(
                             t, F.lit("x"), F.col("__s").cast("string")
                         ),
@@ -138,54 +142,27 @@ def build(spark, src: str, out: str) -> None:
         .parquet(f"{out}/embeddings.parquet")
     )
 
-    orders = spark.read.parquet(f"{src}/orders.parquet")
-    (
-        orders.crossJoin(F.broadcast(shards))
-        .select(
-            (F.col("o_orderkey") + s_long * OFF_ORD).alias("o_orderkey"),
-            (F.col("o_custkey") + s_long * OFF_CUST).alias("o_custkey"),
-            "o_orderstatus",
-            "o_totalprice",
-            "o_orderdate",
-            "o_orderpriority",
+    # key-shift via withColumn so EVERY source column rides through —
+    # a hand-picked projection would silently break --queries overrides
+    # that read columns outside the subset
+    key_shift = {
+        "orders": {"o_orderkey": OFF_ORD, "o_custkey": OFF_CUST},
+        "lineitem": {
+            "l_orderkey": OFF_ORD,
+            "l_partkey": OFF_PART,
+            "l_suppkey": OFF_SUPP,
+        },
+        "customer": {"c_custkey": OFF_CUST},
+    }
+    for table, shifts in key_shift.items():
+        d = spark.read.parquet(f"{src}/{table}.parquet").crossJoin(
+            F.broadcast(shards)
         )
-        .write.mode("overwrite")
-        .parquet(f"{out}/orders.parquet")
-    )
-
-    li = spark.read.parquet(f"{src}/lineitem.parquet")
-    (
-        li.crossJoin(F.broadcast(shards))
-        .select(
-            (F.col("l_orderkey") + s_long * OFF_ORD).alias("l_orderkey"),
-            (F.col("l_partkey") + s_long * OFF_PART).alias("l_partkey"),
-            (F.col("l_suppkey") + s_long * OFF_SUPP).alias("l_suppkey"),
-            "l_linenumber",
-            "l_quantity",
-            "l_extendedprice",
-            "l_discount",
-            "l_tax",
-            "l_returnflag",
-            "l_linestatus",
-            "l_shipdate",
+        for col, off in shifts.items():
+            d = d.withColumn(col, F.col(col) + s_long * off)
+        d.drop("__s").write.mode("overwrite").parquet(
+            f"{out}/{table}.parquet"
         )
-        .write.mode("overwrite")
-        .parquet(f"{out}/lineitem.parquet")
-    )
-
-    cust = spark.read.parquet(f"{src}/customer.parquet")
-    (
-        cust.crossJoin(F.broadcast(shards))
-        .select(
-            (F.col("c_custkey") + s_long * OFF_CUST).alias("c_custkey"),
-            "c_name",
-            "c_nationkey",
-            "c_acctbal",
-            "c_mktsegment",
-        )
-        .write.mode("overwrite")
-        .parquet(f"{out}/customer.parquet")
-    )
 
     for t in COPY_TABLES:
         spark.read.parquet(f"{src}/{t}.parquet").write.mode(
@@ -201,30 +178,43 @@ def _stages(sc) -> list[dict]:
     return json.load(urllib.request.urlopen(url))
 
 
-def stage_ids(sc) -> set[int]:
-    return {s["stageId"] for s in _stages(sc)}
-
-
-def shuffle_bytes_for(sc, new_ids: set[int]) -> tuple[int, int]:
-    """(write, read) bytes summed over exactly ``new_ids`` stages.
-
-    The AppStatusStore is fed asynchronously from the listener bus, so
-    metrics for just-finished stages can arrive late; poll until two
-    consecutive snapshots agree before trusting the numbers (a
-    cumulative-total delta would otherwise smear one query's bytes into
-    the next query's window — observed as a phantom 33x in the first
-    run of this sweep)."""
+def settled_stage_ids(sc) -> set[int]:
+    """Stage-id set once the AppStatusStore stops registering new
+    stages — taking a single snapshot right after an action returns can
+    miss stages whose listener events are still in flight, which then
+    get mis-attributed to the NEXT measurement window."""
     prev = None
     for _ in range(20):
-        data = _stages(sc)
+        cur = {s["stageId"] for s in _stages(sc)}
+        if cur == prev:
+            return cur
+        prev = cur
+        time.sleep(0.5)
+    print("# WARN: stage-id set still moving after poll budget", file=sys.stderr)
+    return prev
+
+
+def shuffle_bytes_since(sc, ids0: set[int]) -> tuple[int, int]:
+    """(write, read) bytes of every stage registered after ``ids0``.
+
+    The AppStatusStore is fed asynchronously from the listener bus, so
+    both the id SET and the per-stage metrics can lag a completed
+    action; re-derive the set and re-read the values each poll until
+    two consecutive snapshots agree on both (a cumulative-total delta,
+    or a fixed id set, smears one query's bytes into another's window —
+    observed as a phantom 33x in the first run of this sweep)."""
+    prev = None
+    for _ in range(20):
+        data = [s for s in _stages(sc) if s["stageId"] not in ids0]
         cur = (
-            sum(s.get("shuffleWriteBytes", 0) for s in data if s["stageId"] in new_ids),
-            sum(s.get("shuffleReadBytes", 0) for s in data if s["stageId"] in new_ids),
+            sum(s.get("shuffleWriteBytes", 0) for s in data),
+            sum(s.get("shuffleReadBytes", 0) for s in data),
         )
         if cur == prev:
             return cur
         prev = cur
         time.sleep(0.5)
+    print("# WARN: shuffle metrics still moving after poll budget", file=sys.stderr)
     return prev
 
 
@@ -270,21 +260,26 @@ def main() -> None:
         for tag, d in (("sf0.1", SF01), ("sf1", args.out)):
             fn(spark, d).count()  # warm: AQE replan + codegen + IO cache
             unpersist_all()
-            best, rows, sw, sr = float("inf"), 0, 0, 0
+            best, rows = float("inf"), 0
+            sws, srs = [], []
             for _ in range(2):
-                ids0 = stage_ids(sc)
+                ids0 = settled_stage_ids(sc)
                 t0 = time.perf_counter()
                 rows = fn(spark, d).count()
                 wall = time.perf_counter() - t0
-                w, r = shuffle_bytes_for(sc, stage_ids(sc) - ids0)
+                w, r = shuffle_bytes_since(sc, ids0)
                 unpersist_all()
-                if wall < best:
-                    best, sw, sr = wall, w, r
+                best = min(best, wall)
+                sws.append(w)
+                srs.append(r)
+            # min across runs = the intrinsic plan cost: a run can only
+            # shuffle MORE than intrinsic (recompute after cache
+            # eviction under memory pressure), never less
             row[tag] = {
                 "wall_s": round(best, 3),
                 "rows": rows,
-                "shuffle_write_mb": round(sw / 1e6, 2),
-                "shuffle_read_mb": round(sr / 1e6, 2),
+                "shuffle_write_mb": round(min(sws) / 1e6, 2),
+                "shuffle_read_mb": round(min(srs) / 1e6, 2),
             }
             print(f"# {name} {tag}: {row[tag]}", file=sys.stderr)
         a, b = row["sf0.1"], row["sf1"]
