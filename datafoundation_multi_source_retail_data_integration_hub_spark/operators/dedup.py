@@ -129,7 +129,19 @@ def jaccard_pairs(
     on an indexed prefix shingle. The df cap is computed on the FULL
     postings first, so prefix mode returns byte-identical results to the
     full-index mode at any ``max_doc_freq`` (equality-tested both capped
-    and uncapped); only the candidate-join input shrinks — the scale path.
+    and uncapped); only the candidate-join input shrinks.
+
+    REGIME CHOICE (measured, r13 sf10 sweep at 100x the bench corpus):
+    the prefix branch verifies by carrying BOTH docs' full hashed
+    shingle arrays through two joins (~50x the bytes per candidate of
+    the 16-byte postings rows), so it only wins when the prefix prunes
+    MOST candidates — i.e. at high thresholds, where the indexed prefix
+    ``|c| - ceil(t*|c|) + 1`` is short. At t = 0.2 it cut candidates
+    just ~20% (1.13M -> 0.90M at sf0.1) and its sort spills overflowed
+    79 GB of local scratch at 500k docs, while ``prefix_filter=False``
+    (postings self-join + pair-count aggregation, map-side partial)
+    finished in 148 s warm with exactly linear output. Rule of thumb:
+    prefix for t >= ~0.5, postings-count below.
     """
     docs = _persist(_shingled(df, text_col, id_col, n))
     sizes = docs.select("doc_id", F.size("sh").alias("sz"))

@@ -535,6 +535,9 @@ def doc_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep_rules.alias("__keepq"),
     )
     survivors = scored.where(F.col("__keepq"))
+    # prefix_filter=False: same measured low-τ choice as
+    # doc_ngram_jaccard_pairs (queries/textops.py) — at τ=0.2 the
+    # postings-count verify is ~50x lighter per candidate
     pairs = DD.jaccard_pairs(
         survivors,
         "text",
@@ -542,7 +545,7 @@ def doc_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=TO.N_SHINGLE,
         threshold=TO.JACCARD_TAU,
         max_doc_freq=TO.MAX_DOC_FREQ,
-        prefix_filter=True,
+        prefix_filter=False,
     )
     from ..operators.graph import connected_components
 

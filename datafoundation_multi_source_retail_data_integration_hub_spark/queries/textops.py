@@ -154,7 +154,16 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """τ = 0.2 on purpose: training-data near-dup dedup is recall-oriented
     (a missed near-dup poisons eval sets; a false candidate just costs one
     verification), so the threshold sits low and tractability comes from
-    the df cap + lossless AllPairs prefix filter instead."""
+    the df cap + the postings-count verification.
+
+    ``prefix_filter=False`` is a MEASURED choice (r13 sf10 sweep): at
+    τ = 0.2 the AllPairs prefix cuts candidates only ~20% (1.13M → 0.90M
+    at sf0.1) while its array-carrying verify join costs ~50x the bytes
+    per candidate — at 100x corpus the prefix branch overflowed 79 GB of
+    sort-spill scratch where the postings-count branch finished in 148 s
+    warm with exactly linear output. The prefix branch stays available
+    (and equality-tested) for high-τ jobs where it prunes most
+    candidates; see ``operators/dedup.jaccard_pairs``."""
     return DD.jaccard_pairs(
         _docs(spark, sf_dir),
         "text",
@@ -162,7 +171,7 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=N_SHINGLE,
         threshold=JACCARD_TAU,
         max_doc_freq=MAX_DOC_FREQ,
-        prefix_filter=True,
+        prefix_filter=False,
     )
 
 

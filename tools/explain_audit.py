@@ -46,7 +46,8 @@ AUDITED = {
         "forbid_pattern": r"CartesianProduct|BroadcastNestedLoopJoin",
     },
     "doc_ngram_jaccard_pairs": {
-        # prefix-filtered inverted index: equi-joins only, never all-pairs
+        # postings-count inverted index (low-τ regime, r13): equi-joins
+        # only, never all-pairs; pair overlap via partial-aggregated count
         "expect": ["HashAggregate"],
         "forbid_pattern": r"CartesianProduct|BroadcastNestedLoopJoin",
     },

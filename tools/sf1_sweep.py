@@ -76,14 +76,14 @@ SWEEP = [
 COPY_TABLES = ["region", "nation", "supplier", "part", "events"]
 
 
-def build(spark, src: str, out: str) -> None:
+def build(spark, src: str, out: str, n_shards: int = SHARDS) -> None:
     from pyspark.sql import functions as F
 
     marker = os.path.join(out, "_BUILT")
     if os.path.exists(marker):
         print(f"# build: {out} already built, skipping", file=sys.stderr)
         return
-    shards = spark.range(SHARDS).select(F.col("id").cast("int").alias("__s"))
+    shards = spark.range(n_shards).select(F.col("id").cast("int").alias("__s"))
     s_long = F.col("__s").cast("long")
 
     docs = spark.read.parquet(f"{src}/documents.parquet")
@@ -223,6 +223,12 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/sf1")
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument("--queries", default=None, help="comma list override")
+    ap.add_argument(
+        "--shards",
+        type=int,
+        default=SHARDS,
+        help="scale-up factor (10 = sf1, 100 = sf10); offsets allow <=1000",
+    )
     args = ap.parse_args()
 
     from datafoundation_multi_source_retail_data_integration_hub_spark.operators import (
@@ -245,7 +251,7 @@ def main() -> None:
     )
     sc = spark.sparkContext
     if not args.skip_build:
-        build(spark, SF01, args.out)
+        build(spark, SF01, args.out, n_shards=args.shards)
 
     def unpersist_all() -> None:
         dedup.unpersist_all()
@@ -253,11 +259,12 @@ def main() -> None:
 
     qs = entrymod.queries()
     names = (args.queries.split(",") if args.queries else SWEEP)
+    big = f"sf{args.shards / 10:g}"  # 10 shards -> sf1, 100 -> sf10
     results: dict[str, dict] = {}
     for name in names:
         fn = qs[name]
         row: dict[str, dict] = {}
-        for tag, d in (("sf0.1", SF01), ("sf1", args.out)):
+        for tag, d in (("sf0.1", SF01), (big, args.out)):
             fn(spark, d).count()  # warm: AQE replan + codegen + IO cache
             unpersist_all()
             best, rows = float("inf"), 0
@@ -282,7 +289,7 @@ def main() -> None:
                 "shuffle_read_mb": round(min(srs) / 1e6, 2),
             }
             print(f"# {name} {tag}: {row[tag]}", file=sys.stderr)
-        a, b = row["sf0.1"], row["sf1"]
+        a, b = row["sf0.1"], row[big]
         row["ratios"] = {
             "wall": round(b["wall_s"] / a["wall_s"], 2) if a["wall_s"] else None,
             "rows": round(b["rows"] / a["rows"], 2) if a["rows"] else None,
@@ -294,14 +301,19 @@ def main() -> None:
         }
         results[name] = row
 
-    out_json = os.path.join(os.path.dirname(os.path.abspath(__file__)), "sf1_sweep.json")
+    out_json = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"{big}_sweep.json"
+    )
     with open(out_json, "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
 
-    print("| query | sf0.1 s | sf1 s | wall x | rows x | shuf W sf0.1 MB | shuf W sf1 MB | shuf x |")
+    print(
+        f"| query | sf0.1 s | {big} s | wall x | rows x "
+        f"| shuf W sf0.1 MB | shuf W {big} MB | shuf x |"
+    )
     print("|---|---|---|---|---|---|---|---|")
     for name, row in results.items():
-        a, b, r = row["sf0.1"], row["sf1"], row["ratios"]
+        a, b, r = row["sf0.1"], row[big], row["ratios"]
         print(
             f"| `{name}` | {a['wall_s']} | {b['wall_s']} | {r['wall']} "
             f"| {r['rows']} | {a['shuffle_write_mb']} "
