@@ -508,8 +508,9 @@ def doc_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the rule gate and both scores are one codegen'd
     projection over the corpus (computed once, staged); the pair graph
-    inherits the Jaccard join's inverted-index bounds (df cap + lossless
-    prefix filter), shrunk further by the gate's selectivity; clustering
+    inherits the Jaccard join's inverted-index bounds (df cap +
+    postings-count verification — the measured low-τ regime choice),
+    shrunk further by the gate's selectivity; clustering
     takes the bounded driver union-find below 1M edges and the
     distributed fixpoint above; the verdict assembly joins only
     doc-grain frames. ``cluster_rep`` is -1 for unclustered documents —

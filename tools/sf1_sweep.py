@@ -1,16 +1,17 @@
-"""sf0.1 -> sf1 scaling spot run (r12 verdict directive 4).
+"""sf0.1 -> sf{N/10} scaling spot run (r12 verdict directive 4).
 
 The tri-scale parity sweep validated correctness and plan shapes up to
-sf0.1; this tool tests the CANDIDATE-GENERATION BOUNDS one order of
-magnitude further, where a quadratic blowup would actually show: it
-builds a 10x corpus at ``--out`` (default ``/tmp/sf1``) and measures
-wall time, output rows, and shuffle read/write bytes for the heaviest
-real-work queries at both scales.
+sf0.1; this tool tests the CANDIDATE-GENERATION BOUNDS one or two
+orders of magnitude further, where a quadratic blowup would actually
+show: it builds an ``--shards``-fold corpus at ``--out`` (default 10
+shards at ``/tmp/sf1``; ``--shards 100 --out /tmp/sf10`` for the 100x
+run) and measures wall time, output rows, and shuffle read/write bytes
+for the heaviest real-work queries at both scales.
 
-Scale-up construction — 10 SHARDS, each statistically identical to the
+Scale-up construction — N SHARDS, each statistically identical to the
 original corpus, mutually decorrelated so per-shard result structure is
-preserved and the clean linear expectation holds (output rows ~10x,
-shuffle bytes ~10x, wall time <=~10x):
+preserved and the clean linear expectation holds (output rows ~Nx,
+shuffle bytes ~Nx within a join regime, wall time <=~Nx):
 
 - ``documents``: shard s shifts doc_id by s*10M and suffixes every
   token with ``x{s}`` (shard 0 verbatim) — within-shard duplication
@@ -29,13 +30,15 @@ shuffle bytes ~10x, wall time <=~10x):
   unchanged; node and edge counts scale 10x.
 - remaining tables are copied verbatim (no sweep query reads them).
 
-A super-linear wall-time or shuffle-byte ratio (>> 10x) or an output
-row ratio far from 10x flags a candidate-generation bound that does
-not hold; ~10x-or-better confirms the banded/inverted-index/cell-probe
-designs. Results: markdown table on stdout (paste into COVERAGE.md)
-plus sf1_sweep.json beside this script.
+A super-linear wall-time or shuffle-byte ratio (>> Nx) or an output
+row ratio far from Nx flags a candidate-generation bound that does
+not hold; ~Nx-or-better confirms the banded/inverted-index/cell-probe
+designs (mind one-time broadcast->SMJ regime flips when reading
+shuffle ratios across the broadcast threshold — see COVERAGE.md).
+Results: markdown table on stdout (pasted into COVERAGE.md) plus
+sf{N/10}_sweep.json beside this script.
 
-Run: ``python tools/sf1_sweep.py [--out /tmp/sf1] [--skip-build]``
+Run: ``python tools/sf1_sweep.py [--shards N] [--out DIR] [--skip-build]``
 """
 
 from __future__ import annotations
@@ -81,6 +84,13 @@ def build(spark, src: str, out: str, n_shards: int = SHARDS) -> None:
 
     marker = os.path.join(out, "_BUILT")
     if os.path.exists(marker):
+        with open(marker) as f:
+            built = f.read().strip()
+        if built != f"shards={n_shards}":
+            raise SystemExit(
+                f"{out} was built with {built!r}, not shards={n_shards}; "
+                "point --out at a fresh directory or delete it"
+            )
         print(f"# build: {out} already built, skipping", file=sys.stderr)
         return
     shards = spark.range(n_shards).select(F.col("id").cast("int").alias("__s"))
@@ -169,8 +179,8 @@ def build(spark, src: str, out: str, n_shards: int = SHARDS) -> None:
             "overwrite"
         ).parquet(f"{out}/{t}.parquet")
     with open(marker, "w") as f:
-        f.write("ok\n")
-    print(f"# build: wrote 10x shards to {out}", file=sys.stderr)
+        f.write(f"shards={n_shards}\n")
+    print(f"# build: wrote {n_shards} shards to {out}", file=sys.stderr)
 
 
 def _stages(sc) -> list[dict]:
@@ -230,6 +240,10 @@ def main() -> None:
         help="scale-up factor (10 = sf1, 100 = sf10); offsets allow <=1000",
     )
     args = ap.parse_args()
+    if not 2 <= args.shards <= 1000:
+        # 1 would collide the result tag with the sf0.1 baseline row;
+        # >1000 overflows the shard key offsets
+        ap.error("--shards must be in [2, 1000]")
 
     from datafoundation_multi_source_retail_data_integration_hub_spark.operators import (
         clustering,
