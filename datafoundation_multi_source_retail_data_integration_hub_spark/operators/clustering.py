@@ -55,12 +55,17 @@ def clear_fit_cache() -> None:
     _FIT_CACHE.clear()
 
 
-def sq_dist(a: Column, b: Column) -> Column:
-    """Squared L2 distance as a strict left fold in float64."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def sq_dist_sql(a: str, b: str) -> str:
+    """Squared L2 distance as SQL text: zip_with square-diffs folded by
+    a strict float64 left fold from 0.0D — the single implementation of
+    the module's distance semantics (every consumer parses this text,
+    so there is exactly one tree to keep deterministic). SQL text
+    because the equivalent Column/lambda form costs a py4j round trip
+    per expression node on every DataFrame construction; one JVM parse
+    yields the identical tree."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"0.0D, (acc, x) -> acc + x)"
     )
 
 
@@ -82,14 +87,14 @@ def double_array_literal(vals) -> Column:
     return F.expr(double_array_sql(vals))
 
 
-def _centroid_literal(centroids: Centroids) -> Column:
-    # one JVM-side parse for the whole k x dim constant (see
-    # double_array_literal); cid stays BIGINT to match F.lit(int)
+def centroid_literal_sql(centroids: Centroids) -> str:
+    # the whole k x dim constant as SQL text (see double_array_literal);
+    # cid stays BIGINT to match F.lit(int)
     parts = ",".join(
         f"named_struct('cid',{int(cid)}L,'cv',{double_array_sql(vec)})"
         for cid, vec in centroids
     )
-    return F.expr(f"array({parts})")
+    return f"array({parts})"
 
 
 def prepare_vectors(
@@ -135,14 +140,15 @@ def assign_clusters(
             "__dvec", F.transform(F.col(vec_col), lambda x: x.cast("double"))
         )
         drop_cols = ["__dvec", "__best"]
-    best = F.array_min(
-        F.transform(
-            _centroid_literal(centroids),
-            lambda c: F.struct(
-                sq_dist(F.col("__dvec"), c["cv"]).alias("d"),
-                c["cid"].alias("cid"),
-            ),
-        )
+    # SQL text, ONE parse: the Column/lambda form of this expression
+    # costs a py4j round trip per node (~0.1 s driver time per
+    # construction), billed on every invocation since queries build
+    # their DataFrames fresh; the parsed tree — and so every result
+    # bit — is identical (same lesson as double_array_literal)
+    best = F.expr(
+        f"array_min(transform({centroid_literal_sql(centroids)}, "
+        f"c -> named_struct('d', {sq_dist_sql('__dvec', 'c.cv')}, "
+        f"'cid', c.cid)))"
     )
     return (
         staged.withColumn("__best", best)

@@ -28,12 +28,15 @@ reproducible in the DuckDB oracle (``queries/vectors.py``).
 
 from __future__ import annotations
 
-from functools import reduce
-
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .clustering import Centroids, _centroid_literal, kmeans_fit, sq_dist
+from .clustering import (
+    Centroids,
+    centroid_literal_sql,
+    kmeans_fit,
+    sq_dist_sql,
+)
 
 
 def train_codebooks(
@@ -84,14 +87,21 @@ def train_codebooks(
         return list(pool.map(fit, range(m)))
 
 
-def _nearest_cid(vec: Column, codebook: Centroids) -> Column:
-    best = F.array_min(
-        F.transform(
-            _centroid_literal(codebook),
-            lambda c: F.struct(sq_dist(vec, c["cv"]).alias("d"), c["cid"].alias("cid")),
-        )
+def _bt(name: str) -> str:
+    """Backtick-quote a column name for SQL-text interpolation, so the
+    selectExpr forms keep the any-name contract ``F.col()`` gave the
+    old Column-API implementations."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _nearest_cid_sql(vec: str, codebook: Centroids) -> str:
+    # array_min over (d, cid) structs: lexicographic field order gives
+    # the (dist, cid) tie-break every stage of this module uses
+    return (
+        f"array_min(transform({centroid_literal_sql(codebook)}, "
+        f"c -> named_struct('d', {sq_dist_sql(vec, 'c.cv')}, "
+        f"'cid', c.cid))).cid"
     )
-    return best["cid"]
 
 
 def encode(
@@ -102,17 +112,22 @@ def encode(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """PQ-encode the corpus: columns ``c0..c{m-1}`` (nearest centroid id
-    per subspace). Pure map-side — the 100 TB scan-speed path."""
-    out = prep.select(
-        F.col(id_col),
+    per subspace). Pure map-side — the 100 TB scan-speed path.
+
+    The projection is built as SQL text, ONE parse per column: the
+    Column-API form (transform + lambda + struct per subspace) costs a
+    py4j round trip per expression node — measured ~0.2 s of DRIVER
+    time per construction at m=4/k=8, billed on every invocation since
+    queries build their DataFrames fresh (same lesson as
+    ``double_array_literal``; the parsed trees are identical)."""
+    return prep.selectExpr(
+        _bt(id_col),
         *[
-            _nearest_cid(
-                F.slice(F.col(vec_col), s * sub + 1, sub), cb
-            ).alias(f"c{s}")
+            f"{_nearest_cid_sql(f'slice({_bt(vec_col)}, {s * sub + 1}, {sub})', cb)}"
+            f" AS c{s}"
             for s, cb in enumerate(codebooks)
         ],
     )
-    return out
 
 
 def adc_topk(
@@ -129,36 +144,34 @@ def adc_topk(
 
     The per-query distance tables ride as map columns (cid ->
     subspace distance) built from the codebook literals, so after the
-    broadcast join the score is ``m`` lookups + a fixed-order sum."""
-    def dist_table(s: int, cb: Centroids) -> Column:
-        qsub = F.slice(F.col(vec_col), s * sub + 1, sub)
-        # NB: the lambda must take exactly one parameter — a second one
-        # would be bound to the array INDEX by the higher-order function
-        return F.map_from_arrays(
-            F.expr(
-                "array(" + ",".join(f"{int(cid)}L" for cid, _ in cb) + ")"
-            ),
-            F.transform(
-                _centroid_literal(cb),
-                lambda c: sq_dist(qsub, c["cv"]),
-            ),
+    broadcast join the score is ``m`` lookups + a fixed-order sum.
+
+    Both projections are SQL text (one parse per column) for the same
+    driver-side construction-cost reason as :func:`encode`."""
+    def dist_table_sql(s: int, cb: Centroids) -> str:
+        qsub = f"slice({_bt(vec_col)}, {s * sub + 1}, {sub})"
+        cids = ",".join(f"{int(cid)}L" for cid, _ in cb)
+        return (
+            f"map_from_arrays(array({cids}), "
+            f"transform({centroid_literal_sql(cb)}, "
+            f"c -> {sq_dist_sql(qsub, 'c.cv')}))"
         )
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        *[dist_table(s, cb).alias(f"dt{s}") for s, cb in enumerate(codebooks)],
+    q = queries.selectExpr(
+        f"{_bt(id_col)} AS query_id",
+        *[
+            f"{dist_table_sql(s, cb)} AS dt{s}"
+            for s, cb in enumerate(codebooks)
+        ],
     )
-    approx = reduce(
-        lambda acc, s: acc + F.col(f"dt{s}")[F.col(f"c{s}")],
-        range(1, len(codebooks)),
-        F.col("dt0")[F.col("c0")],
-    )
+    # left-assoc sum matches the old reduce() fold order exactly
+    approx = " + ".join(f"dt{s}[c{s}]" for s in range(len(codebooks)))
     scored = (
         codes.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
-        .select(
+        .selectExpr(
             "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            approx.alias("approx_dist"),
+            f"{_bt(id_col)} AS neighbor_id",
+            f"{approx} AS approx_dist",
         )
     )
     from pyspark.sql import Window

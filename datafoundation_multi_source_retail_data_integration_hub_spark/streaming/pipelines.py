@@ -830,6 +830,30 @@ def _cdc_oracle() -> str:
     return EVENTS_CDC_ORACLE
 
 
+def committed_store_versions(d: str) -> int:
+    """Count COMMITTED ``v{N}`` store versions under ``d``.
+
+    Only dirs holding a ``_SUCCESS`` marker count — the parquet
+    committer drops it last, so a crash mid-overwrite leaves a torn
+    ``v{batch_id}`` dir with no marker. Counting torn dirs would
+    classify the retried batch as a redelivery (``batch_id <
+    versions``): the retry would still read the immutable
+    ``v{batch_id-1}`` correctly, but the run-level ``fresh == 1``
+    assertion in :func:`stream_substring_dedup` would fire on a
+    legitimately recoverable run. A torn write must read as FRESH."""
+    import os
+    import re as _re
+
+    if not os.path.isdir(d):
+        return 0
+    return sum(
+        1
+        for n in os.listdir(d)
+        if _re.fullmatch(r"v\d+", n)
+        and os.path.exists(os.path.join(d, n, "_SUCCESS"))
+    )
+
+
 @_stream_scoped
 def stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming substring dedup at ingest: a ``foreachBatch`` sink runs
@@ -884,13 +908,7 @@ def stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_state = {"fresh": 0}
 
     def _store_versions() -> int:
-        import os
-        import re as _re
-
-        d = f"{base}/store"
-        if not os.path.isdir(d):
-            return 0
-        return sum(1 for n in os.listdir(d) if _re.fullmatch(r"v\d+", n))
+        return committed_store_versions(f"{base}/store")
 
     def handler(batch: DataFrame, batch_id: int) -> None:
         versions = _store_versions()

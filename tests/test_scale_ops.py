@@ -3,6 +3,7 @@ skew-salted joins (semantics preserved)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from datafoundation_multi_source_retail_data_integration_hub_spark.operators.skew import (
@@ -125,13 +126,18 @@ def test_jaccard_pairs_exact_under_10x_replication(spark):
     assert rep_pairs == 100 * base_pairs + 45 * n_shingled
 
 
-def test_jaccard_hot_shingle_skew_bounded(spark):
+@pytest.mark.parametrize("prefix_filter", [True, False])
+def test_jaccard_hot_shingle_skew_bounded(spark, prefix_filter):
     """Adversarial skew at the DATA level (r12 verdict directive 6): one
     boilerplate block planted in 40% of docs pushes its shingles past
     the df cap. The capped result must equal a pure-Python reference of
     the documented semantics (df computed on FULL postings, score over
     capped intersections with full-set denominators), the hot carriers
-    must NOT pair up C(hot,2)-style, and the plan stays equi-join-only."""
+    must NOT pair up C(hot,2)-style, and the plan stays equi-join-only.
+    Parametrized over both candidate branches: the production tau=0.2
+    call sites use the postings-count branch (prefix_filter=False) since
+    the r13 regime switch, so skew coverage must hit it directly, not
+    just via branch-equality tests."""
     from collections import Counter
 
     from datafoundation_multi_source_retail_data_integration_hub_spark.operators import (
@@ -152,7 +158,7 @@ def test_jaccard_hot_shingle_skew_bounded(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     res = DD.jaccard_pairs(
         df, "text", "doc_id", n=n, threshold=tau, max_doc_freq=cap,
-        prefix_filter=True,
+        prefix_filter=prefix_filter,
     )
     got = {(r["id1"], r["id2"]): r["jaccard"] for r in res.collect()}
     plan = res._jdf.queryExecution().executedPlan().toString()

@@ -248,3 +248,41 @@ def test_session_kernel_matches_batch_for_any_ordered_split():
         assert got == _batch_reference(xs, GAP)
 
     check()
+
+
+def test_committed_store_versions_ignores_torn_writes(tmp_path):
+    """A crash mid-overwrite leaves a v{N} dir WITHOUT _SUCCESS; the
+    version counter must not count it, so the retried batch classifies
+    as FRESH (re-derives from the immutable v{N-1}) instead of tripping
+    the run-level fresh==1 assertion as a phantom redelivery."""
+    from datafoundation_multi_source_retail_data_integration_hub_spark.streaming.pipelines import (
+        committed_store_versions,
+    )
+
+    store = tmp_path / "store"
+    assert committed_store_versions(str(store)) == 0  # missing dir
+    store.mkdir()
+    assert committed_store_versions(str(store)) == 0
+
+    def commit(v: int) -> None:
+        d = store / f"v{v}"
+        d.mkdir()
+        (d / "part-00000.parquet").write_bytes(b"x")
+        (d / "_SUCCESS").write_bytes(b"")
+
+    commit(0)
+    commit(1)
+    assert committed_store_versions(str(store)) == 2
+    # torn write: dir + data file but no _SUCCESS — a retried batch_id=2
+    # sees versions==2 -> fresh, exactly the recoverable-run behavior
+    torn = store / "v2"
+    torn.mkdir()
+    (torn / "part-00000.parquet").write_bytes(b"x")
+    assert committed_store_versions(str(store)) == 2
+    # non-version junk (Spark temp dirs, markers) never counts
+    (store / "_temporary").mkdir()
+    (store / "v3x").mkdir()
+    assert committed_store_versions(str(store)) == 2
+    # committing the torn version counts it again
+    (torn / "_SUCCESS").write_bytes(b"")
+    assert committed_store_versions(str(store)) == 3
