@@ -45,15 +45,20 @@ from pyspark.sql.window import Window
 from ..functions import text as TX
 from ..functions.parity import round_dp, sql_round_dp
 from ..operators import dedup as DD
-from ..sources.tables import load_tables
+from ..sources.tables import load_table_spread, load_tables
 from . import textops as TO
 
 SEG_LEN = 10  # tokens per dedup segment
 FAM_VOCAB_K = 100  # "known" vocabulary size for the OOV rate
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_tables(spark, sf_dir, "documents")["documents"]
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    # spread: see textops._docs — heavy per-row queries keep the
+    # scan-fanout repartition barrier; shuffle-free map-only queries
+    # (doc_pii_scrub's audited scan-bound shape) opt out.
+    if not spread:
+        return load_tables(spark, sf_dir, "documents")["documents"]
+    return load_table_spread(spark, sf_dir, "documents")
 
 
 def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,7 +402,7 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one codegen'd projection (concat + regexp_count +
     regexp_replace), shuffle-free — scrubbing is scan-bound at 100 TB.
     """
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     did = F.col("doc_id")
     email = F.concat(
         F.lit(" contact user"), did.cast("string"), F.lit("@example.com")

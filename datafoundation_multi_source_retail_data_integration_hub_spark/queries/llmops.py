@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
-from ..sources.tables import load_tables
+from ..sources.tables import load_table_spread, load_tables
 
 SAMPLE_PCT = 10  # doc_hash_sample keeps h % 100 < SAMPLE_PCT
 TRAIN_PCT = 80  # train/val/test = 80/10/10
@@ -44,8 +44,12 @@ PACK_TARGET_TOKENS = 512  # context-window token budget per packed sequence
 PACK_SHARDS = 8
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_tables(spark, sf_dir, "documents")["documents"]
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    # spread: see textops._docs — heavy per-row queries keep the
+    # scan-fanout repartition barrier, light ones opt out (measured).
+    if not spread:
+        return load_tables(spark, sf_dir, "documents")["documents"]
+    return load_table_spread(spark, sf_dir, "documents")
 
 
 def _id_hash(col: str = "doc_id") -> F.Column:
@@ -66,7 +70,7 @@ def _sql_id_hash(col: str = "doc_id") -> str:
 def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible SAMPLE_PCT% sample — a filter, not a rand(): the same
     doc is in the sample on every run, on every engine."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     return d.filter(_id_hash() % 100 < SAMPLE_PCT).select(
         "doc_id", "lang", "source", "n_chars"
     )
@@ -82,7 +86,7 @@ def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (80/10/10) keyed on the id
     hash — the canonical leakage-safe split: membership is a pure function
     of the row, disjoint by construction, stable under re-runs."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     h = _id_hash() % 100
     split = (
         F.when(h < TRAIN_PCT, "train")
@@ -114,7 +118,7 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible row-by-row, and the census (total vs kept per stratum)
     is the mixture report a pipeline logs. Pure narrow projection + one
     vocabulary-sized aggregation."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     rate = F.lit(DEFAULT_STRATUM_PCT)
     for lg, pct in STRATA_PCT.items():
         rate = F.when(F.col("lang") == lg, F.lit(pct)).otherwise(rate)
@@ -154,7 +158,7 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count desc, token asc tiebreak). Map-side partial counts mean only
     distinct (token, partial_count) rows shuffle — at 100 TB the shuffle
     is vocabulary-sized, not corpus-sized."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     toks = d.select(
         F.explode(TX.ws_tokens(TX.normalized_text(F.col("text")))).alias("token")
     )
@@ -187,7 +191,7 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     token; the doc-frequency side is vocabulary-sized (broadcastable)."""
     from ..operators.storage import persist_tracked
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     toks = d.select(
         "doc_id",
         F.explode(TX.ws_tokens(TX.normalized_text(F.col("text")))).alias("token"),
@@ -259,7 +263,7 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay executor-sized. No global order is needed — or meaningful — when
     packing a distributed corpus.
     """
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     toks = d.select(
         "doc_id",
         (_id_hash() % PACK_SHARDS).alias("shard"),
@@ -379,7 +383,7 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream chunk-level dedup joins on exactly this hash, and the
     result stays narrow for the oracle compare.
     """
-    d = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    d = _docs(spark, sf_dir, spread=False).filter(F.length("text") > 0)
     n_chunks = F.ceil(F.length("text") / F.lit(float(CHUNK_STRIDE))).cast("int")
     chunk = F.expr(f"substring(text, chunk_idx * {CHUNK_STRIDE} + 1, {CHUNK_SIZE})")
     return (
@@ -458,7 +462,7 @@ def doc_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank order is a per-source shuffle+sort of just (ids, hashes), then a
     rank filter; the text never moves."""
     quotas = mixture_quotas(MIX_WEIGHTS, MIX_TOTAL)
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     w = Window.partitionBy("source").orderBy(_id_hash(), "doc_id")
     quota = F.coalesce(
         *[

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 from ..functions.parity import round_dp, sql_round_dp
 from ..operators import dedup as DD
-from ..sources.tables import load_tables
+from ..sources.tables import load_table_spread, load_tables
 
 N_SHINGLE = 3
 JACCARD_TAU = 0.2
@@ -26,8 +26,15 @@ SIMHASH_MAX_HAMMING = 15
 SIMHASH_CHUNKS = 4
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_tables(spark, sf_dir, "documents")["documents"]
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    # spread=True: scan-fanout repartition + persisted barrier for
+    # queries whose per-row tokenize/shingle/hash work dominates (see
+    # sources.tables.load_table_spread). Light single-pass queries opt
+    # out: the extra exchange + cache build costs ~0.1-0.3 s at sf0.1,
+    # more than their whole runtime.
+    if not spread:
+        return load_tables(spark, sf_dir, "documents")["documents"]
+    return load_table_spread(spark, sf_dir, "documents")
 
 
 # ---------------------------------------------------------------------------
@@ -36,7 +43,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -111,7 +118,7 @@ FROM documents
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
 
 
@@ -121,7 +128,7 @@ SELECT doc_id, md5({TX.sql_normalized('text')}) AS fingerprint FROM documents
 
 
 def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.exact_dedup_groups(_docs(spark, sf_dir), "text", "doc_id")
+    return DD.exact_dedup_groups(_docs(spark, sf_dir, spread=False), "text", "doc_id")
 
 
 DOC_EXACT_DEDUP_ORACLE = f"""
@@ -133,7 +140,7 @@ FROM documents GROUP BY 1
 
 
 def doc_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.exact_dedup_keep_first(_docs(spark, sf_dir), "text", "doc_id")
+    return DD.exact_dedup_keep_first(_docs(spark, sf_dir, spread=False), "text", "doc_id")
 
 
 DOC_DEDUP_KEEP_FIRST_ORACLE = f"""
@@ -658,7 +665,7 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classify an incoming ingest batch against the already-ingested
     corpus: kept / dup_of_seen / dup_in_batch (see
     ``operators.dedup.incremental_dedup``)."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     new_batch = d.filter(F.col("doc_id") % INGEST_STRIDE == INGEST_REM)
     seen = d.filter(F.col("doc_id") % INGEST_STRIDE != INGEST_REM)
     return DD.incremental_dedup(
@@ -695,7 +702,7 @@ def doc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-text count (1 - unique/docs = the per-source dup rate a
     crawl report tracks). One shuffle; the count-distincts expand to
     Spark's standard two-phase partial-distinct aggregation."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("n_chars_total"),
@@ -719,7 +726,7 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     report behind truncation/packing decisions. The bucket is the BIT
     LENGTH of n_chars (exact integer arithmetic via the binary string —
     no float log2, so cross-engine parity is exact at bucket edges)."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=False)
     return (
         d.select(F.length(F.bin(F.col("n_chars"))).alias("bucket_bits"), "n_chars")
         .groupBy("bucket_bits")
@@ -805,7 +812,7 @@ def doc_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     see operators.dedup.edit_distance_pairs for the blocking math and the
     ASCII parity domain (Spark codepoint vs DuckDB byte levenshtein)."""
     return DD.edit_distance_pairs(
-        _docs(spark, sf_dir),
+        _docs(spark, sf_dir, spread=False),
         "text",
         "doc_id",
         prefix_len=EDIT_PREFIX,

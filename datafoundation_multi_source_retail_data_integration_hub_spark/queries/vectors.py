@@ -22,7 +22,7 @@ from ..operators.similarity import (
     sql_dot,
     sql_norm,
 )
-from ..sources.tables import load_tables
+from ..sources.tables import load_table_spread, load_tables
 
 N_QUERIES = 10
 TOP_K = 5
@@ -35,8 +35,13 @@ DIM = 64
 NEARDUP_TAU = 0.3  # random-embedding corpus: top pair cosines sit ~0.3-0.4
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_tables(spark, sf_dir, "embeddings")["embeddings"]
+def _emb(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    # spread: see textops._docs — queries doing full-corpus vector
+    # arithmetic keep the scan-fanout repartition barrier; bucket-pruned
+    # probes (LSH/IVF) and light passes opt out (measured at sf0.1).
+    if not spread:
+        return load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    return load_table_spread(spark, sf_dir, "embeddings")
 
 
 _N_PLANES_CACHE: dict[tuple, int] = {}
@@ -58,7 +63,7 @@ def _n_planes(spark: SparkSession, sf_dir: str) -> int:
     got = _N_PLANES_CACHE.get(key)
     if got is None:
         got = planes_for_corpus(
-            _emb(spark, sf_dir).count(),
+            _emb(spark, sf_dir, spread=False).count(),
             target_bucket_rows=LSH_TARGET_BUCKET_ROWS,
             min_planes=N_PLANES,
         )
@@ -106,7 +111,7 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
 
 
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir, spread=False)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return lsh_ann_topk(
         emb, queries, TOP_K, n_planes=_n_planes(spark, sf_dir), dim=DIM
@@ -167,7 +172,7 @@ IVF_NPROBE = 2
 
 
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir, spread=False)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return ivf_ann_topk(
         emb,
@@ -444,7 +449,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension order (left fold == DuckDB list_sum, bit-exact). No join,
     no shuffle on the corpus side.
     """
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir, spread=False)
     v = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
