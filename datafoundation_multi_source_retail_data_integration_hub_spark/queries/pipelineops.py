@@ -47,7 +47,7 @@ from pyspark.sql.types import StringType
 
 from ..functions import text as TX
 from ..operators import spans as SP
-from ..sources.tables import load_tables
+from ..sources.tables import load_table_spread, load_tables
 
 SUBSTR_W = 8  # duplicated-run threshold, in tokens (ExactSubstr length)
 CLS_BUCKETS = 4096  # hashed-feature dimensionality
@@ -65,7 +65,10 @@ def doc_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents carrying duplicated runs of >= SUBSTR_W consecutive
     tokens, with maximal-span merge and duplicated-token fraction. See
     ``operators/spans.py`` for the shuffle-shape analysis."""
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # scan-fanout spread (see sources.tables.load_table_spread): the
+    # tokenize+window-hash pass dominates and otherwise runs inside a
+    # single-task scan stage (measured win at sf0.1; interleaved A/B)
+    docs = load_table_spread(spark, sf_dir, "documents")
     return SP.substring_dup_report(docs, "text", "doc_id", SUBSTR_W)
 
 
@@ -387,7 +390,10 @@ def doc_substring_dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     every token covered by a non-first occurrence of a duplicated
     SUBSTR_W-token window (global keep-first by (doc_id, position)) and
     emit the trimmed corpus. One row per document."""
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # scan-fanout spread (see sources.tables.load_table_spread): the
+    # tokenize+window-hash pass dominates and otherwise runs inside a
+    # single-task scan stage (measured win at sf0.1; interleaved A/B)
+    docs = load_table_spread(spark, sf_dir, "documents")
     return SP.trim_duplicated_spans(docs, "text", "doc_id", SUBSTR_W)
 
 
@@ -405,7 +411,10 @@ def doc_substring_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``incremental_substring_report`` read the documents scan twice (the
     parity predicate cannot push into parquet) and ran two separate
     tokenize+hash map subtrees into the shared hv shuffle."""
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # scan-fanout spread (see sources.tables.load_table_spread): the
+    # tokenize+window-hash pass dominates and otherwise runs inside a
+    # single-task scan stage (measured win at sf0.1; interleaved A/B)
+    docs = load_table_spread(spark, sf_dir, "documents")
     return SP.fused_incremental_substring_report(
         docs, F.col("doc_id") % 2 == 1, "text", "doc_id", SUBSTR_W
     )
