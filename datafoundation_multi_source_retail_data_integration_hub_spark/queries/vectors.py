@@ -854,27 +854,12 @@ def ann_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the same corpus and query set. PQ scores every pair by design
     (the m-bytes-per-vector brute-force regime): its 'candidates' equal
     the full pair count; its win is bytes moved, not pairs skipped."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators.similarity import exact_topk_per_query, ivf_scored, lsh_scored
 
     emb = _emb(spark, sf_dir)
-    n = emb.count()
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    nq = queries.count()
-    truth = (
-        embedding_topk_bruteforce(spark, sf_dir)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
-    )
-    n_truth = truth.count()
-    full_pairs = nq * (n - 1)
-
-    def hits(topk: DataFrame) -> int:
-        return (
-            topk.select("query_id", "neighbor_id")
-            .join(truth, ["query_id", "neighbor_id"], "left_semi")
-            .count()
-        )
-
     # candidate stages persisted: counted once, ranked once
     lsh = lsh_scored(
         emb, queries, n_planes=_n_planes(spark, sf_dir), dim=DIM
@@ -883,11 +868,48 @@ def ann_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, centroid_stride=IVF_STRIDE, nprobe=IVF_NPROBE
     ).persist()
     try:
-        rows = [
-            ("lsh", hits(exact_topk_per_query(lsh, TOP_K)), lsh.count()),
-            ("ivf", hits(exact_topk_per_query(ivf, TOP_K)), ivf.count()),
-            ("pq", hits(embedding_ann_pq(spark, sf_dir)), full_pairs),
-        ]
+        # The report is a chain of ~12 independent COUNT actions; run
+        # sequentially each pays the full per-job scheduling floor
+        # (optimization guide §2.6: overlap independent jobs — the
+        # scheduler back-fills idle cores from the next job's tasks).
+        # Phase 1 materializes every shared frame — each persisted
+        # frame's cache is built by exactly ONE action here, so the
+        # concurrent phase-2 readers can never race a lazy persist into
+        # double computation. Values are counts; ordering cannot change
+        # any result (equality with the sequential form is oracle- and
+        # A/B-pinned: 3.6 -> 2.2 s at sf0.1).
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            f_n = pool.submit(emb.count)
+            f_nq = pool.submit(queries.count)
+            f_truth = pool.submit(
+                lambda: embedding_topk_bruteforce(spark, sf_dir)
+                .select("query_id", "neighbor_id")
+                .localCheckpoint(eager=True)
+            )
+            f_lsh_c = pool.submit(lsh.count)
+            f_ivf_c = pool.submit(ivf.count)
+            n, nq, truth = f_n.result(), f_nq.result(), f_truth.result()
+            lsh_count, ivf_count = f_lsh_c.result(), f_ivf_c.result()
+        full_pairs = nq * (n - 1)
+
+        def hits(topk: DataFrame) -> int:
+            return (
+                topk.select("query_id", "neighbor_id")
+                .join(truth, ["query_id", "neighbor_id"], "left_semi")
+                .count()
+            )
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            f_n_truth = pool.submit(truth.count)
+            f_h_lsh = pool.submit(lambda: hits(exact_topk_per_query(lsh, TOP_K)))
+            f_h_ivf = pool.submit(lambda: hits(exact_topk_per_query(ivf, TOP_K)))
+            f_h_pq = pool.submit(lambda: hits(embedding_ann_pq(spark, sf_dir)))
+            n_truth = f_n_truth.result()
+            rows = [
+                ("lsh", f_h_lsh.result(), lsh_count),
+                ("ivf", f_h_ivf.result(), ivf_count),
+                ("pq", f_h_pq.result(), full_pairs),
+            ]
     finally:
         lsh.unpersist()
         ivf.unpersist()
