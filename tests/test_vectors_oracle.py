@@ -122,3 +122,27 @@ def test_plane_count_derivation(spark):
         )
         > N_PLANES
     )
+
+
+def test_ann_quality_report_concurrent_reentrant(spark):
+    """The report runs its independent count actions from thread pools
+    (r14): two invocations in one session — second with warm fit caches
+    and re-registered persists — must produce identical rows, and the
+    tracked persists must all be released by unpersist_all."""
+    from datafoundation_multi_source_retail_data_integration_hub_spark.operators import (
+        storage,
+    )
+
+    def rows():
+        out = sorted(
+            tuple(r)
+            for r in vectors.QUERIES["ann_quality_report"](
+                spark, SF_SMOKE
+            ).collect()
+        )
+        storage.unpersist_all()
+        return out
+
+    first, second = rows(), rows()
+    assert first == second
+    assert storage._PERSISTED == []
