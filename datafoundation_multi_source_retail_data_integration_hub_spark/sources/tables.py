@@ -203,6 +203,46 @@ def load_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return persist_tracked(df.repartition(n))
 
 
+def table_bytes(sf_dir: str, *names: str) -> int:
+    """Total on-disk bytes of the named corpus tables (file or dir)."""
+    total = 0
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isfile(path):
+            total += os.path.getsize(path)
+        elif os.path.isdir(path):
+            with os.scandir(path) as it:
+                for ent in it:
+                    if ent.is_file() and not ent.name.startswith(("_", ".")):
+                        total += ent.stat().st_size
+    return total
+
+
+def scaled_shuffle_partitions(
+    sf_dir: str,
+    names: tuple[str, ...],
+    floor: int,
+    target_bytes: int = 64 * 1024 * 1024,
+) -> int:
+    """Scale-adaptive count for a SCOPED shuffle-partition override
+    (optimization guide §2.2/§2.5): ``floor`` is the measured local
+    optimum at bench scale (where near-empty partitions are pure
+    task-launch overhead), growing with the input so a 100x corpus
+    never sorts 100x the rows into the same fixed partition count.
+    The r14 sf10 sweep caught exactly that failure: pagerank's scoped
+    constant 4 OOM'd the edge-build sort at 60M lineitem rows
+    (SparkOutOfMemoryError in UnsafeExternalSorter under the
+    localCheckpoint unroll); bytes-derived counts keep per-task sort
+    state bounded at any scale. Non-posix storage (object stores)
+    falls back to the floor — at that scale the session default (sized
+    per cluster) should be used instead of a scoped override anyway."""
+    try:
+        total = table_bytes(sf_dir, *names)
+    except OSError:
+        return floor
+    return max(floor, -(-total // target_bytes))
+
+
 def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Register corpus tables as temp views so ``spark.sql`` can see them."""
     for name, df in load_tables(spark, sf_dir, *names).items():

@@ -930,12 +930,19 @@ def stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # this handler runs STATELESS batch jobs with real per-row work
         # (tokenize + window-hash the micro-batch), so the state-store
         # sizing rationale behind STREAM_SHUFFLE_PARTITIONS does not
-        # apply inside it — rescope to the batch default for the
-        # handler's own shuffles (measured 0.6 s faster at sf0.1; the
-        # stream source/sink machinery around it never shuffles)
+        # apply inside it — rescope for the handler's own shuffles
+        # (floor 16 measured 0.6 s faster at sf0.1; the stream
+        # source/sink machinery around it never shuffles). The count is
+        # input-derived like pagerank's (r14): window-hash postings are
+        # ~10x the document bytes, so a fixed 16 would concentrate a
+        # 100x corpus's explode+sort into 16 unsplittable tasks.
         from ..session import scoped_confs
+        from ..sources.tables import scaled_shuffle_partitions
 
-        with scoped_confs(s, {"spark.sql.shuffle.partitions": "16"}):
+        n_shuffle = scaled_shuffle_partitions(
+            sf_dir, ("documents",), 16, target_bytes=8 * 1024 * 1024
+        )
+        with scoped_confs(s, {"spark.sql.shuffle.partitions": str(n_shuffle)}):
             # previous store addressed by BATCH ID, not driver-local
             # state: a redelivered batch re-derives its outputs from the
             # immutable v{batch_id-1}, and both writes are overwrite —
