@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.local import local_frame
+
 MAX_ITERATIONS = 50
 
 # Edge-count gate for the driver union-find fast path. A near-dup edge
@@ -133,7 +135,8 @@ def connected_components(
             nodes, labels = _driver_union_find(
                 zip(pdf["a"].tolist(), pdf["b"].tolist())
             )
-            return pairs.sparkSession.createDataFrame(
+            return local_frame(
+                pairs.sparkSession,
                 list(zip(nodes, labels)),
                 T.StructType(
                     [

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.local import local_frame
+
 # Below this many (estimated) rows a single-partition window beats the
 # distributed path's extra shuffle + count job; above it, funneling
 # through one task becomes the bottleneck. Read at call time (tests may
@@ -138,7 +140,7 @@ def with_global_row_number(
     for r in counts:
         offsets.append((r["__pid"], cum))
         cum += r["count"]
-    off_df = df.sparkSession.createDataFrame(offsets, "p_pid int, p_off long")
+    off_df = local_frame(df.sparkSession, offsets, "p_pid int, p_off long")
     return (
         ranked.join(
             F.broadcast(off_df), F.col("__pid") == F.col("p_pid"), "inner"

@@ -67,8 +67,13 @@ def log_run(
     database: str = DEFAULT_DATABASE,
 ) -> None:
     """Append one audit row (reference: per-run bookkeeping rows in
-    ``etl_run_log``)."""
-    row = spark.createDataFrame(
+    ``etl_run_log``). Single-slice frame: the default createDataFrame
+    fan-out made every one-row audit append a defaultParallelism-task
+    write (functions/local.py)."""
+    from ..functions.local import local_frame
+
+    row = local_frame(
+        spark,
         [
             (
                 entry.run_id,

@@ -22,6 +22,7 @@ from ..operators.similarity import (
     sql_dot,
     sql_norm,
 )
+from ..functions.local import local_frame
 from ..sources.tables import load_table_spread, load_tables
 
 N_QUERIES = 10
@@ -926,7 +927,8 @@ def ann_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for (m, h, c) in rows
     ]
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         out,
         "method string, n_hits long, n_truth long, recall_at_k double, "
         "n_candidates long, n_full_pairs long, candidate_frac double",

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.local import local_frame
 from ..functions.normalize import normalize_columns
 
 # Spark 4 accepts only canonical charset names; the reference (pandas)
@@ -89,7 +90,10 @@ def from_json_records(
     ``from_json`` with an explicit schema — engine-side parsing, identical
     code path whether records arrive from HTTP, a queue, or a file."""
     payload = [(json.dumps(r),) for r in records]
-    raw = spark.createDataFrame(payload, "raw string")
+    # data-sized slicing: REST-page-sized payloads stay one slice instead
+    # of defaultParallelism near-empty partitions; a genuinely large
+    # driver-side batch still fans out (functions/local.py)
+    raw = local_frame(spark, payload, "raw string", rows_per_slice=5000)
     df = raw.select(F.from_json("raw", schema).alias("rec")).select("rec.*")
     if source_tag is not None:
         df = df.withColumn("source", F.lit(source_tag))

@@ -950,7 +950,9 @@ def stream_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             if batch_id > 0:
                 store_hv = s.read.parquet(spath(batch_id - 1))
             else:
-                store_hv = s.createDataFrame([], "hv long")
+                from ..functions.local import local_frame
+
+                store_hv = local_frame(s, [], "hv long")
             # ONE tokenize+hash window pass per micro-batch, persisted:
             # the report and the store fold both consume it (re-deriving
             # the windows from raw text per consumer measured ~2x the
