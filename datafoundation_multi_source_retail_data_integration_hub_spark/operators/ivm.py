@@ -119,6 +119,7 @@ def apply_batch(
     cfg: IVMConfig,
     ts: datetime,
     version: int,
+    precomputed_partial: DataFrame | None = None,
 ) -> bool:
     """Merge one batch into version ``version`` of the stored mart
     state. Returns False (no-op) when ``batch_id`` was already applied.
@@ -133,7 +134,15 @@ def apply_batch(
     be the stream's micro-batch id (or any monotone per-batch integer),
     which Structured Streaming keeps stable across checkpoint restarts.
     Old versions accumulate like any versioned table; a production
-    deployment vacuums them the way Delta/Iceberg expire snapshots."""
+    deployment vacuums them the way Delta/Iceberg expire snapshots.
+
+    ``precomputed_partial`` lets a caller overlap this batch's partial
+    aggregation with an earlier version's apply (optimization guide
+    §2.6 — the partials of different batches are independent even
+    though their MERGES are ordered). It must be exactly
+    ``state_partials(batch, cfg)``, materialized (localCheckpoint) —
+    the guard below still runs first, so at-least-once redelivery
+    semantics are unchanged."""
     from ..pipelines.audit import RunLogEntry, log_run, run_already_logged
     from ..sources import writers as W
 
@@ -142,7 +151,10 @@ def apply_batch(
     # checkpointed: the audit count and the merge both consume it, and
     # the audit row must record THIS batch's rows (matching logged_write
     # semantics), not the cumulative mart count
-    partial = state_partials(batch, cfg).localCheckpoint(eager=True)
+    if precomputed_partial is not None:
+        partial = precomputed_partial
+    else:
+        partial = state_partials(batch, cfg).localCheckpoint(eager=True)
     n = partial.agg(F.sum(cfg.count_col)).first()[0]
     if version > 0:
         prev_table = state_table(table, version - 1)

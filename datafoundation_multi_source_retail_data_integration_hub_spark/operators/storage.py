@@ -14,9 +14,12 @@ recomputes), so this is purely a storage-hygiene hook.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame
 
 _PERSISTED: list[DataFrame] = []
+_RELEASE_HOOKS: list[Callable[[], None]] = []
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:
@@ -25,7 +28,18 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     return df.persist()
 
 
+def on_release(hook: Callable[[], None]) -> None:
+    """Register a callback run by every ``unpersist_all`` — for memos of
+    persisted frames (sources.tables._SPREAD_MEMO) that must be dropped
+    when the registry releases the frames they point at, or a later
+    lookup would hand out an unpersisted frame and silently lose the
+    optimizer-barrier/single-scan properties the cache provides."""
+    _RELEASE_HOOKS.append(hook)
+
+
 def unpersist_all() -> None:
     """Release every intermediate persisted through this registry."""
     while _PERSISTED:
         _PERSISTED.pop().unpersist()
+    for hook in _RELEASE_HOOKS:
+        hook()

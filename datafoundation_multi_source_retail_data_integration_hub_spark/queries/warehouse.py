@@ -329,13 +329,20 @@ def _scd2_partition_merge(spark: SparkSession, sf_dir: str, db: str) -> DataFram
             .alias("pub"),
         )
 
+    _loc: list[str] = []
+
     def location() -> str:
-        loc = [
-            r["data_type"]
-            for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect()
-            if r["col_name"].strip() == "Location"
-        ][0]
-        return loc.removeprefix("file:")
+        # memoized: the table's location is fixed at creation, and the
+        # DESCRIBE FORMATTED collect costs a driver round trip per call
+        if not _loc:
+            _loc.append(
+                [
+                    r["data_type"]
+                    for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+                    if r["col_name"].strip() == "Location"
+                ][0].removeprefix("file:")
+            )
+        return _loc[0]
 
     def partition_inventory(part: str) -> set:
         root = os.path.join(location(), f"pub={part}")
@@ -384,15 +391,25 @@ def _scd2_partition_merge(spark: SparkSession, sf_dir: str, db: str) -> DataFram
     before = stored().localCheckpoint(eager=True)
     delta2.write.insertInto(name, overwrite=True)
     after = stored()
-    # multiset equality in ONE job: both directed differences are empty
-    replay_ok = (
-        after.exceptAll(before).union(before.exceptAll(after)).isEmpty()
-    )
-    return (
-        after.withColumn("untouched_partition_stable", F.lit(bool(untouched_ok)))
-        .withColumn("replay_idempotent", F.lit(bool(replay_ok)))
-        .localCheckpoint(eager=True)
-    )
+    # §2.6 overlap: the multiset replay check and the result
+    # materialization both read the post-rewrite table and share nothing
+    # — run them concurrently instead of chaining two job floors. The
+    # checkpoint must still happen HERE (the caller drops the database),
+    # so the lit columns land lazily on the checkpointed rows.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        # multiset equality in ONE job: both directed differences empty
+        f_ok = pool.submit(
+            lambda: after.exceptAll(before)
+            .union(before.exceptAll(after))
+            .isEmpty()
+        )
+        f_after = pool.submit(lambda: after.localCheckpoint(eager=True))
+        replay_ok, checkpointed = f_ok.result(), f_after.result()
+    return checkpointed.withColumn(
+        "untouched_partition_stable", F.lit(bool(untouched_ok))
+    ).withColumn("replay_idempotent", F.lit(bool(replay_ok)))
 
 
 def scd2_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -649,6 +666,7 @@ def mart_ivm_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mart_incremental_refresh(spark: SparkSession, sf_dir: str, db: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
     from datetime import datetime
 
     from ..operators import ivm
@@ -661,17 +679,33 @@ def _mart_incremental_refresh(spark: SparkSession, sf_dir: str, db: str) -> Data
     mart = "mart_daily_state"
     t0 = datetime(2026, 1, 1, 0, 0, 0)
 
-    def apply(batch_id: str, batch_fact: DataFrame, version: int) -> bool:
+    def apply(
+        batch_id: str,
+        batch_fact: DataFrame,
+        version: int,
+        partial: DataFrame | None = None,
+    ) -> bool:
         return ivm.apply_batch(
-            spark, batch_fact, batch_id, mart, db, cfg, t0, version
+            spark, batch_fact, batch_id, mart, db, cfg, t0, version,
+            precomputed_partial=partial,
         )
 
     try:
-        base_ok = apply(
-            "base", fact.filter(F.col("__ok") % IVM_DELTA_MOD != 0), 0
-        )
         delta = fact.filter(F.col("__ok") % IVM_DELTA_MOD == 0)
-        delta_ok = apply("delta-1", delta, 1)
+        # §2.6 overlap: the delta batch's PARTIAL aggregation is
+        # independent of the base batch's apply (only the MERGE into
+        # v1 is ordered after v0), so build it while the base version
+        # publishes — the concurrent first actions materialize the
+        # shared fact cache under BlockManager block-level locking
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_base = pool.submit(
+                apply, "base", fact.filter(F.col("__ok") % IVM_DELTA_MOD != 0), 0
+            )
+            f_dp = pool.submit(
+                lambda: ivm.state_partials(delta, cfg).localCheckpoint(eager=True)
+            )
+            base_ok, delta_partial = f_base.result(), f_dp.result()
+        delta_ok = apply("delta-1", delta, 1, partial=delta_partial)
         # at-least-once redelivery of the SAME batch: guarded no-op
         replay_skipped = not apply("delta-1", delta, 1)
         out = ivm.present(

@@ -98,6 +98,13 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
 # file-index cache), never data or results.
 _FANOUT_MEMO: dict[tuple, int] = {}
 
+# Memo of the PERSISTED spread frames (one cache per (app, dir, table));
+# cleared by operators.storage.unpersist_all via the release hook, so its
+# lifetime is exactly the persisted frames'. Caches a plan whose persist
+# is released between bench runs — never data across timed runs.
+_SPREAD_MEMO: dict[tuple, DataFrame] = {}
+_SPREAD_HOOKED = False
+
 
 def scan_fanout(spark: SparkSession, sf_dir: str, name: str) -> int:
     """Round-robin partition count a compute-heavy projection over this
@@ -124,6 +131,17 @@ def scan_fanout(spark: SparkSession, sf_dir: str, name: str) -> int:
     it only ever fires on inputs under cores x 128 MB, so the shuffle
     moves at most a few GB once per query while unlocking a cores-fold
     speedup of the per-row work stacked above it.
+
+    Known gap (documented, deliberate): a table OVER the byte gate is
+    assumed to fan wide natively without reading any footer, which is
+    wrong for a pathological layout of few-but-huge row groups (e.g. a
+    writer that emitted one row group per multi-GB file). Spreading
+    such a table through this helper would be wrong anyway — the
+    repartition+persist in ``load_table_spread`` would cache more than
+    cores x maxPartitionBytes of data. The fix at that scale is the
+    corpus WRITER bounding ``parquet.block.size`` (row-group size), not
+    a reader-side exchange; the gate keeps this helper a no-op there by
+    design.
     """
     cores = spark.sparkContext.defaultParallelism
     key = (sf_dir, name, cores)
@@ -193,14 +211,35 @@ def load_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``cores x maxPartitionBytes`` (see ``scan_fanout``), so the cached
     working set is bounded by the same gate and production-scale tables
     never take this path at all.
+
+    The spread frame is MEMOIZED per (application, dir, table) and
+    released together with its persist by ``unpersist_all`` (storage
+    release hook): composite reports that invoke several spread-loading
+    queries in one call (ann_quality_report runs the brute-force truth
+    and the PQ probe beside its own corpus load) share ONE cached copy
+    and ONE exchange instead of building three identical caches of the
+    same table. Callers get a fresh ``toDF`` re-projection (new
+    attribute exprIds, same ``_TABLE_CACHE`` discipline) over the same
+    cached plan, so self-joins across two loads stay unambiguous while
+    the cache lookup still hits.
     """
     df = load_table(spark, sf_dir, name)
     n = scan_fanout(spark, sf_dir, name)
     if not n:
         return df
-    from ..operators.storage import persist_tracked
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    got = _SPREAD_MEMO.get(key)
+    if got is not None:
+        return got.toDF(*got.columns)
+    from ..operators.storage import on_release, persist_tracked
 
-    return persist_tracked(df.repartition(n))
+    global _SPREAD_HOOKED
+    if not _SPREAD_HOOKED:
+        on_release(_SPREAD_MEMO.clear)
+        _SPREAD_HOOKED = True
+    spread = persist_tracked(df.repartition(n))
+    _SPREAD_MEMO[key] = spread
+    return spread.toDF(*spread.columns)
 
 
 def table_bytes(sf_dir: str, *names: str) -> int:
@@ -223,6 +262,7 @@ def scaled_shuffle_partitions(
     names: tuple[str, ...],
     floor: int,
     target_bytes: int = 64 * 1024 * 1024,
+    cap: int = 4096,
 ) -> int:
     """Scale-adaptive count for a SCOPED shuffle-partition override
     (optimization guide §2.2/§2.5): ``floor`` is the measured local
@@ -233,14 +273,34 @@ def scaled_shuffle_partitions(
     constant 4 OOM'd the edge-build sort at 60M lineitem rows
     (SparkOutOfMemoryError in UnsafeExternalSorter under the
     localCheckpoint unroll); bytes-derived counts keep per-task sort
-    state bounded at any scale. Non-posix storage (object stores)
-    falls back to the floor — at that scale the session default (sized
-    per cluster) should be used instead of a scoped override anyway."""
+    state bounded at any scale. Non-posix storage (object stores) and
+    missing/renamed tables fall back to the floor — WITH a warning,
+    because the floor is exactly the fixed-count OOM class this
+    function exists to fix; at that scale the session default (sized
+    per cluster) should be used instead of a scoped override anyway.
+    ``cap`` bounds a pathological bytes estimate (a mispointed dir)
+    so the override can never explode into tens of thousands of
+    near-empty shuffle partitions."""
     try:
         total = table_bytes(sf_dir, *names)
-    except OSError:
+    except OSError as exc:
+        total = 0
+        reason = f"unreadable ({exc})"
+    else:
+        reason = "zero bytes on disk"
+    if total <= 0:
+        import warnings
+
+        warnings.warn(
+            f"scaled_shuffle_partitions: {reason} for {names} under "
+            f"{sf_dir!r} — falling back to the bench-scale floor "
+            f"{floor}, which is NOT sized for large inputs; check the "
+            "table paths or use the session shuffle default instead",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return floor
-    return max(floor, -(-total // target_bytes))
+    return min(cap, max(floor, -(-total // target_bytes)))
 
 
 def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:

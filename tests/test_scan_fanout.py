@@ -79,3 +79,52 @@ def test_scaled_shuffle_partitions_floor_and_growth():
     )
     assert grown == max(4, -(-size // 1024))
     assert grown > 4
+
+
+def test_scaled_shuffle_partitions_warns_on_missing_table():
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = scaled_shuffle_partitions(SF_SMOKE, ("no_such_table",), 7)
+    assert got == 7
+    assert any(
+        issubclass(x.category, RuntimeWarning)
+        and "falling back to the bench-scale floor" in str(x.message)
+        for x in w
+    )
+
+
+def test_scaled_shuffle_partitions_cap_bounds_pathological_estimates():
+    # a 1-byte target over any real file would explode the count; the
+    # cap keeps a bad estimate from minting tens of thousands of
+    # near-empty shuffle partitions
+    got = scaled_shuffle_partitions(
+        SF_SMOKE, ("documents",), 4, target_bytes=1, cap=64
+    )
+    assert got == 64
+
+
+def test_spread_memo_shares_one_persisted_frame(spark):
+    # two loads in one "query window" share the cached plan (new exprIds,
+    # same storage); unpersist_all drops the memo with the persist
+    from datafoundation_multi_source_retail_data_integration_hub_spark.sources import (
+        tables as TB,
+    )
+
+    _FANOUT_MEMO.clear()
+    storage.unpersist_all()
+    a = load_table_spread(spark, SF_SMOKE, "documents")
+    n_after_first = len(TB._SPREAD_MEMO)
+    b = load_table_spread(spark, SF_SMOKE, "documents")
+    try:
+        assert n_after_first == 1
+        assert len(TB._SPREAD_MEMO) == 1  # second load hit the memo
+        # fresh exprIds per caller: a self-join on equal ids must not
+        # trip the ambiguous-self-join check
+        assert a.schema == b.schema
+        joined = a.join(b, a["doc_id"] == b["doc_id"], "inner")
+        assert joined.count() == a.count()
+    finally:
+        storage.unpersist_all()
+    assert not TB._SPREAD_MEMO  # release hook dropped the memo
