@@ -873,12 +873,17 @@ def ann_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sequentially each pays the full per-job scheduling floor
         # (optimization guide §2.6: overlap independent jobs — the
         # scheduler back-fills idle cores from the next job's tasks).
-        # Phase 1 materializes every shared frame — each persisted
-        # frame's cache is built by exactly ONE action here, so the
-        # concurrent phase-2 readers can never race a lazy persist into
-        # double computation. Values are counts; ordering cannot change
-        # any result (equality with the sequential form is oracle- and
-        # A/B-pinned: 3.6 -> 2.2 s at sf0.1).
+        # Phase 1 materializes every shared frame. Concurrency safety
+        # comes from the BlockManager's block-level locking: several
+        # phase-1 actions touch emb's persisted cache at once (emb.count,
+        # queries.count, the brute-force thread — and with the r15 spread
+        # memo they share ONE cache), and each cached partition is
+        # computed by whichever task gets its write lock first while the
+        # others block then read — never computed twice, never torn.
+        # Phase 2 then reads only caches phase 1 fully materialized.
+        # Values are counts; ordering cannot change any result (equality
+        # with the sequential form is oracle- and A/B-pinned:
+        # 3.6 -> 2.2 s at sf0.1).
         with ThreadPoolExecutor(max_workers=5) as pool:
             f_n = pool.submit(emb.count)
             f_nq = pool.submit(queries.count)

@@ -481,7 +481,8 @@ def stream_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..queries.eventops import SESSION_GAP_SECONDS
-    from ..sources.tables import load_table
+    from ..session import scoped_confs
+    from ..sources.tables import load_table, scaled_shuffle_partitions
     from .stateful import user_session_stats
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
@@ -498,18 +499,32 @@ def stream_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch.write.mode("append").parquet(out_dir)
 
     def start_run() -> None:
-        q = (
-            user_session_stats(
-                spark.readStream.schema(schema).parquet(src),
-                SESSION_GAP_SECONDS,
-            )
-            .writeStream.foreachBatch(sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
+        # Rescope the stateful stage's partition count for THIS query:
+        # unlike the store-commit-bound replays that set the family
+        # floor of 4, the per-partition work here is a Python
+        # applyInPandasWithState fold over real event volume, which
+        # parallelizes with instances up to the commit overhead.
+        # Measured at sf0.1 (interleaved min-of-3): 4.27 s at 4, 3.79
+        # at 8, 3.13 at 16, 3.78 at 32 — floor 16, bytes-derived
+        # beyond it like every scoped count (r14 pagerank treatment).
+        n = scaled_shuffle_partitions(
+            sf_dir, ("events",), 16, target_bytes=_STREAM_TARGET_BYTES
         )
-        _drain(q, "stateful session")
+        with scoped_confs(
+            spark, {"spark.sql.shuffle.partitions": str(n)}
+        ):
+            q = (
+                user_session_stats(
+                    spark.readStream.schema(schema).parquet(src),
+                    SESSION_GAP_SECONDS,
+                )
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _drain(q, "stateful session")
 
     try:
         import os

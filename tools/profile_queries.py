@@ -28,14 +28,19 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# a wedged UI endpoint must not hang the settle loops (ADVICE r14);
+# a timeout surfaces as URLError and is treated like "still moving"
+_UI_TIMEOUT_S = 10
+
+
 def _stages(sc) -> list[dict]:
     url = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/stages"
-    return json.load(urllib.request.urlopen(url))
+    return json.load(urllib.request.urlopen(url, timeout=_UI_TIMEOUT_S))
 
 
 def _jobs(sc) -> list[dict]:
     url = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/jobs"
-    return json.load(urllib.request.urlopen(url))
+    return json.load(urllib.request.urlopen(url, timeout=_UI_TIMEOUT_S))
 
 
 def settled_stage_ids(sc) -> set[int]:
