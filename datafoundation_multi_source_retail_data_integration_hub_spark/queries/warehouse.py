@@ -1358,8 +1358,23 @@ def federated_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     url = f"jdbc:derby:{base}/db;create=true"
     try:
         dim = t["customer"].select("c_custkey", "c_mktsegment")
-        write_jdbc(dim, url, "stg_customer", properties=_DERBY_DRIVER)
-        b = dim.agg(F.min("c_custkey").alias("lo"), F.max("c_custkey").alias("hi")).collect()[0]
+        # §2.6: the partition-bounds probe reads the parquet dim, the
+        # staging write fills Derby — independent until read_jdbc needs
+        # both
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_w = pool.submit(
+                write_jdbc, dim, url, "stg_customer", properties=_DERBY_DRIVER
+            )
+            f_b = pool.submit(
+                lambda: dim.agg(
+                    F.min("c_custkey").alias("lo"),
+                    F.max("c_custkey").alias("hi"),
+                ).collect()[0]
+            )
+            f_w.result()
+            b = f_b.result()
         cust = read_jdbc(
             spark,
             url,
@@ -1464,31 +1479,51 @@ def warehouse_key_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.write_table(fact, table, database=db, partition_by=("bucket",))
         stored = spark.table(name)
 
-        before = {
-            r["bucket"]: r["n"]
-            for r in stored.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
         # the erasure-request list is a small TABLE (broadcast side)
         keys = (
             stored.where(F.col("o_custkey") % ERASE_MOD == 0)
             .select("o_custkey")
             .distinct()
         )
-        touched = sorted(
-            r["bucket"]
-            for r in keys.select(
-                (F.col("o_custkey") % ERASE_BUCKETS).cast("int").alias("bucket")
-            )
-            .distinct()
-            .collect()
-        )
-        untouched = sorted(set(before) - set(touched))
+        # §2.6 overlap: the pre-state census, the touched-bucket probe
+        # and the catalog location lookup all read the just-written
+        # table and share nothing — three job floors become one
+        from concurrent.futures import ThreadPoolExecutor
 
-        loc = [
-            r["data_type"]
-            for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect()
-            if r["col_name"].strip() == "Location"
-        ][0].removeprefix("file:")
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_before = pool.submit(
+                lambda: {
+                    r["bucket"]: r["n"]
+                    for r in stored.groupBy("bucket")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+            )
+            f_touched = pool.submit(
+                lambda: sorted(
+                    r["bucket"]
+                    for r in keys.select(
+                        (F.col("o_custkey") % ERASE_BUCKETS)
+                        .cast("int")
+                        .alias("bucket")
+                    )
+                    .distinct()
+                    .collect()
+                )
+            )
+            f_loc = pool.submit(
+                lambda: [
+                    r["data_type"]
+                    for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+                    if r["col_name"].strip() == "Location"
+                ][0].removeprefix("file:")
+            )
+            before, touched, loc = (
+                f_before.result(),
+                f_touched.result(),
+                f_loc.result(),
+            )
+        untouched = sorted(set(before) - set(touched))
 
         def inventory(buckets) -> set:
             out = set()
@@ -1531,17 +1566,33 @@ def warehouse_key_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
         after = spark.table(name)
-        leftover = after.where(F.col("o_custkey") % ERASE_MOD == 0).count()
-        # vacuously true when every bucket was touched (possible at larger
-        # SFs where the request list covers all residues);
-        # tests/test_key_erasure.py asserts non-vacuity at the oracle SF
-        intact = inventory(untouched) == inv_before
-        counts = {
-            int(r["bucket"]): int(r["rows_after"])
-            for r in after.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("rows_after"))
-            .collect()
-        }
+        # §2.6 again: the leftover-keys check, the untouched-files
+        # inventory (driver-side walk), and the post-state census all
+        # read the post-rewrite state independently
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_left = pool.submit(
+                lambda: after.where(F.col("o_custkey") % ERASE_MOD == 0).count()
+            )
+            # vacuously true when every bucket was touched (possible at
+            # larger SFs where the request list covers all residues);
+            # tests/test_key_erasure.py asserts non-vacuity at the
+            # oracle SF
+            f_intact = pool.submit(
+                lambda: inventory(untouched) == inv_before
+            )
+            f_counts = pool.submit(
+                lambda: {
+                    int(r["bucket"]): int(r["rows_after"])
+                    for r in after.groupBy("bucket")
+                    .agg(F.count(F.lit(1)).alias("rows_after"))
+                    .collect()
+                }
+            )
+            leftover, intact, counts = (
+                f_left.result(),
+                f_intact.result(),
+                f_counts.result(),
+            )
         # emit one row per ORIGINAL bucket: a fully-erased bucket is
         # absent from the table after the drop but the oracle (and the
         # erasure report a user expects) carries it with rows_after=0
