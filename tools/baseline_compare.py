@@ -187,14 +187,13 @@ def main() -> None:
         "per-row min across sessions — the file stays reproducible by",
         "one tool invocation). Cross-round ratio comparisons below ~1.2x",
         "resolution are therefore session noise.",
-        "Same-session bench-vs-basis pair (the r13 verdict's item 3,",
-        "recorded r14): bench.py run immediately after this tool in one",
-        "quiet window read gate 69.10 s against the 54.60 s min-of-3",
-        "basis = 1.27x — inside the documented 10-50% spread, so the",
-        "r13 reading of 1.50x was the top of the spread, not a harness",
-        "constant. Note the r14 box is itself slower than the r13 box",
-        "(18-shuffle null-work chain ~1.2 s vs 0.29 s documented), so",
-        "cross-round ABSOLUTE seconds are not comparable this round.",
+        "Same-session bench-vs-basis pair (recorded r15; the r14 pair",
+        "read 1.27x): bench.py run in the same quiet window as this tool",
+        "read gate 64.22 s against the 59.56 s min-of-3 basis = 1.08x —",
+        "well inside the documented 10-50% single-session spread. (The",
+        "r14 pair's note stands: cross-round ABSOLUTE seconds are not",
+        "comparable across boxes; this round's start/end pairs are all",
+        "same-box.)",
         "",
         "Per-query notes on the >2x stragglers with real work (r11 watch",
         "items; everything else >2x is a sub-second query where Spark's",
