@@ -155,29 +155,43 @@ def apply_batch(
         partial = precomputed_partial
     else:
         partial = state_partials(batch, cfg).localCheckpoint(eager=True)
-    n = partial.agg(F.sum(cfg.count_col)).first()[0]
-    if version > 0:
-        prev_table = state_table(table, version - 1)
-        if not W.table_exists(spark, prev_table, database=database):
-            # surface the versioned-state contract instead of a generic
-            # missing-table error: v{N} is derived from the immutable
-            # v{N-1}, so a vacuum policy that expires old versions (or a
-            # rebuilt state database) must keep at least the latest
-            # version or redelivered batches can no longer be applied
-            raise RuntimeError(
-                f"ivm.apply_batch: previous state version {prev_table!r} "
-                f"not found in database {database!r} — version {version} "
-                f"is a pure function of version {version - 1}, which must "
-                "exist before it can be derived (was it vacuumed, or the "
-                "state database rebuilt?)"
-            )
-        prev = W.read_table(spark, prev_table, database=database)
-        merged = merge_state(prev, partial, cfg)
-    else:
-        merged = partial
-    # no checkpoint needed on merged: the write target is v{version},
-    # which the plan never reads (it reads the immutable v{version-1})
-    W.write_table(merged, state_table(table, version), database=database)
+    # §2.6 overlap: the audit row count reads the checkpointed partial,
+    # independently of the merge/write chain that also reads it — run it
+    # beside the state publish. log_run still lands strictly AFTER the
+    # state write (the audit marker must never precede the state it
+    # records), so the at-least-once crash-window analysis is unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_n = pool.submit(
+            lambda: partial.agg(F.sum(cfg.count_col)).first()[0]
+        )
+        if version > 0:
+            prev_table = state_table(table, version - 1)
+            if not W.table_exists(spark, prev_table, database=database):
+                # surface the versioned-state contract instead of a
+                # generic missing-table error: v{N} is derived from the
+                # immutable v{N-1}, so a vacuum policy that expires old
+                # versions (or a rebuilt state database) must keep at
+                # least the latest version or redelivered batches can no
+                # longer be applied
+                raise RuntimeError(
+                    f"ivm.apply_batch: previous state version "
+                    f"{prev_table!r} not found in database {database!r} "
+                    f"— version {version} is a pure function of version "
+                    f"{version - 1}, which must exist before it can be "
+                    "derived (was it vacuumed, or the state database "
+                    "rebuilt?)"
+                )
+            prev = W.read_table(spark, prev_table, database=database)
+            merged = merge_state(prev, partial, cfg)
+        else:
+            merged = partial
+        # no checkpoint needed on merged: the write target is
+        # v{version}, which the plan never reads (it reads the immutable
+        # v{version-1})
+        W.write_table(merged, state_table(table, version), database=database)
+        n = f_n.result()
     log_run(
         spark,
         RunLogEntry(batch_id, table, int(n or 0), "success", ts, ts),
