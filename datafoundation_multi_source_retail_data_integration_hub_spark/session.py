@@ -78,11 +78,14 @@ def scoped_confs(spark: SparkSession, confs: dict[str, str]) -> Iterator[None]:
     depends on the scoped values must be *executed* (e.g. via
     ``localCheckpoint(eager=True)``) inside the block.
 
-    SINGLE-THREADED by design: SQL confs are session-global, so a block
-    mutates state visible to every query on this SparkSession. The
-    grading driver and bench run queries sequentially; if execution is
-    ever parallelized, wrap scoped blocks in a lock (or give each thread
-    its own ``spark.newSession()``, which clones the conf map)."""
+    SINGLE-THREADED mutation by design: SQL confs are session-global, so
+    a block mutates state visible to every query on this SparkSession.
+    The grading driver and bench run queries sequentially; if execution
+    is ever parallelized, wrap scoped blocks in a lock (or give each
+    thread its own ``spark.newSession()``, which clones the conf map).
+    The §2.6 overlap pools inside individual queries are fine: they run
+    actions (conf READS at plan time) wholly within one scoped block on
+    one query's behalf and never set or unset a conf themselves."""
     saved: dict[str, str | None] = {}
     for k, v in confs.items():
         try:
