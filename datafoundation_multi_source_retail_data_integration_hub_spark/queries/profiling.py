@@ -727,18 +727,43 @@ def _sketch_cube_rollups(spark: SparkSession, sf_dir: str, db: str) -> DataFrame
             _kll_rank_envelope_ok("__ksk", "p50", 0.5).alias("p50_ok"),
         )
 
-    per_type = _checked(
-        _merged(stored.groupBy("event_type")).join(_exact(["event_type"]), "event_type"),
-        F.concat(F.lit("type:"), F.col("event_type")),
-    )
-    per_day = _checked(
-        _merged(stored.groupBy("event_day")).join(_exact(["event_day"]), "event_day"),
-        F.concat(F.lit("day:"), F.col("event_day").cast("string")),
-    )
-    overall = _checked(
-        _merged(stored.groupBy()).crossJoin(_exact([])), F.lit("ALL")
-    )
-    return per_type.unionByName(per_day).unionByName(overall)
+    # §2.6: the three rollup grains read the stored cells + the fact
+    # independently; one fused union plan paid a ~0.8 s single-threaded
+    # planning gap before any task ran (job timeline, r15) and chained
+    # the branches' stage tails. Checkpointing the branches from a pool
+    # overlaps planning AND execution across grains; the union of the
+    # checkpointed branches preserves the exact rows (A/B-equal,
+    # interleaved min-of-4 2.05 -> 1.62 s at sf0.1).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def per_type() -> DataFrame:
+        return _checked(
+            _merged(stored.groupBy("event_type")).join(
+                _exact(["event_type"]), "event_type"
+            ),
+            F.concat(F.lit("type:"), F.col("event_type")),
+        ).localCheckpoint(eager=True)
+
+    def per_day() -> DataFrame:
+        return _checked(
+            _merged(stored.groupBy("event_day")).join(
+                _exact(["event_day"]), "event_day"
+            ),
+            F.concat(F.lit("day:"), F.col("event_day").cast("string")),
+        ).localCheckpoint(eager=True)
+
+    def overall() -> DataFrame:
+        return _checked(
+            _merged(stored.groupBy()).crossJoin(_exact([])), F.lit("ALL")
+        ).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_t, f_d, f_a = (
+            pool.submit(per_type),
+            pool.submit(per_day),
+            pool.submit(overall),
+        )
+        return f_t.result().unionByName(f_d.result()).unionByName(f_a.result())
 
 
 def events_sketch_cube(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -843,23 +843,33 @@ def _bucketed_join(spark: SparkSession, sf_dir: str, db: str) -> DataFrame:
     li = t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount")
     # repartition to n_buckets on the bucket key: bucket hash == shuffle
     # hash, so every bucket lands in exactly one task -> one file per
-    # bucket (multi-file buckets would force a per-partition re-sort)
-    W.write_bucketed_table(
-        orders.repartition(N_BUCKETS, "o_orderkey"),
-        "orders_bkt",
-        ("o_orderkey",),
-        N_BUCKETS,
-        sort_cols=("o_orderkey",),
-        database=db,
-    )
-    W.write_bucketed_table(
-        li.repartition(N_BUCKETS, "l_orderkey"),
-        "lineitem_bkt",
-        ("l_orderkey",),
-        N_BUCKETS,
-        sort_cols=("l_orderkey",),
-        database=db,
-    )
+    # bucket (multi-file buckets would force a per-partition re-sort).
+    # §2.6: the two bucketed builds read different source tables and
+    # write different catalog tables — run them concurrently (the
+    # ensure_database inside each write is an idempotent IF NOT EXISTS).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_o = pool.submit(
+            W.write_bucketed_table,
+            orders.repartition(N_BUCKETS, "o_orderkey"),
+            "orders_bkt",
+            ("o_orderkey",),
+            N_BUCKETS,
+            sort_cols=("o_orderkey",),
+            database=db,
+        )
+        f_l = pool.submit(
+            W.write_bucketed_table,
+            li.repartition(N_BUCKETS, "l_orderkey"),
+            "lineitem_bkt",
+            ("l_orderkey",),
+            N_BUCKETS,
+            sort_cols=("l_orderkey",),
+            database=db,
+        )
+        f_o.result()
+        f_l.result()
     o_b = W.read_table(spark, "orders_bkt", db)
     l_b = W.read_table(spark, "lineitem_bkt", db)
     return l_b.hint("merge").join(
