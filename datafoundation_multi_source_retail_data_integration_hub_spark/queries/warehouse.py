@@ -1294,20 +1294,26 @@ def fact_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    stable = (
-        dim2.select("c_custkey", "sk")
-        .exceptAll(dim1.select("c_custkey", "sk"))
-        .count()
-        == 0
-    )
-    uncorrected_with_facts = (
-        orders.join(
-            dim2.where("inferred"),
-            F.col("o_custkey") == F.col("c_custkey"),
-            "left_semi",
-        ).count()
-        == 0
-    )
+    # §2.6: both invariant checks read the checkpointed dims (and the
+    # fact) independently — overlap their job floors
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_stable = pool.submit(
+            lambda: dim2.select("c_custkey", "sk")
+            .exceptAll(dim1.select("c_custkey", "sk"))
+            .count()
+            == 0
+        )
+        f_uncorr = pool.submit(
+            lambda: orders.join(
+                dim2.where("inferred"),
+                F.col("o_custkey") == F.col("c_custkey"),
+                "left_semi",
+            ).count()
+            == 0
+        )
+        stable, uncorrected_with_facts = f_stable.result(), f_uncorr.result()
     return (
         orders.join(dim2, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("c_mktsegment").alias("segment"))
